@@ -1,0 +1,347 @@
+"""Batched windowed max-log-MAP turbo decoder — the flagship TPU kernel.
+
+Capability parity with lib/src/phy/fec/turbodecoder*.c: the reference runs
+max-log-MAP with a beta backward sweep then an alpha+LLR forward sweep
+(turbodecoder_gen.c:59-198), SIMD lane-parallel windows with 40-step
+overlap training (turbodecoder_win.h:58,92) and periodic renormalization.
+
+TPU-native redesign (not a translation):
+
+* The unit of work is a *batch* of equal-size code blocks ``[B, 3, K+4]``;
+  throughput comes from batching, the TPU analog of the reference's
+  pipeline threading (SURVEY.md section 2.6 P2/P3).
+* The trellis time axis is cut into W windows decoded in parallel with
+  O-step overlap training exactly like the reference's windowed scheme,
+  but windows ride the *lane* axis: the scan carry is an ``[8, B*W]``
+  tile — 8 trellis states on sublanes, batch x windows on lanes — which is
+  the native VPU register shape.
+* State-metric recursions are ``lax.scan``s with static-index gathers for
+  the trellis wiring; every step renormalizes by the running max (f32, so
+  the reference's every-4-step i16 saturation dance is unnecessary).
+* Extrinsic (de)interleaving is an XLA gather with the precomputed QPP
+  tables (tables.py), matching rm/interleaver pregeneration in the
+  reference (turbodecoder.c:263-271).
+
+LLR convention: positive LLR <=> bit 0 (matches the soft demapper in
+ops/modem.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from .tables import qpp_deinterleaver, qpp_interleaver
+from .turbo_encoder import trellis
+
+NEG_INF = -1e30
+#: Overlap training length, same choice as the reference
+#: (turbodecoder_win.h: win_overlap_len 40).
+DEFAULT_OVERLAP = 40
+
+
+@functools.lru_cache(maxsize=8)
+def _trellis_arrays():
+    t = trellis()
+    return (
+        t.next_state.astype(np.int32),  # [8, 2]
+        t.parity.astype(np.int32),      # [8, 2]
+        t.prev_state.astype(np.int32),  # [8, 2]
+        t.prev_parity.astype(np.int32), # [8, 2]
+    )
+
+
+def _half_branch(lsa, lp, u: int, p):
+    """0.5 * ((1-2u) * lsa + (1-2p) * lp); p may be an array."""
+    su = 1.0 - 2.0 * u
+    sp = 1.0 - 2.0 * p
+    return 0.5 * (su * lsa + sp * lp)
+
+
+def _map_decode(lsa, lp, n_tail: int, init_alpha, init_beta):
+    """One max-log-MAP constituent decode over a full trellis.
+
+    Parameters
+    ----------
+    lsa:  [T, B] systematic + a-priori LLRs (tail positions: systematic only)
+    lp:   [T, B] parity LLRs
+    n_tail: number of trailing termination steps (no LLR output)
+    init_alpha, init_beta: [8] initial state metrics
+
+    Returns llr_out [T - n_tail, B] — total a-posteriori LLRs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ns, par, ps, pp = _trellis_arrays()
+    ns_j = jnp.asarray(ns)
+    par_j = jnp.asarray(par)
+    ps_j = jnp.asarray(ps)
+    pp_j = jnp.asarray(pp)
+
+    t_len, b = lsa.shape
+
+    # ---- beta backward sweep (store all) ------------------------------------
+    def beta_step(beta, inputs):
+        lsa_k, lp_k = inputs  # [B]
+        # cand[u][s] = beta[ns[s,u]] + gamma(s,u)
+        cands = []
+        for u in (0, 1):
+            nxt = beta[ns_j[:, u], :]                       # [8, B]
+            g = _half_branch(lsa_k[None, :], lp_k[None, :], u,
+                             par_j[:, u][:, None].astype(lsa.dtype))
+            cands.append(nxt + g)
+        new = jnp.maximum(cands[0], cands[1])
+        new = new - jnp.max(new, axis=0, keepdims=True)
+        return new, beta
+
+    beta0 = jnp.broadcast_to(init_beta[:, None], (8, b)).astype(lsa.dtype)
+    _, betas = jax.lax.scan(
+        beta_step, beta0, (lsa, lp), reverse=True
+    )  # betas[k] = beta at time k+1 (metric *after* consuming symbol k)... see note
+
+    # note: with reverse=True, scan emits the carry *before* each step when
+    # traversing k = T-1 .. 0; the emitted betas[k] is beta_{k+1}, which is
+    # exactly what the alpha+LLR forward sweep needs.
+
+    # ---- alpha forward sweep + LLR emit -------------------------------------
+    def alpha_step(alpha, inputs):
+        lsa_k, lp_k, beta_k1 = inputs
+        # total metric per (state s, input u): alpha[s] + gamma + beta[ns]
+        tot = []
+        for u in (0, 1):
+            g = _half_branch(lsa_k[None, :], lp_k[None, :], u,
+                             par_j[:, u][:, None].astype(lsa.dtype))
+            tot.append(alpha + g + beta_k1[ns_j[:, u], :])
+        llr_k = jnp.max(tot[0], axis=0) - jnp.max(tot[1], axis=0)  # [B]
+
+        # alpha update: alpha'[s'] = max_u alpha[ps[s',u]] + gamma(ps,u)
+        cands = []
+        for u in (0, 1):
+            prev = alpha[ps_j[:, u], :]
+            g = _half_branch(lsa_k[None, :], lp_k[None, :], u,
+                             pp_j[:, u][:, None].astype(lsa.dtype))
+            cands.append(prev + g)
+        new = jnp.maximum(cands[0], cands[1])
+        new = new - jnp.max(new, axis=0, keepdims=True)
+        return new, llr_k
+
+    alpha0 = jnp.broadcast_to(init_alpha[:, None], (8, b)).astype(lsa.dtype)
+    _, llrs = jax.lax.scan(alpha_step, alpha0, (lsa, lp, betas))
+    return llrs[: t_len - n_tail] if n_tail else llrs
+
+
+#: Padding LLR for out-of-trellis training steps. A strong "bit 0" prior
+#: makes the u=0 transition dominate; since the u=0 transition map is a
+#: state permutation with 0 as its only fixed point, the terminated metric
+#: {state 0: 0, others: -inf} is (effectively) invariant under padded
+#: steps — so exact boundary knowledge survives the training region instead
+#: of diffusing to uniform as it would with zero padding.
+PAD_LLR = 1e8
+
+
+def _windowed_map_decode(lsa, lp, k: int, overlap: int, window: int,
+                         init_alpha, init_beta):
+    """Windowed max-log-MAP: parallel windows with overlap training.
+
+    lsa/lp are [T, B] with T = K + 3 (payload + termination). The payload
+    region [0, K) is cut into W = K / window windows riding the lane axis;
+    each window's alpha (beta) recursion is trained over ``overlap`` extra
+    leading (trailing) steps starting from uniform metrics, mirroring the
+    reference's turbodecoder_win.h scheme. Window 0's alpha and the last
+    window's beta use the exact boundary metrics, carried through their
+    padded training steps by the PAD_LLR construction above; the last
+    window's beta training region contains the 3 real termination steps.
+
+    Returns llr_out [K, B].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ns, par, ps, pp = _trellis_arrays()
+    ns_j = jnp.asarray(ns)
+    par_j = jnp.asarray(par)
+    ps_j = jnp.asarray(ps)
+    pp_j = jnp.asarray(pp)
+
+    t_len, b = lsa.shape
+    assert k % window == 0, (k, window)
+    assert overlap >= 3 and overlap <= window
+    w = k // window
+    l = window
+    o = overlap
+    dt = lsa.dtype
+
+    pad_s = jnp.full((o + 3, b), PAD_LLR, dt)
+    pad_p = jnp.zeros((o + 3, b), dt)
+    lsa_pd = jnp.concatenate([pad_s, lsa, pad_s], axis=0)  # index shift +O+3
+    lp_pd = jnp.concatenate([pad_p, lp, pad_p], axis=0)
+
+    base = np.arange(w)[:, None] * l                          # [W, 1]
+    idx_a = base + np.arange(-o, l)[None, :] + (o + 3)        # [W, O+L]
+    idx_b = base + np.arange(0, l + o)[None, :] + (o + 3)     # [W, L+O]
+
+    def gather_tm(x, idx):
+        # x [Tp, B] -> [steps, W*B] time-major for scan
+        g = x[jnp.asarray(idx.reshape(-1)), :].reshape(w, idx.shape[1], b)
+        return jnp.moveaxis(g, 1, 0).reshape(idx.shape[1], w * b)
+
+    lsa_a, lp_a = gather_tm(lsa_pd, idx_a), gather_tm(lp_pd, idx_a)
+    lsa_b, lp_b = gather_tm(lsa_pd, idx_b), gather_tm(lp_pd, idx_b)
+
+    # --- beta sweep over [L + O] steps, windows in lanes --------------------
+    uniform = jnp.zeros((8,), dt)
+    term = jnp.asarray(init_beta, dt)  # {0: 0, else -inf}: survives padding
+    beta_init = jnp.concatenate(
+        [jnp.broadcast_to(uniform[:, None, None], (8, w - 1, b)),
+         jnp.broadcast_to(term[:, None, None], (8, 1, b))], axis=1
+    ).reshape(8, w * b)
+
+    def beta_step(beta, inputs):
+        lsa_k, lp_k = inputs
+        cands = []
+        for u in (0, 1):
+            nxt = beta[ns_j[:, u], :]
+            g = _half_branch(lsa_k[None, :], lp_k[None, :], u,
+                             par_j[:, u][:, None].astype(dt))
+            cands.append(nxt + g)
+        new = jnp.maximum(cands[0], cands[1])
+        new = new - jnp.max(new, axis=0, keepdims=True)
+        return new, beta
+
+    _, betas = jax.lax.scan(beta_step, beta_init, (lsa_b, lp_b), reverse=True)
+    betas = betas[:l]  # betas[j] = beta at local position j+1
+
+    # --- alpha sweep over [O + L] steps + LLR emit --------------------------
+    start = jnp.asarray(init_alpha, dt)  # {0: 0, else -inf}: survives padding
+    alpha_init = jnp.concatenate(
+        [jnp.broadcast_to(start[:, None, None], (8, 1, b)),
+         jnp.broadcast_to(uniform[:, None, None], (8, w - 1, b))], axis=1
+    ).reshape(8, w * b)
+
+    def alpha_step(alpha, inputs):
+        lsa_k, lp_k, beta_k1 = inputs
+        tot = []
+        for u in (0, 1):
+            g = _half_branch(lsa_k[None, :], lp_k[None, :], u,
+                             par_j[:, u][:, None].astype(dt))
+            tot.append(alpha + g + beta_k1[ns_j[:, u], :])
+        llr_k = jnp.max(tot[0], axis=0) - jnp.max(tot[1], axis=0)
+        cands = []
+        for u in (0, 1):
+            prev = alpha[ps_j[:, u], :]
+            g = _half_branch(lsa_k[None, :], lp_k[None, :], u,
+                             pp_j[:, u][:, None].astype(dt))
+            cands.append(prev + g)
+        new = jnp.maximum(cands[0], cands[1])
+        new = new - jnp.max(new, axis=0, keepdims=True)
+        return new, llr_k
+
+    # alpha consumes O training steps then L emit steps; beta_k1 for the
+    # training region is unused — feed zeros there to keep shapes aligned.
+    beta_feed = jnp.concatenate([jnp.zeros((o, 8, w * b), dt), betas], axis=0)
+    _, llrs = jax.lax.scan(alpha_step, alpha_init, (lsa_a, lp_a, beta_feed))
+    llrs = llrs[o:]  # [L, W*B]
+    return llrs.reshape(l, w, b).transpose(1, 0, 2).reshape(k, b)
+
+
+@dataclass(frozen=True)
+class TurboDecoder:
+    """Iterative turbo decoder for one CB size K.
+
+    Parameters mirror srslte_tdec_t usage: fixed ``iterations`` (the
+    reference's CRC early stop is exposed via ``decode``'s per-iteration
+    CRC hook in models/sch.py), optional windowing for the parallel-lane
+    fast path.
+    """
+
+    k: int
+    iterations: int = 5
+    window: int | None = None          # None = exact full-length sweeps
+    overlap: int = DEFAULT_OVERLAP
+
+    def _split_streams(self, d_llr):
+        """d_llr[..., 3, K+4] -> per-constituent (sys1, par1, sys2t, par2).
+
+        Tail de-permutation per 36.212 5.1.3.2.2 (see turbo_encoder).
+        Returns time-major-able [..., K+3] arrays.
+        """
+        import jax.numpy as jnp
+
+        k = self.k
+        d0, d1, d2 = d_llr[..., 0, :], d_llr[..., 1, :], d_llr[..., 2, :]
+        sys1 = jnp.concatenate(
+            [d0[..., :k], d0[..., k : k + 1], d2[..., k : k + 1], d1[..., k + 1 : k + 2]],
+            axis=-1,
+        )
+        par1 = jnp.concatenate(
+            [d1[..., :k], d1[..., k : k + 1], d0[..., k + 1 : k + 2], d2[..., k + 1 : k + 2]],
+            axis=-1,
+        )
+        sys2_tail = jnp.concatenate(
+            [d0[..., k + 2 : k + 3], d2[..., k + 2 : k + 3], d1[..., k + 3 : k + 4]],
+            axis=-1,
+        )
+        par2 = jnp.concatenate(
+            [d2[..., :k], d1[..., k + 2 : k + 3], d0[..., k + 3 : k + 4], d2[..., k + 3 : k + 4]],
+            axis=-1,
+        )
+        return sys1, par1, sys2_tail, par2
+
+    def decode(self, d_llr, iterations: int | None = None):
+        """Decode d_llr[..., 3, K+4] -> (bits[..., K] int8, llr[..., K]).
+
+        jit-compatible; leading dims are batch. Runs the fixed number of
+        (dec1, dec2) half-iteration pairs with extrinsic exchange.
+        """
+        import jax.numpy as jnp
+
+        iters = self.iterations if iterations is None else iterations
+        k = self.k
+        pi = jnp.asarray(qpp_interleaver(k))
+        pinv = jnp.asarray(qpp_deinterleaver(k))
+
+        sys1, par1, sys2_tail, par2 = self._split_streams(d_llr)
+        lead = sys1.shape[:-1]
+        b = int(np.prod(lead)) if lead else 1
+
+        # time-major [T, B]
+        tm = lambda x: jnp.moveaxis(x.reshape(b, x.shape[-1]), -1, 0)
+        sys1_tm = tm(sys1)
+        par1_tm = tm(par1)
+        par2_tm = tm(par2)
+        sys2_tail_tm = tm(sys2_tail)
+        sys1_pay = sys1_tm[:k]  # payload systematic, [K, B]
+
+        init_a = np.full(8, NEG_INF, np.float32)
+        init_a[0] = 0.0
+        init_b = np.full(8, NEG_INF, np.float32)
+        init_b[0] = 0.0
+        init_a = jnp.asarray(init_a, sys1_tm.dtype)
+        init_b = jnp.asarray(init_b, sys1_tm.dtype)
+
+        def run_map(lsa_pay, tail_sys, par_tm):
+            lsa = jnp.concatenate([lsa_pay, tail_sys], axis=0)
+            if self.window is None:
+                return _map_decode(lsa, par_tm, 3, init_a, init_b)
+            return _windowed_map_decode(
+                lsa, par_tm, k, self.overlap, self.window, init_a, init_b)
+
+        ext2 = jnp.zeros((k, b), sys1_tm.dtype)  # deinterleaved domain
+        llr_full = None
+        for _ in range(iters):
+            # decoder 1: a priori = ext2 (natural order)
+            lsa1 = sys1_pay + ext2
+            llr1 = run_map(lsa1, sys1_tm[k:], par1_tm)[:k]
+            ext1 = llr1 - lsa1
+            # decoder 2: systematic+a-priori = interleave(sys + ext1)
+            lsa2 = (sys1_pay + ext1)[pi, :]
+            llr2 = run_map(lsa2, sys2_tail_tm, par2_tm)[:k]
+            ext2 = (llr2 - lsa2)[pinv, :]
+            llr_full = llr2[pinv, :]
+
+        llr_out = jnp.moveaxis(llr_full, 0, -1).reshape(*lead, k)
+        bits = (llr_out < 0).astype(jnp.int8)
+        return bits, llr_out

@@ -1,0 +1,168 @@
+"""LTE turbo encoder: rate-1/3 PCCC of two 8-state RSC codes, 36.212 5.1.3.2.
+
+Capability parity with lib/src/phy/fec/turbocoder.c (srslte_tcod_encode).
+Constituent code: G(D) = [1, g1(D)/g0(D)] with g0 = 1 + D^2 + D^3 (feedback)
+and g1 = 1 + D + D^3. Both a vectorized numpy path (host golden/TX-table
+generation) and a batched lax.scan device path are provided; the trellis
+transition tables here are shared with the max-log-MAP decoder.
+
+Output layout: three streams d0 (systematic), d1 (parity 1), d2 (parity 2),
+each of length K + 4 including the 36.212 5.1.3.2.2 tail-bit permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .tables import qpp_interleaver
+
+#: Number of trellis states (2^3 registers).
+NOF_STATES = 8
+#: Tail bits per stream appended by trellis termination.
+TAIL = 4
+
+
+class TurboTrellis:
+    """Static transition tables for the LTE RSC constituent code.
+
+    State encoding: s = (r1 << 2) | (r2 << 1) | r3 where r1 is the most
+    recent register. Per (state, input) the tables give next state and
+    parity output; ``prev_state``/``prev_parity`` are the time-reversed
+    view used by the backward (beta) recursion.
+    """
+
+    def __init__(self):
+        ns = np.zeros((NOF_STATES, 2), dtype=np.int32)
+        par = np.zeros((NOF_STATES, 2), dtype=np.int32)
+        for s in range(NOF_STATES):
+            r1, r2, r3 = (s >> 2) & 1, (s >> 1) & 1, s & 1
+            for u in (0, 1):
+                a = u ^ r2 ^ r3            # feedback g0 = 1 + D^2 + D^3
+                z = a ^ r1 ^ r3            # output   g1 = 1 + D + D^3
+                ns[s, u] = (a << 2) | (r1 << 1) | r2
+                par[s, u] = z
+        self.next_state = ns
+        self.parity = par
+        # feedback bit that *terminates* (drives a=0): u_tail = r2 ^ r3
+        self.tail_input = np.array(
+            [((s >> 1) & 1) ^ (s & 1) for s in range(NOF_STATES)], dtype=np.int32
+        )
+        # reverse tables: prev_state[s', u] = s such that next_state[s,u] = s'
+        ps = np.zeros((NOF_STATES, 2), dtype=np.int32)
+        pp = np.zeros((NOF_STATES, 2), dtype=np.int32)
+        for s in range(NOF_STATES):
+            for u in (0, 1):
+                sp = ns[s, u]
+                ps[sp, u] = s
+                pp[sp, u] = par[s, u]
+        self.prev_state = ps
+        self.prev_parity = pp
+
+
+@functools.lru_cache(maxsize=1)
+def trellis() -> TurboTrellis:
+    return TurboTrellis()
+
+
+def _rsc_encode_np(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One RSC over batched inputs u[B, K] -> (parity[B, K], tail bits).
+
+    Tail bits: three termination steps with the feedback-cancelling input,
+    returning (x_tail[B, 3], z_tail[B, 3]).
+    """
+    t = trellis()
+    b, k = u.shape
+    state = np.zeros(b, dtype=np.int32)
+    parity = np.empty((b, k), dtype=np.int8)
+    for i in range(k):
+        ui = u[:, i].astype(np.int32)
+        parity[:, i] = t.parity[state, ui]
+        state = t.next_state[state, ui]
+    x_tail = np.empty((b, 3), dtype=np.int8)
+    z_tail = np.empty((b, 3), dtype=np.int8)
+    for j in range(3):
+        ui = t.tail_input[state]
+        x_tail[:, j] = ui
+        z_tail[:, j] = t.parity[state, ui]
+        state = t.next_state[state, ui]
+    return parity, x_tail, z_tail
+
+
+def turbo_encode_np(u: np.ndarray) -> np.ndarray:
+    """Encode u[B, K] (0/1) -> d[B, 3, K+4] int8 streams (36.212 5.1.3.2).
+
+    Stream tail layout per 36.212 5.1.3.2.2:
+      d0: x_0..x_{K-1}, x_K,  z_{K+1}, x'_K,  z'_{K+1}
+      d1: z_0..z_{K-1}, z_K,  x_{K+2}, z'_K,  x'_{K+2}
+      d2: z'_0..z'_{K-1}, x_{K+1}, z_{K+2}, x'_{K+1}, z'_{K+2}
+    """
+    u = np.asarray(u, dtype=np.int8)
+    if u.ndim == 1:
+        return turbo_encode_np(u[None])[0]
+    b, k = u.shape
+    pi = qpp_interleaver(k)
+    z, x_t, z_t = _rsc_encode_np(u)
+    u2 = u[:, pi]
+    z2, x2_t, z2_t = _rsc_encode_np(u2)
+
+    d = np.empty((b, 3, k + TAIL), dtype=np.int8)
+    d[:, 0, :k] = u
+    d[:, 1, :k] = z
+    d[:, 2, :k] = z2
+    d[:, 0, k:] = np.stack([x_t[:, 0], z_t[:, 1], x2_t[:, 0], z2_t[:, 1]], axis=1)
+    d[:, 1, k:] = np.stack([z_t[:, 0], x_t[:, 2], z2_t[:, 0], x2_t[:, 2]], axis=1)
+    d[:, 2, k:] = np.stack([x_t[:, 1], z_t[:, 2], x2_t[:, 1], z2_t[:, 2]], axis=1)
+    return d
+
+
+def _rsc_encode_jnp(u):
+    """Device RSC: u[..., K] int32 -> (parity, x_tail[...,3], z_tail[...,3])."""
+    import jax
+    import jax.numpy as jnp
+
+    t = trellis()
+    nsu = jnp.asarray(t.next_state)   # [8, 2]
+    paru = jnp.asarray(t.parity)
+    tin = jnp.asarray(t.tail_input)   # [8]
+
+    def step(state, ui):
+        p = paru[state, ui]
+        return nsu[state, ui], p
+
+    init = jnp.zeros(u.shape[:-1], dtype=jnp.int32)
+    state, parity = jax.lax.scan(step, init, jnp.moveaxis(u, -1, 0))
+    parity = jnp.moveaxis(parity, 0, -1)
+
+    xt, zt = [], []
+    for _ in range(3):
+        ui = tin[state]
+        xt.append(ui)
+        zt.append(paru[state, ui])
+        state = nsu[state, ui]
+    return parity, jnp.stack(xt, axis=-1), jnp.stack(zt, axis=-1)
+
+
+def turbo_encode(u):
+    """jnp encode u[..., K] -> d[..., 3, K+4] int8; jit-compatible.
+
+    Used by the eNB TX path inside jitted subframe composition
+    (models/enb_dl.py); the scan carries a [batch] int32 state vector.
+    """
+    import jax.numpy as jnp
+
+    k = u.shape[-1]
+    pi = jnp.asarray(qpp_interleaver(k))
+    u = u.astype(jnp.int32)
+    z, x_t, z_t = _rsc_encode_jnp(u)
+    u2 = jnp.take(u, pi, axis=-1)
+    z2, x2_t, z2_t = _rsc_encode_jnp(u2)
+
+    d0 = jnp.concatenate(
+        [u, x_t[..., 0:1], z_t[..., 1:2], x2_t[..., 0:1], z2_t[..., 1:2]], axis=-1)
+    d1 = jnp.concatenate(
+        [z, z_t[..., 0:1], x_t[..., 2:3], z2_t[..., 0:1], x2_t[..., 2:3]], axis=-1)
+    d2 = jnp.concatenate(
+        [z2, x_t[..., 1:2], z_t[..., 2:3], x2_t[..., 1:2], z2_t[..., 2:3]], axis=-1)
+    return jnp.stack([d0, d1, d2], axis=-2).astype(jnp.int8)
