@@ -138,8 +138,64 @@ def _map_decode(lsa, lp, n_tail: int, init_alpha, init_beta):
 #: state permutation with 0 as its only fixed point, the terminated metric
 #: {state 0: 0, others: -inf} is (effectively) invariant under padded
 #: steps — so exact boundary knowledge survives the training region instead
-#: of diffusing to uniform as it would with zero padding.
-PAD_LLR = 1e8
+#: of diffusing to uniform as it would with zero padding. Kept at 1e5 (far
+#: above any real metric, far below f32 precision loss when normalization is
+#: deferred a few steps).
+PAD_LLR = 1e5
+
+
+def _prepare_windows(lsa, lp, k: int, overlap: int, window: int):
+    """Build the per-window gather arrays for the windowed sweeps.
+
+    lsa/lp are [T, B] with T = K + 3. Returns time-major
+    (lsa_a, lp_a [O+L, W*B], lsa_b, lp_b [L+O, W*B]) with lane order
+    w-major. Out-of-trellis positions are padded with PAD_LLR (see above).
+    """
+    import jax.numpy as jnp
+
+    t_len, b = lsa.shape
+    assert k % window == 0, (k, window)
+    assert 3 <= overlap <= window
+    w = k // window
+    l = window
+    o = overlap
+    dt = lsa.dtype
+
+    pad_s = jnp.full((o + 3, b), PAD_LLR, dt)
+    pad_p = jnp.zeros((o + 3, b), dt)
+    lsa_pd = jnp.concatenate([pad_s, lsa, pad_s], axis=0)  # index shift +O+3
+    lp_pd = jnp.concatenate([pad_p, lp, pad_p], axis=0)
+
+    base = np.arange(w)[:, None] * l                          # [W, 1]
+    idx_a = base + np.arange(-o, l)[None, :] + (o + 3)        # [W, O+L]
+    idx_b = base + np.arange(0, l + o)[None, :] + (o + 3)     # [W, L+O]
+
+    def gather_tm(x, idx):
+        # x [Tp, B] -> [steps, W*B] time-major for scan
+        g = x[jnp.asarray(idx.reshape(-1)), :].reshape(w, idx.shape[1], b)
+        return jnp.moveaxis(g, 1, 0).reshape(idx.shape[1], w * b)
+
+    return (gather_tm(lsa_pd, idx_a), gather_tm(lp_pd, idx_a),
+            gather_tm(lsa_pd, idx_b), gather_tm(lp_pd, idx_b))
+
+
+def _window_inits(k: int, window: int, b: int, init_alpha, init_beta, dt):
+    """Per-lane initial metrics [8, W*B]: exact at the trellis boundaries
+    (window 0 alpha / last window beta), uniform elsewhere."""
+    import jax.numpy as jnp
+
+    w = k // window
+    uniform = jnp.zeros((8,), dt)
+    a0 = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(init_alpha, dt)[:, None, None], (8, 1, b)),
+         jnp.broadcast_to(uniform[:, None, None], (8, w - 1, b))], axis=1
+    ).reshape(8, w * b)
+    b0 = jnp.concatenate(
+        [jnp.broadcast_to(uniform[:, None, None], (8, w - 1, b)),
+         jnp.broadcast_to(jnp.asarray(init_beta, dt)[:, None, None], (8, 1, b))],
+        axis=1,
+    ).reshape(8, w * b)
+    return a0, b0
 
 
 def _windowed_map_decode(lsa, lp, k: int, overlap: int, window: int,
@@ -167,37 +223,15 @@ def _windowed_map_decode(lsa, lp, k: int, overlap: int, window: int,
     pp_j = jnp.asarray(pp)
 
     t_len, b = lsa.shape
-    assert k % window == 0, (k, window)
-    assert overlap >= 3 and overlap <= window
     w = k // window
     l = window
     o = overlap
     dt = lsa.dtype
 
-    pad_s = jnp.full((o + 3, b), PAD_LLR, dt)
-    pad_p = jnp.zeros((o + 3, b), dt)
-    lsa_pd = jnp.concatenate([pad_s, lsa, pad_s], axis=0)  # index shift +O+3
-    lp_pd = jnp.concatenate([pad_p, lp, pad_p], axis=0)
-
-    base = np.arange(w)[:, None] * l                          # [W, 1]
-    idx_a = base + np.arange(-o, l)[None, :] + (o + 3)        # [W, O+L]
-    idx_b = base + np.arange(0, l + o)[None, :] + (o + 3)     # [W, L+O]
-
-    def gather_tm(x, idx):
-        # x [Tp, B] -> [steps, W*B] time-major for scan
-        g = x[jnp.asarray(idx.reshape(-1)), :].reshape(w, idx.shape[1], b)
-        return jnp.moveaxis(g, 1, 0).reshape(idx.shape[1], w * b)
-
-    lsa_a, lp_a = gather_tm(lsa_pd, idx_a), gather_tm(lp_pd, idx_a)
-    lsa_b, lp_b = gather_tm(lsa_pd, idx_b), gather_tm(lp_pd, idx_b)
+    lsa_a, lp_a, lsa_b, lp_b = _prepare_windows(lsa, lp, k, o, l)
 
     # --- beta sweep over [L + O] steps, windows in lanes --------------------
-    uniform = jnp.zeros((8,), dt)
-    term = jnp.asarray(init_beta, dt)  # {0: 0, else -inf}: survives padding
-    beta_init = jnp.concatenate(
-        [jnp.broadcast_to(uniform[:, None, None], (8, w - 1, b)),
-         jnp.broadcast_to(term[:, None, None], (8, 1, b))], axis=1
-    ).reshape(8, w * b)
+    alpha_init, beta_init = _window_inits(k, l, b, init_alpha, init_beta, dt)
 
     def beta_step(beta, inputs):
         lsa_k, lp_k = inputs
@@ -215,12 +249,6 @@ def _windowed_map_decode(lsa, lp, k: int, overlap: int, window: int,
     betas = betas[:l]  # betas[j] = beta at local position j+1
 
     # --- alpha sweep over [O + L] steps + LLR emit --------------------------
-    start = jnp.asarray(init_alpha, dt)  # {0: 0, else -inf}: survives padding
-    alpha_init = jnp.concatenate(
-        [jnp.broadcast_to(start[:, None, None], (8, 1, b)),
-         jnp.broadcast_to(uniform[:, None, None], (8, w - 1, b))], axis=1
-    ).reshape(8, w * b)
-
     def alpha_step(alpha, inputs):
         lsa_k, lp_k, beta_k1 = inputs
         tot = []
@@ -261,6 +289,9 @@ class TurboDecoder:
     iterations: int = 5
     window: int | None = None          # None = exact full-length sweeps
     overlap: int = DEFAULT_OVERLAP
+    #: "xla" = lax.scan sweeps; "pallas" = VMEM-resident TPU kernel
+    #: (turbo_decoder_pallas.py); "pallas_interpret" for CPU debugging.
+    impl: str = "xla"
 
     def _split_streams(self, d_llr):
         """d_llr[..., 3, K+4] -> per-constituent (sys1, par1, sys2t, par2).
@@ -322,10 +353,32 @@ class TurboDecoder:
         init_a = jnp.asarray(init_a, sys1_tm.dtype)
         init_b = jnp.asarray(init_b, sys1_tm.dtype)
 
+        use_pallas = self.impl.startswith("pallas") and self.window is not None
+        if use_pallas:
+            from .turbo_decoder_pallas import (
+                fold_lanes, map_decode_fused, pad_trellis_rows, unfold_lanes)
+
+            l, o = self.window, self.overlap
+            # folded layout needs the batch to be a multiple of 8*lanes
+            lanes = 128
+            bp = (-b) % (8 * lanes)
+            colpad = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp else (lambda x: x)
+            prep = lambda x, pad: fold_lanes(
+                pad_trellis_rows(colpad(x * 0.5), o, pad))
+            par1_pd = prep(par1_tm, 0.0)
+            par2_pd = prep(par2_tm, 0.0)
+            interp = self.impl.endswith("interpret")
+
         def run_map(lsa_pay, tail_sys, par_tm):
             lsa = jnp.concatenate([lsa_pay, tail_sys], axis=0)
             if self.window is None:
                 return _map_decode(lsa, par_tm, 3, init_a, init_b)
+            if use_pallas:
+                lsa_pd = prep(lsa, PAD_LLR)
+                lp_pd = par1_pd if par_tm is par1_tm else par2_pd
+                llr = unfold_lanes(map_decode_fused(
+                    lsa_pd, lp_pd, k, l, o, lanes=lanes, interpret=interp))
+                return llr[:, :b] if bp else llr
             return _windowed_map_decode(
                 lsa, par_tm, k, self.overlap, self.window, init_a, init_b)
 
