@@ -1,0 +1,162 @@
+"""Downlink channel estimation from CRS pilots.
+
+Capability parity with lib/src/phy/ch_estimation/chest_dl.c: LS estimates
+at pilot REs (chest_dl.c:641-663), frequency-domain smoothing, linear
+frequency interpolation and linear time interpolation with edge
+extrapolation (interpolate_pilots, chest_dl.c:365-446), plus noise /
+RSRP / RSSI estimators (chest_dl.c:268-361, 741-840).
+
+TPU-native design: pilot gathers and interpolation are static index maps
+precomputed per (cell, sf_idx, port); everything runs batched over
+subframes and rx antennas as pure jnp ops under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.refsignal import crs_pilots
+from ..utils.cell import Cell
+
+
+@functools.lru_cache(maxsize=512)
+def _interp_plan(cell: Cell, sf_idx: int, port: int):
+    """Static plan: pilot gather indices + freq/time interpolation weights.
+
+    Returns dict of numpy arrays:
+      re_idx [P, M]   pilot subcarrier per pilot-symbol-row
+      syms [P]        subframe symbol index per row
+      vals [P, M]     conj pilot values (for LS by multiply)
+      wf [P, NRE, 2]  (left index, right index, frac) encoded for freq
+                      interpolation per row -> (idx0, idx1, w)
+      tw [nsymb, P]   time interpolation weights row->symbol
+    """
+    re_idx, syms, vals = crs_pilots(cell, sf_idx, port)
+    p, m = re_idx.shape
+    nre = cell.nof_re
+    nsymb = cell.nsymb_sf
+
+    # frequency interpolation: for each subcarrier, linear between the two
+    # nearest pilots of the row (extrapolating at the edges)
+    idx0 = np.zeros((p, nre), np.int32)
+    idx1 = np.zeros((p, nre), np.int32)
+    wgt = np.zeros((p, nre), np.float32)
+    for r in range(p):
+        k = re_idx[r].astype(np.float64)  # ascending pilot positions
+        for sc in range(nre):
+            j = np.searchsorted(k, sc) - 1
+            j = min(max(j, 0), m - 2)
+            idx0[r, sc] = j
+            idx1[r, sc] = j + 1
+            wgt[r, sc] = (sc - k[j]) / (k[j + 1] - k[j])
+
+    # time interpolation: for each subframe symbol, linear between the two
+    # nearest pilot symbols (extrapolating at the edges)
+    tsy = syms.astype(np.float64)
+    order = np.argsort(tsy)
+    tsy_sorted = tsy[order]
+    tw = np.zeros((nsymb, p), np.float32)
+    for s in range(nsymb):
+        j = np.searchsorted(tsy_sorted, s) - 1
+        j = min(max(j, 0), p - 2)
+        t0, t1 = tsy_sorted[j], tsy_sorted[j + 1]
+        w = (s - t0) / (t1 - t0)
+        tw[s, order[j]] = 1.0 - w
+        tw[s, order[j + 1]] = w
+    return dict(re_idx=re_idx, syms=syms, conj_vals=np.conj(vals),
+                idx0=idx0, idx1=idx1, wgt=wgt, tw=tw)
+
+
+#: 3-tap frequency smoothing filter (chest_dl.c default smooth filter).
+SMOOTH_3TAP = np.array([0.3333, 0.3334, 0.3333], np.float32)
+
+
+def chest_dl(grid, cell: Cell, sf_idx: int, port: int = 0,
+             smooth: bool = True):
+    """Estimate h for one TX port: grid [..., nsymb, nre] -> same shape.
+
+    LS at pilots, optional 3-tap freq smoothing, then freq + time linear
+    interpolation. Batched over all leading dims (subframes, rx antennas).
+    """
+    plan = _interp_plan(cell, sf_idx, port)
+    re_idx = jnp.asarray(plan["re_idx"])
+    syms = jnp.asarray(plan["syms"])
+    cvals = jnp.asarray(plan["conj_vals"])
+
+    # LS: h_p[..., P, M] = y(pilot) * conj(r) (|r| = 1)
+    rows = grid[..., syms, :]                       # [..., P, nre]
+    h_p = jnp.take_along_axis(
+        rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
+        axis=-1) * cvals
+
+    if smooth:
+        # 3-tap moving average along pilot axis with edge replication
+        left = h_p[..., :1]
+        right = h_p[..., -1:]
+        padded = jnp.concatenate([left, h_p, right], axis=-1)
+        h_p = (SMOOTH_3TAP[0] * padded[..., :-2]
+               + SMOOTH_3TAP[1] * padded[..., 1:-1]
+               + SMOOTH_3TAP[2] * padded[..., 2:])
+
+    # frequency interpolation to all subcarriers
+    h0 = jnp.take_along_axis(
+        h_p, jnp.broadcast_to(plan["idx0"], h_p.shape[:-1] + plan["idx0"].shape[-1:]),
+        axis=-1)
+    h1 = jnp.take_along_axis(
+        h_p, jnp.broadcast_to(plan["idx1"], h_p.shape[:-1] + plan["idx1"].shape[-1:]),
+        axis=-1)
+    w = jnp.asarray(plan["wgt"])
+    h_f = h0 * (1.0 - w) + h1 * w                    # [..., P, nre]
+
+    # time interpolation to all symbols
+    tw = jnp.asarray(plan["tw"])                     # [nsymb, P]
+    return jnp.einsum("sp,...pk->...sk", tw.astype(h_f.real.dtype), h_f)
+
+
+def noise_est_pilots(grid, cell: Cell, sf_idx: int, port: int = 0):
+    """Noise power from pilot residuals after 3-tap smoothing
+    (chest_dl.c:268-329 estimate_noise_pilots): E|h_ls - smooth(h_ls)|^2.
+
+    Returns [...] per batch element. The 3-tap average keeps ~2/3 noise-
+    free signal, so the residual power is scaled to unbiased N0 like the
+    reference does.
+    """
+    plan = _interp_plan(cell, sf_idx, port)
+    re_idx = jnp.asarray(plan["re_idx"])
+    syms = jnp.asarray(plan["syms"])
+    cvals = jnp.asarray(plan["conj_vals"])
+    rows = grid[..., syms, :]
+    h_p = jnp.take_along_axis(
+        rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
+        axis=-1) * cvals
+    left = h_p[..., :1]
+    right = h_p[..., -1:]
+    padded = jnp.concatenate([left, h_p, right], axis=-1)
+    sm = (SMOOTH_3TAP[0] * padded[..., :-2] + SMOOTH_3TAP[1] * padded[..., 1:-1]
+          + SMOOTH_3TAP[2] * padded[..., 2:])
+    resid = h_p - sm
+    # var(resid) = N0 * (1 - 1/3 - ...): residual of a 3-tap mean keeps
+    # 2/3 of the noise power -> unbias by 3/2
+    return jnp.mean(jnp.abs(resid) ** 2, axis=(-1, -2)) * 1.5
+
+
+def rsrp(grid, cell: Cell, sf_idx: int, port: int = 0):
+    """Reference-signal received power (chest_dl.c:741-: mean |h_ls|^2)."""
+    plan = _interp_plan(cell, sf_idx, port)
+    re_idx = jnp.asarray(plan["re_idx"])
+    syms = jnp.asarray(plan["syms"])
+    rows = grid[..., syms, :]
+    pil = jnp.take_along_axis(
+        rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
+        axis=-1)
+    return jnp.abs(jnp.mean(pil * jnp.asarray(plan["conj_vals"]),
+                            axis=(-1, -2))) ** 2
+
+
+def rssi(grid):
+    """Total received power over the grid (chest_dl.c rssi)."""
+    return jnp.mean(jnp.abs(grid) ** 2, axis=(-1, -2))

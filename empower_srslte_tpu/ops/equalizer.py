@@ -1,0 +1,177 @@
+"""MIMO RX equalization ("predecoding") and TX precoding + layer mapping.
+
+Capability parity with lib/src/phy/mimo/precoding.c and layermap.c:
+single-port MRC/MMSE (precoding.c:63-354), 2-port SFBC diversity
+(precoding.c:356-686), 2x2 spatial multiplexing ZF/MMSE with codebook
+rotation and CSI output (precoding.c:1121-1764), TX precoding dispatchers
+(precoding.c:1841-2103), layer map/demap (layermap.c:38-221).
+
+TPU-native design: per-RE 2x2 solves are closed-form einsum batches over
+the whole resource grid (mat.c:55-98's ZF/MMSE formulas vectorized), not
+per-RE SIMD loops.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+
+
+class MimoType(enum.Enum):
+    """Transmission scheme (srslte_mimo_type_t analog)."""
+
+    SINGLE = "single"           # TM1: 1 layer, 1 port
+    DIVERSITY = "diversity"     # TM2: SFBC (2 ports)
+    SPATIAL_MUX = "multiplex"   # TM3/TM4: 2x2 spatial multiplexing
+    CDD = "cdd"                 # TM3 open-loop large-delay CDD
+
+
+# --- RX: equalization ------------------------------------------------------
+
+
+def eq_single(y, h, noise_est=0.0):
+    """SISO/SIMO MRC: y[..., A, n], h[..., A, n] -> (x[..., n], csi[..., n]).
+
+    MRC across rx antennas with MMSE scaling (precoding.c mrc/mmse 1-layer
+    paths): x = sum_a conj(h_a) y_a / (sum_a |h_a|^2 + N0); csi is the
+    post-combining channel gain used to weight LLRs.
+    """
+    num = jnp.sum(jnp.conj(h) * y, axis=-2)
+    den = jnp.sum(jnp.abs(h) ** 2, axis=-2) + noise_est
+    csi = den
+    return num / jnp.maximum(den, 1e-20), csi
+
+
+def eq_sfbc(y, h0, h1):
+    """2-port SFBC (Alamouti in frequency) combining, precoding.c:356-686.
+
+    y[..., A, n] with n even; h0/h1 [..., A, n] per-port channels, assumed
+    constant over each RE pair. Returns (x[..., n], csi[..., n]).
+
+    TX mapping (36.211 6.3.4.3): on REs (2i, 2i+1) the two ports send
+    (x0, x1) as port0: (x0, x1), port1: (-x1*, x0*), scaled by 1/sqrt(2).
+    """
+    ye = y[..., 0::2]
+    yo = y[..., 1::2]
+    h0e, h1e = h0[..., 0::2], h1[..., 0::2]
+    # combine across the pair and rx antennas:
+    #   ye = (h0 x0 - h1 x1*)/sqrt2, yo = (h0 x1 + h1 x0*)/sqrt2
+    x0 = jnp.sum(jnp.conj(h0e) * ye + h1e * jnp.conj(yo), axis=-2)
+    x1 = jnp.sum(jnp.conj(h0e) * yo - h1e * jnp.conj(ye), axis=-2)
+    hh = jnp.sum(jnp.abs(h0e) ** 2 + jnp.abs(h1e) ** 2, axis=-2)
+    hh = jnp.maximum(hh, 1e-20)
+    # undo the 1/sqrt(2) TX power split
+    scale = jnp.sqrt(2.0)
+    x0 = x0 / hh * scale
+    x1 = x1 / hh * scale
+    out = jnp.stack([x0, x1], axis=-1).reshape(*x0.shape[:-1], -1)
+    csi = jnp.repeat(hh, 2, axis=-1)
+    return out, csi
+
+
+def eq_mux_2x2(y, h, noise_est=0.0, mmse: bool = True):
+    """2x2 spatial multiplexing ZF/MMSE (precoding.c:1121-1764, mat.c:63-98).
+
+    y[..., 2, n] rx symbols, h[..., 2rx, 2tx, n] channel ->
+    (x[..., 2, n] layer symbols, csi[..., 2, n]).
+
+    W = (H^H H + N0 I)^-1 H^H computed in closed form per RE; csi_i =
+    1 / [(H^H H + N0 I)^-1]_ii, the reference's CSI output for LLR
+    weighting (precoding.c MMSE with csi).
+    """
+    hh = jnp.einsum("...ijn,...ikn->...jkn", jnp.conj(h), h)  # H^H H [2,2,n]
+    a = hh[..., 0, 0, :].real + noise_est
+    d = hh[..., 1, 1, :].real + noise_est
+    b = hh[..., 0, 1, :]
+    det = a * d - jnp.abs(b) ** 2
+    det = jnp.maximum(det.real, 1e-20)
+    # inv = [[d, -b], [-b*, a]] / det
+    hy = jnp.einsum("...ijn,...in->...jn", jnp.conj(h), y)    # H^H y [2, n]
+    x0 = (d * hy[..., 0, :] - b * hy[..., 1, :]) / det
+    x1 = (a * hy[..., 1, :] - jnp.conj(b) * hy[..., 0, :]) / det
+    x = jnp.stack([x0, x1], axis=-2)
+    # csi_i = det / opposite diagonal of inverse
+    csi = jnp.stack([det / jnp.maximum(d, 1e-20),
+                     det / jnp.maximum(a, 1e-20)], axis=-2)
+    if not mmse:
+        return x, jnp.ones_like(csi)
+    return x, csi
+
+
+# --- TX: layer mapping and precoding --------------------------------------
+
+
+def layermap(cw_symbols, nof_layers: int, nof_codewords: int = 1):
+    """Codeword(s) -> layers (layermap.c:38-221, 36.211 6.3.3).
+
+    cw_symbols: list of [..., M_i] arrays (one per codeword). Returns
+    [..., nof_layers, M_layer].
+    """
+    if nof_codewords == 1 and nof_layers == 1:
+        return cw_symbols[0][..., None, :]
+    if nof_codewords == 1 and nof_layers == 2:
+        # diversity: even/odd split
+        x = cw_symbols[0]
+        return jnp.stack([x[..., 0::2], x[..., 1::2]], axis=-2)
+    if nof_codewords == 2 and nof_layers == 2:
+        return jnp.stack(cw_symbols, axis=-2)
+    raise NotImplementedError((nof_codewords, nof_layers))
+
+
+def layerdemap(layers, nof_codewords: int = 1):
+    """Layers -> codeword(s): inverse of layermap."""
+    n_layers = layers.shape[-2]
+    if nof_codewords == 1 and n_layers == 1:
+        return [layers[..., 0, :]]
+    if nof_codewords == 1 and n_layers == 2:
+        x = jnp.stack([layers[..., 0, :], layers[..., 1, :]], axis=-1)
+        return [x.reshape(*layers.shape[:-2], -1)]
+    if nof_codewords == 2 and n_layers == 2:
+        return [layers[..., 0, :], layers[..., 1, :]]
+    raise NotImplementedError((nof_codewords, n_layers))
+
+
+def precode_single(layers):
+    """TM1: identity (precoding.c precoding_single)."""
+    return layers
+
+
+def precode_sfbc(layers):
+    """TM2 SFBC: [..., 2, M] layers -> [..., 2ports, 2M] port symbols
+    (36.211 6.3.4.3, precoding.c precoding_diversity)."""
+    x0 = layers[..., 0, :]
+    x1 = layers[..., 1, :]
+    s = 1.0 / jnp.sqrt(2.0)
+    p0 = jnp.stack([x0, x1], axis=-1).reshape(*x0.shape[:-1], -1) * s
+    p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(
+        *x0.shape[:-1], -1) * s
+    return jnp.stack([p0, p1], axis=-2)
+
+
+#: 36.211 Table 6.3.4.2.3-1 codebook for 2 antenna ports, 2 layers (TM4).
+def codebook_2x2(pmi: int):
+    import numpy as np
+
+    if pmi == 0:
+        w = np.array([[1, 0], [0, 1]], np.complex64)
+    elif pmi == 1:
+        w = np.array([[1, 1], [1, -1]], np.complex64) / np.sqrt(2)
+    elif pmi == 2:
+        w = np.array([[1, 1], [1j, -1j]], np.complex64) / np.sqrt(2)
+    else:
+        raise ValueError(pmi)
+    return w / np.sqrt(2)
+
+
+def precode_mux_2x2(layers, pmi: int = 0):
+    """TM4 closed-loop 2-layer precoding: x_ports = W @ x_layers."""
+    w = jnp.asarray(codebook_2x2(pmi))
+    return jnp.einsum("pl,...ln->...pn", w, layers)
+
+
+def effective_channel_mux(h, pmi: int = 0):
+    """Fold the TM4 precoder into the estimated per-port channel:
+    h[..., rx, port, n] -> h_eff[..., rx, layer, n] = H W."""
+    w = jnp.asarray(codebook_2x2(pmi))
+    return jnp.einsum("...rpn,pl->...rln", h, w)
