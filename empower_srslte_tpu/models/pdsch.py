@@ -1,0 +1,226 @@
+"""PDSCH: physical downlink shared channel processor.
+
+Capability parity with lib/src/phy/phch/pdsch.c: RE mapping that skips
+CRS/sync/PBCH regions (pdsch_cp, pdsch.c:95-214), per-RNTI scrambling
+(pdsch.c:616-632), codeword encode/decode (pdsch.c:634-835) with
+CSI-weighted LLRs (csi_correction, pdsch.c:676-776), and the MIMO
+dispatch to single/SFBC/spatial-multiplexing paths.
+
+TPU-native design: the RE map is a precomputed flat index table per
+(cell, sf_idx, cfi, allocation) — one gather/scatter instead of the
+reference's per-symbol copy loops; everything below it is batched jnp.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.equalizer import (
+    MimoType,
+    effective_channel_mux,
+    eq_mux_2x2,
+    eq_sfbc,
+    eq_single,
+    layerdemap,
+    layermap,
+    precode_mux_2x2,
+    precode_sfbc,
+)
+from ..ops.modem import Mod, demod_soft, modulate
+from ..ops.scrambling import descramble_llrs, scramble_bits
+from ..utils.cell import Cell
+from ..utils.sequence import cinit_pdsch
+from .refsignal import crs_mask
+from .sch import DlschPlan, dlsch_decode, dlsch_encode
+
+#: Central subcarriers reserved for PSS/SSS (72 = 6 PRB around DC).
+SYNC_RE = 72
+
+
+@functools.lru_cache(maxsize=1024)
+def pdsch_re_indices(cell: Cell, sf_idx: int, cfi: int,
+                     prb_mask: tuple[bool, ...] | None = None) -> np.ndarray:
+    """Flat indices (s * nof_re + k) of PDSCH REs, in 36.211 6.3.5 mapping
+    order (k ascending within each symbol, symbols ascending, skipping the
+    control region, CRS, and the PSS/SSS/PBCH reservations of subframes
+    0 and 5). Equivalent to the index arithmetic of pdsch_cp
+    (lib/src/phy/phch/pdsch.c:95-214).
+    """
+    nre = cell.nof_re
+    usable = np.ones((cell.nsymb_sf, nre), dtype=bool)
+    usable[:cfi, :] = False                       # PDCCH/PCFICH/PHICH region
+    usable[crs_mask(cell, sf_idx)] = False        # CRS of all cell ports
+
+    mid = nre // 2
+    sync_cols = slice(mid - SYNC_RE // 2, mid + SYNC_RE // 2)
+    nsym_slot = cell.nsymb_slot
+    if sf_idx == 0 or sf_idx == 5:
+        # PSS (last symbol of slot 0) and SSS (the one before), FDD
+        usable[nsym_slot - 1, sync_cols] = False
+        usable[nsym_slot - 2, sync_cols] = False
+    if sf_idx == 0:
+        # PBCH: first 4 symbols of slot 1, central 6 PRB (CRS holes counted
+        # as PBCH region too — they are excluded already)
+        for s in range(nsym_slot, nsym_slot + 4):
+            usable[s, sync_cols] = False
+
+    if prb_mask is not None:
+        col = np.repeat(np.asarray(prb_mask, dtype=bool), 12)
+        usable &= col[None, :]
+
+    sym_idx, k_idx = np.nonzero(usable)
+    order = np.lexsort((k_idx, sym_idx))          # symbol-major, k fastest
+    return (sym_idx[order] * nre + k_idx[order]).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class PdschConfig:
+    """Static PDSCH configuration for one (cell, grant) combination."""
+
+    cell: Cell
+    sf_idx: int = 0
+    cfi: int = 1
+    rnti: int = 0x1234
+    mod: Mod = Mod.QPSK
+    mimo: MimoType = MimoType.SINGLE
+    nof_layers: int = 1
+    nof_codewords: int = 1
+    pmi: int = 0
+    prb_mask: tuple[bool, ...] | None = None
+
+    @functools.cached_property
+    def re_indices(self) -> np.ndarray:
+        return pdsch_re_indices(self.cell, self.sf_idx, self.cfi, self.prb_mask)
+
+    @property
+    def nof_re(self) -> int:
+        """REs per antenna port available to this allocation."""
+        return len(self.re_indices)
+
+    @property
+    def nof_symbols(self) -> int:
+        """Modulation symbols per codeword."""
+        if self.mimo is MimoType.SINGLE:
+            return self.nof_re
+        if self.mimo is MimoType.DIVERSITY:
+            # 2 layers carry 2 symbols over 2 REs -> same count, but the
+            # pairwise SFBC map needs an even RE count
+            return self.nof_re - (self.nof_re % 2)
+        # spatial multiplexing: every RE carries nof_layers symbols,
+        # split across nof_codewords codewords
+        return self.nof_re * self.nof_layers // self.nof_codewords
+
+    @property
+    def g(self) -> int:
+        """Codeword bits carried (per codeword)."""
+        return self.nof_symbols * self.mod.bits_per_symbol
+
+    def plan(self, tbs: int, rv: int = 0, max_iterations: int = 5,
+             decoder_impl: str = "xla") -> DlschPlan:
+        return DlschPlan(tbs=tbs, g=self.g, qm=self.mod.bits_per_symbol,
+                         rv=rv, max_iterations=max_iterations,
+                         decoder_impl=decoder_impl)
+
+    def cinit(self, codeword: int = 0) -> int:
+        return cinit_pdsch(self.rnti, codeword, 2 * self.sf_idx, self.cell.id)
+
+
+# --- encode (eNB side) ------------------------------------------------------
+
+
+def pdsch_encode(tb_bits, cfg: PdschConfig, plan: DlschPlan, tb_bits2=None,
+                 plan2: DlschPlan | None = None):
+    """tb_bits[..., tbs] -> per-port grid [..., ports, nsymb, nre].
+
+    DL-SCH encode -> scramble -> modulate -> layer map -> precode -> RE
+    scatter (srslte_pdsch_encode, pdsch.c:1048).
+    """
+    cws = []
+    for cw, (bits, pl) in enumerate(
+            [(tb_bits, plan)] + ([(tb_bits2, plan2)] if tb_bits2 is not None else [])):
+        coded = dlsch_encode(bits, pl)
+        scr = scramble_bits(coded, cfg.cinit(cw))
+        cws.append(modulate(scr, cfg.mod))
+
+    if cfg.mimo is MimoType.SINGLE:
+        ports = cws[0][..., None, :]                       # [..., 1, M]
+    elif cfg.mimo is MimoType.DIVERSITY:
+        layers = layermap(cws, 2)
+        ports = precode_sfbc(layers)                       # [..., 2, M_re]
+    elif cfg.mimo is MimoType.SPATIAL_MUX:
+        layers = layermap(cws, cfg.nof_layers, cfg.nof_codewords)
+        ports = precode_mux_2x2(layers, cfg.pmi)
+    else:
+        raise NotImplementedError(cfg.mimo)
+
+    n_ports = ports.shape[-2]
+    idx = jnp.asarray(cfg.re_indices[: ports.shape[-1]])
+    lead = ports.shape[:-2]
+    grid = jnp.zeros((*lead, n_ports, cfg.cell.nsymb_sf * cfg.cell.nof_re),
+                     dtype=ports.dtype)
+    grid = grid.at[..., idx].set(ports)
+    return grid.reshape(*lead, n_ports, cfg.cell.nsymb_sf, cfg.cell.nof_re)
+
+
+# --- decode (UE side) -------------------------------------------------------
+
+
+def pdsch_extract(grid, cfg: PdschConfig):
+    """Gather PDSCH REs: [..., nsymb, nre] -> [..., M] (pdsch_get)."""
+    idx = jnp.asarray(cfg.re_indices)
+    flat = grid.reshape(*grid.shape[:-2], -1)
+    return flat[..., idx]
+
+
+def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
+                 softbuffers=None, plan2: DlschPlan | None = None,
+                 softbuffers2=None):
+    """Full PDSCH decode (srslte_pdsch_decode, pdsch.c:837-1007).
+
+    grid: [..., A, nsymb, nre] received resource grids per rx antenna
+    h:    [..., A, P, nsymb, nre] channel estimates per (rx, tx port)
+    Returns (tb_bits, crc_ok, softbuffers) — tuples per codeword when a
+    second plan is given.
+    """
+    y = pdsch_extract(grid, cfg)                          # [..., A, M]
+    m = cfg.nof_symbols
+
+    if cfg.mimo is MimoType.SINGLE:
+        hh = pdsch_extract(h[..., :, 0, :, :], cfg)
+        x, csi = eq_single(y, hh, noise_est)
+        cw_syms = [x[..., :m]]
+        csis = [csi[..., :m]]
+    elif cfg.mimo is MimoType.DIVERSITY:
+        h0 = pdsch_extract(h[..., :, 0, :, :], cfg)
+        h1 = pdsch_extract(h[..., :, 1, :, :], cfg)
+        x, csi = eq_sfbc(y[..., :m], h0[..., :m], h1[..., :m])
+        cw_syms = [x]
+        csis = [csi]
+    elif cfg.mimo is MimoType.SPATIAL_MUX:
+        hp = jnp.stack([pdsch_extract(h[..., :, p, :, :], cfg)
+                        for p in range(2)], axis=-2)      # [..., A, 2, M]
+        h_eff = effective_channel_mux(hp, cfg.pmi)
+        x, csi = eq_mux_2x2(y, h_eff, noise_est)          # [..., 2, M]
+        cw_syms = layerdemap(x, cfg.nof_codewords)
+        csis = layerdemap(csi, cfg.nof_codewords)
+    else:
+        raise NotImplementedError(cfg.mimo)
+
+    outs = []
+    all_soft = [softbuffers, softbuffers2]
+    plans = [plan] + ([plan2] if plan2 is not None else [])
+    for cw, (syms, csi, pl) in enumerate(zip(cw_syms, csis, plans)):
+        # CSI-weighted max-log LLRs (csi_correction, pdsch.c:676-776)
+        llr = demod_soft(syms, cfg.mod)
+        w = jnp.repeat(csi, cfg.mod.bits_per_symbol, axis=-1)
+        llr = llr * w
+        llr = descramble_llrs(llr, cfg.cinit(cw))
+        outs.append(dlsch_decode(llr, pl, softbuffers=all_soft[cw]))
+    if plan2 is None:
+        return outs[0]
+    return tuple(zip(*outs))

@@ -1,0 +1,165 @@
+"""DL-SCH / UL-SCH transport-channel processing (36.212 5.3.2).
+
+Capability parity with lib/src/phy/phch/sch.c: TB encode (CRC24A attach ->
+segmentation -> per-CB CRC24B -> turbo encode -> rate matching ->
+concatenation, sch.c:188-298) and decode_tb_cb (per-CB de-rate-matching
+with HARQ soft combining -> iterative turbo decode with CRC check ->
+reassembly -> TB CRC, sch.c:307-422).
+
+TPU-native design: a frozen ``DlschPlan`` captures every static dimension
+(segmentation, per-CB K/E/F, RV) so the whole TB decode is one compiled
+program; code blocks are decoded as a flattened [batch*C] turbo batch per
+K-group (the reference decodes CBs serially with per-CB early stop; here
+the early stop is the batched CRC-select in the decoder driver).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.fec.cbsegm import CbSegm, cbsegm
+from ..ops.fec.rate_matching import RateMatchTurbo
+from ..ops.fec.turbo_decoder import TurboDecoder
+from ..ops.fec.turbo_encoder import turbo_encode
+from ..utils.crc import CRC24A, CRC24B
+
+
+def _cb_e_sizes(g: int, c: int, qm: int, n_layers: int) -> tuple[int, ...]:
+    """Per-CB rate-matching output size E (36.212 5.1.4.1.2)."""
+    g_prime = g // (qm * n_layers)
+    gamma = g_prime % c
+    e_minus = qm * n_layers * (g_prime // c)
+    e_plus = qm * n_layers * (-(-g_prime // c))
+    return tuple(e_minus if i < c - gamma else e_plus for i in range(c))
+
+
+def _pick_window(k: int) -> int | None:
+    """Window length for the parallel turbo decoder: a divisor of K near
+    128 (the fast path needs windows >= overlap 40); None = full sweeps."""
+    for w in (128, 96, 64, 160, 192, 256, 320, 384, 512):
+        if k % w == 0 and w >= 48:
+            return w
+    return None
+
+
+@dataclass(frozen=True)
+class DlschPlan:
+    """Static per-grant transport channel plan (keys compiled pipelines)."""
+
+    tbs: int                 # transport block payload bits
+    g: int                   # total codeword bits after rate matching
+    qm: int                  # modulation order (bits/symbol)
+    rv: int = 0              # redundancy version
+    n_layers: int = 1        # layers carrying this codeword
+    max_iterations: int = 5
+    decoder_impl: str = "xla"
+
+    @functools.cached_property
+    def segm(self) -> CbSegm:
+        return cbsegm(self.tbs)
+
+    @functools.cached_property
+    def e_sizes(self) -> tuple[int, ...]:
+        return _cb_e_sizes(self.g, self.segm.c, self.qm, self.n_layers)
+
+    @functools.cached_property
+    def cb_plans(self):
+        """Per-CB (k, e, f, offset_in_codeword)."""
+        out = []
+        off = 0
+        for i, (k, e) in enumerate(zip(self.segm.cb_sizes, self.e_sizes)):
+            f = self.segm.f if i == 0 else 0
+            out.append((k, e, f, off))
+            off += e
+        assert off == self.g, (off, self.g)
+        return tuple(out)
+
+    def rm(self, k: int, f: int) -> RateMatchTurbo:
+        return RateMatchTurbo(k, f=f)
+
+    def decoder(self, k: int) -> TurboDecoder:
+        return TurboDecoder(k=k, iterations=self.max_iterations,
+                            window=_pick_window(k), impl=self.decoder_impl)
+
+
+def dlsch_encode(tb_bits, plan: DlschPlan):
+    """Encode tb_bits[..., tbs] -> codeword bits [..., G] (int8).
+
+    Mirrors encode_tb_off (sch.c:188-298). jit-compatible; all sizes are
+    static from the plan. The TB CRC is computed on device via the parity
+    matrix (utils/crc.py).
+    """
+    segm = plan.segm
+    lead = tb_bits.shape[:-1]
+
+    # TB CRC24A
+    tb_crc = CRC24A.jnp_compute(tb_bits).astype(jnp.int8)
+    full = jnp.concatenate([tb_bits.astype(jnp.int8), tb_crc], axis=-1)
+
+    # segmentation: K- blocks first, filler zeros lead the first block
+    pieces = []
+    pos = 0
+    for i, k in enumerate(segm.cb_sizes):
+        f = segm.f if i == 0 else 0
+        payload = k - f - (24 if segm.c > 1 else 0)
+        cb = full[..., pos : pos + payload]
+        pos += payload
+        if segm.c > 1:
+            cb_crc = CRC24B.jnp_compute(
+                jnp.concatenate(
+                    [jnp.zeros((*lead, f), jnp.int8), cb], axis=-1)
+                if f else cb).astype(jnp.int8)
+            cb = jnp.concatenate([cb, cb_crc], axis=-1)
+        if f:
+            cb = jnp.concatenate([jnp.zeros((*lead, f), jnp.int8), cb], axis=-1)
+        pieces.append(cb)
+    assert pos == plan.tbs + 24
+
+    # turbo encode + rate match per CB
+    out = []
+    for (k, e, f, _), cb in zip(plan.cb_plans, pieces):
+        d = turbo_encode(cb)                     # [..., 3, K+4]
+        out.append(plan.rm(k, f).tx(d, plan.rv, e))
+    return jnp.concatenate(out, axis=-1)
+
+
+def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
+    """Decode llrs[..., G] -> (tb_bits[..., tbs], crc_ok[...], softbuffers).
+
+    Mirrors decode_tb / decode_tb_cb (sch.c:307-437): per-CB de-rate-match
+    with HARQ combining into ``softbuffers`` (list of per-CB arrays or
+    None), batched turbo decode, CB CRC checks, reassembly, TB CRC.
+    """
+    segm = plan.segm
+    new_soft = []
+    cb_bits = []
+    cb_ok = []
+    for idx, (k, e, f, off) in enumerate(plan.cb_plans):
+        seg = llrs[..., off : off + e]
+        sb = softbuffers[idx] if softbuffers is not None else None
+        d_llr, ns = plan.rm(k, f).rx(seg, plan.rv, softbuffer=sb)
+        new_soft.append(ns)
+        bits, _ = plan.decoder(k).decode(d_llr)
+        if segm.c > 1:
+            ok = CRC24B.jnp_check(bits)
+            payload = bits[..., f : k - 24]
+        else:
+            ok = None
+            payload = bits[..., f:]
+        cb_bits.append(payload)
+        if ok is not None:
+            cb_ok.append(ok)
+
+    full = jnp.concatenate(cb_bits, axis=-1)     # [..., tbs + 24]
+    tb_ok = CRC24A.jnp_check(full)
+    if cb_ok:
+        all_cb = cb_ok[0]
+        for ok in cb_ok[1:]:
+            all_cb = jnp.logical_and(all_cb, ok)
+        tb_ok = jnp.logical_and(tb_ok, all_cb)
+    return full[..., : plan.tbs], tb_ok, new_soft

@@ -359,8 +359,10 @@ class TurboDecoder:
                 fold_lanes, map_decode_fused, pad_trellis_rows, unfold_lanes)
 
             l, o = self.window, self.overlap
-            # folded layout needs the batch to be a multiple of 8*lanes
-            lanes = 128
+            # folded layout needs the batch to be a multiple of 8*lanes;
+            # 256 lanes (2048 CBs/program) measured fastest per CB on v5e,
+            # bounded by the beta store VMEM footprint
+            lanes = 256 if b >= 2048 else 128
             bp = (-b) % (8 * lanes)
             colpad = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp else (lambda x: x)
             prep = lambda x, pad: fold_lanes(
