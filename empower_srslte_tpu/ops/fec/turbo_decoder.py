@@ -144,12 +144,16 @@ def _map_decode(lsa, lp, n_tail: int, init_alpha, init_beta):
 PAD_LLR = 1e5
 
 
-def _prepare_windows(lsa, lp, k: int, overlap: int, window: int):
+def _prepare_windows(lsa, lp, k: int, overlap: int, window: int,
+                     halo=None):
     """Build the per-window gather arrays for the windowed sweeps.
 
-    lsa/lp are [T, B] with T = K + 3. Returns time-major
-    (lsa_a, lp_a [O+L, W*B], lsa_b, lp_b [L+O, W*B]) with lane order
-    w-major. Out-of-trellis positions are padded with PAD_LLR (see above).
+    lsa/lp are [T, B] with T = K + 3 (or K + local rows when sharded).
+    Returns time-major (lsa_a, lp_a [O+L, W*B], lsa_b, lp_b [L+O, W*B])
+    with lane order w-major. Out-of-trellis positions are padded with
+    PAD_LLR (see above) — unless ``halo`` provides real neighbor rows
+    (sequence-parallel decode, parallel/turbo_sp.py):
+    halo = (lead_lsa, lead_lp, trail_lsa, trail_lp), each [O+3, B].
     """
     import jax.numpy as jnp
 
@@ -161,10 +165,15 @@ def _prepare_windows(lsa, lp, k: int, overlap: int, window: int):
     o = overlap
     dt = lsa.dtype
 
-    pad_s = jnp.full((o + 3, b), PAD_LLR, dt)
-    pad_p = jnp.zeros((o + 3, b), dt)
-    lsa_pd = jnp.concatenate([pad_s, lsa, pad_s], axis=0)  # index shift +O+3
-    lp_pd = jnp.concatenate([pad_p, lp, pad_p], axis=0)
+    if halo is None:
+        pad_s = jnp.full((o + 3, b), PAD_LLR, dt)
+        pad_p = jnp.zeros((o + 3, b), dt)
+        lead_s = trail_s = pad_s
+        lead_p = trail_p = pad_p
+    else:
+        lead_s, lead_p, trail_s, trail_p = halo
+    lsa_pd = jnp.concatenate([lead_s, lsa, trail_s], axis=0)  # shift +O+3
+    lp_pd = jnp.concatenate([lead_p, lp, trail_p], axis=0)
 
     base = np.arange(w)[:, None] * l                          # [W, 1]
     idx_a = base + np.arange(-o, l)[None, :] + (o + 3)        # [W, O+L]
@@ -199,7 +208,8 @@ def _window_inits(k: int, window: int, b: int, init_alpha, init_beta, dt):
 
 
 def _windowed_map_decode(lsa, lp, k: int, overlap: int, window: int,
-                         init_alpha, init_beta):
+                         init_alpha, init_beta, halo=None,
+                         boundary=(True, True)):
     """Windowed max-log-MAP: parallel windows with overlap training.
 
     lsa/lp are [T, B] with T = K + 3 (payload + termination). The payload
@@ -228,10 +238,15 @@ def _windowed_map_decode(lsa, lp, k: int, overlap: int, window: int,
     o = overlap
     dt = lsa.dtype
 
-    lsa_a, lp_a, lsa_b, lp_b = _prepare_windows(lsa, lp, k, o, l)
+    lsa_a, lp_a, lsa_b, lp_b = _prepare_windows(lsa, lp, k, o, l, halo=halo)
 
     # --- beta sweep over [L + O] steps, windows in lanes --------------------
-    alpha_init, beta_init = _window_inits(k, l, b, init_alpha, init_beta, dt)
+    # Interior shards of a sequence-parallel decode train their first/last
+    # windows from real halo rows instead of exact boundary metrics.
+    uniform = jnp.zeros_like(jnp.asarray(init_alpha, dt))
+    a_first = jnp.asarray(init_alpha, dt) if boundary[0] else uniform
+    b_last = jnp.asarray(init_beta, dt) if boundary[1] else uniform
+    alpha_init, beta_init = _window_inits(k, l, b, a_first, b_last, dt)
 
     def beta_step(beta, inputs):
         lsa_k, lp_k = inputs
