@@ -51,6 +51,22 @@ def enb_dl_base_grid(cell: Cell, sf_idx: int, batch_shape=()):
     return put_crs(grid, cell, sf_idx)
 
 
+def put_sync_signals(grid, cell: Cell, sf_idx: int):
+    """Insert PSS (slot-0 last symbol) and SSS (the one before) on port 0
+    for subframes 0 and 5 (enb_dl.c put_base; 36.211 6.11), FDD."""
+    if sf_idx not in (0, 5):
+        return grid
+    from ..ops.sync import pss_freq, sss_freq, sync_re_indices
+
+    k = jnp.asarray(sync_re_indices(cell))
+    nsym = cell.nsymb_slot
+    pss = jnp.asarray(pss_freq(cell.n_id_2))
+    sss = jnp.asarray(sss_freq(cell.n_id_1, cell.n_id_2, sf_idx))
+    grid = grid.at[..., 0, nsym - 1, k].set(pss.astype(grid.dtype))
+    grid = grid.at[..., 0, nsym - 2, k].set(sss.astype(grid.dtype))
+    return grid
+
+
 def enb_dl_gen_signal(grid, cell: Cell):
     """Per-port grids -> time samples [..., P, sf_sample_len]
     (srslte_enb_dl_gen_signal, enb_dl.c:389)."""

@@ -1,0 +1,106 @@
+"""UE synchronization driver: file-mode subframe alignment and cell search.
+
+Capability parity with lib/src/phy/ue/ue_sync.c (the FIND->TRACK state
+machine, file mode at ue_sync.c:675-707) and ue_cell_search.c (scan all 3
+N_id_2, vote, return the strongest cell).
+
+TPU-native design: instead of a real-time state machine, a recorded (or
+streamed) IQ buffer is aligned in one shot — batched PSS correlation over
+the whole capture, SSS hypothesis matmul for identity/frame timing, CFO
+estimate/correct — then reshaped into a [nof_sf, sf_len] subframe batch
+for the downstream batched pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.ofdm import ofdm_rx_sf
+from ..ops.sync import (
+    cfo_correct,
+    pss_cfo_estimate,
+    pss_find,
+    sss_detect,
+    sync_re_indices,
+)
+from ..utils.cell import Cell
+
+
+@dataclass
+class SyncResult:
+    """Outcome of cell search + alignment on a capture."""
+
+    cell_id: int
+    n_id_2: int
+    sf0_offset: int          # sample index where subframe 0 starts
+    cfo: float               # subcarrier-normalized CFO estimate
+    metric: float            # SSS correlation metric
+    subframes: object        # [nof_sf, sf_sample_len] aligned, CFO-corrected
+
+
+def pss_start_to_sf_start(peak_start: int, cell: Cell) -> int:
+    """The PSS data region ends the last symbol of slot 0: the subframe
+    starts one slot length before that end."""
+    slot_len = cell.sf_sample_len // 2
+    return peak_start + cell.fft_size - slot_len
+
+
+def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
+    """Find the cell in a raw capture and return aligned subframes.
+
+    ``samples``: 1-D complex64 at the standard rate for ``cell_prb``.
+    Searches PSS over the first 10 ms for each N_id_2 hypothesis, picks
+    the strongest (ue_cell_search.c:249's vote collapses to an argmax over
+    batched correlations here), estimates CFO from the PSS symbol,
+    corrects it, decodes SSS to fix N_id_1 and half-frame timing.
+    """
+    cell_probe = Cell(nof_prb=cell_prb, id=0)
+    fft = cell_probe.fft_size
+    sf_len = cell_probe.sf_sample_len
+    frame = 10 * sf_len
+    assert samples.shape[-1] >= frame + sf_len, "need > 1 frame of samples"
+
+    window = jnp.asarray(samples[: frame + fft])
+    mag, peak, psr = pss_find(window[None], fft)        # [1, 3, N]
+    n_id_2 = int(np.asarray(jnp.argmax(psr[0])))
+    peak_start = int(np.asarray(peak[0, n_id_2]))
+
+    cfo = float(np.asarray(
+        pss_cfo_estimate(window[None], jnp.asarray([peak_start]), n_id_2, fft)[0]))
+    corrected = cfo_correct(jnp.asarray(samples), cfo, fft)
+
+    # tentative subframe start (could be sf 0 or sf 5)
+    start = pss_start_to_sf_start(peak_start, cell_probe)
+    if start < 0:
+        start += sf_len * 5
+    # demodulate that subframe, read the SSS symbol
+    sf = corrected[start : start + sf_len]
+    grid = ofdm_rx_sf(sf[None], cell_probe)[0]          # [nsymb, nre]
+    k = jnp.asarray(sync_re_indices(cell_probe))
+    nsym = cell_probe.nsymb_slot
+    # equalize SSS against PSS-derived channel: both share the 62 REs;
+    # coherent detection using the PSS as phase reference
+    from ..ops.sync import pss_freq
+
+    pss_re = grid[nsym - 1, k]
+    h = pss_re * jnp.conj(jnp.asarray(pss_freq(n_id_2)))
+    sss_re = grid[nsym - 2, k] * jnp.conj(h) / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
+    n_id_1, is_sf5, metric = sss_detect(sss_re[None], n_id_2)
+    n_id_1 = int(np.asarray(n_id_1[0]))
+    sf0 = start + (5 * sf_len if bool(np.asarray(is_sf5[0])) else 0)
+    sf0 = sf0 % frame
+
+    nof = (samples.shape[-1] - sf0) // sf_len
+    sub = corrected[sf0 : sf0 + nof * sf_len].reshape(nof, sf_len)
+    return SyncResult(
+        cell_id=3 * n_id_1 + n_id_2,
+        n_id_2=n_id_2,
+        sf0_offset=sf0,
+        cfo=cfo,
+        metric=float(np.asarray(metric[0])),
+        subframes=sub,
+    )
