@@ -1,0 +1,160 @@
+"""DCI formats: pack/unpack and grant resolution (36.212 5.3.3).
+
+Capability parity with lib/src/phy/phch/dci.c and dci_sz_table.h: formats
+0 (UL grant), 1A (compact DL) and 1 (full type-0 DL) with the
+size-equalization rules (0/1A padded to equal length; ambiguous sizes
+bumped). Pure host-side bit packing over numpy; the blind-decoded payloads
+come from pdcch.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.bits import bits_to_uint, uint_to_bits
+from . import ra
+
+#: Payload sizes that must be avoided (36.212 5.3.3.1.2 ambiguity set).
+AMBIGUOUS_SIZES = {12, 14, 16, 20, 24, 26, 32, 40, 44, 56}
+
+
+def format0_1a_size(n_prb_cell: int) -> int:
+    """Common size of formats 0 and 1A after equalization."""
+    riv_bits = ra.riv_nof_bits(n_prb_cell)
+    # format 1A: flag(1)+local/dist(1)+RIV+MCS(5)+HARQ(3)+NDI(1)+RV(2)+TPC(2)
+    s1a = 1 + 1 + riv_bits + 5 + 3 + 1 + 2 + 2
+    # format 0: flag(1)+hop(1)+RIV+MCS(5)+NDI(1)+TPC(2)+DMRS(3)+CQI(1)
+    s0 = 1 + 1 + riv_bits + 5 + 1 + 2 + 3 + 1
+    size = max(s0, s1a)
+    while size in AMBIGUOUS_SIZES:
+        size += 1
+    return size
+
+
+def format1_size(n_prb_cell: int) -> int:
+    """Format 1: RBG bitmap + MCS(5)+HARQ(3)+NDI(1)+RV(2)+TPC(2)."""
+    n_rbg = math.ceil(n_prb_cell / ra.rbg_size(n_prb_cell))
+    size = (1 if n_prb_cell > 10 else 0) + n_rbg + 5 + 3 + 1 + 2 + 2
+    if size in AMBIGUOUS_SIZES or size == format0_1a_size(n_prb_cell):
+        size += 1
+    return size
+
+
+@dataclass
+class DciDl:
+    """A resolved DL grant (format 1/1A content)."""
+
+    format: str
+    mcs: int
+    harq_pid: int
+    ndi: int
+    rv: int
+    prb_mask: tuple[bool, ...]
+
+    @property
+    def n_prb(self) -> int:
+        return sum(self.prb_mask)
+
+
+@dataclass
+class DciUl:
+    """A resolved UL grant (format 0 content)."""
+
+    mcs: int
+    ndi: int
+    riv_start: int
+    riv_len: int
+    dmrs_cyclic_shift: int
+
+
+def pack_format1a(n_prb_cell: int, start: int, length: int, mcs: int,
+                  harq_pid: int = 0, ndi: int = 0, rv: int = 0,
+                  tpc: int = 0) -> np.ndarray:
+    riv_bits = ra.riv_nof_bits(n_prb_cell)
+    fields = [
+        (1, 1),                       # flag: 1 = format 1A
+        (1, 1),                       # localized VRB
+        (ra.riv_encode(n_prb_cell, start, length), riv_bits),
+        (mcs, 5), (harq_pid, 3), (ndi, 1), (rv, 2), (tpc, 2),
+    ]
+    bits = np.concatenate([uint_to_bits(v, n) for v, n in fields])
+    pad = format0_1a_size(n_prb_cell) - len(bits)
+    return np.concatenate([bits, np.zeros(pad, np.int8)])
+
+
+def unpack_format1a(bits: np.ndarray, n_prb_cell: int) -> DciDl | None:
+    if bits_to_uint(bits[0:1]) != 1:
+        return None                   # it's a format 0
+    riv_bits = ra.riv_nof_bits(n_prb_cell)
+    p = 2
+    riv = bits_to_uint(bits[p : p + riv_bits]); p += riv_bits
+    mcs = bits_to_uint(bits[p : p + 5]); p += 5
+    harq = bits_to_uint(bits[p : p + 3]); p += 3
+    ndi = bits_to_uint(bits[p : p + 1]); p += 1
+    rv = bits_to_uint(bits[p : p + 2]); p += 2
+    start, length = ra.riv_decode(riv, n_prb_cell)
+    if start + length > n_prb_cell:
+        return None
+    return DciDl("1A", mcs, harq, ndi, rv,
+                 ra.prb_mask_type2(n_prb_cell, start, length))
+
+
+def pack_format0(n_prb_cell: int, start: int, length: int, mcs: int,
+                 ndi: int = 0, tpc: int = 0, dmrs: int = 0,
+                 cqi_req: int = 0) -> np.ndarray:
+    riv_bits = ra.riv_nof_bits(n_prb_cell)
+    fields = [
+        (0, 1), (0, 1),
+        (ra.riv_encode(n_prb_cell, start, length), riv_bits),
+        (mcs, 5), (ndi, 1), (tpc, 2), (dmrs, 3), (cqi_req, 1),
+    ]
+    bits = np.concatenate([uint_to_bits(v, n) for v, n in fields])
+    pad = format0_1a_size(n_prb_cell) - len(bits)
+    return np.concatenate([bits, np.zeros(pad, np.int8)])
+
+
+def unpack_format0(bits: np.ndarray, n_prb_cell: int) -> DciUl | None:
+    if bits_to_uint(bits[0:1]) != 0:
+        return None
+    riv_bits = ra.riv_nof_bits(n_prb_cell)
+    p = 2
+    riv = bits_to_uint(bits[p : p + riv_bits]); p += riv_bits
+    mcs = bits_to_uint(bits[p : p + 5]); p += 5
+    ndi = bits_to_uint(bits[p : p + 1]); p += 1
+    p += 2  # tpc
+    dmrs = bits_to_uint(bits[p : p + 3]); p += 3
+    start, length = ra.riv_decode(riv, n_prb_cell)
+    if start + length > n_prb_cell:
+        return None
+    return DciUl(mcs, ndi, start, length, dmrs)
+
+
+def pack_format1(n_prb_cell: int, rbg_bitmap: int, mcs: int,
+                 harq_pid: int = 0, ndi: int = 0, rv: int = 0,
+                 tpc: int = 0) -> np.ndarray:
+    n_rbg = math.ceil(n_prb_cell / ra.rbg_size(n_prb_cell))
+    fields = []
+    if n_prb_cell > 10:
+        fields.append((0, 1))         # RA header: type 0
+    fields += [(rbg_bitmap, n_rbg), (mcs, 5), (harq_pid, 3), (ndi, 1),
+               (rv, 2), (tpc, 2)]
+    bits = np.concatenate([uint_to_bits(v, n) for v, n in fields])
+    pad = format1_size(n_prb_cell) - len(bits)
+    return np.concatenate([bits, np.zeros(pad, np.int8)])
+
+
+def unpack_format1(bits: np.ndarray, n_prb_cell: int) -> DciDl | None:
+    n_rbg = math.ceil(n_prb_cell / ra.rbg_size(n_prb_cell))
+    p = 1 if n_prb_cell > 10 else 0
+    bitmap = bits_to_uint(bits[p : p + n_rbg]); p += n_rbg
+    mcs = bits_to_uint(bits[p : p + 5]); p += 5
+    harq = bits_to_uint(bits[p : p + 3]); p += 3
+    ndi = bits_to_uint(bits[p : p + 1]); p += 1
+    rv = bits_to_uint(bits[p : p + 2]); p += 2
+    mask = ra.prb_mask_type0(n_prb_cell, bitmap)
+    if not any(mask):
+        return None
+    return DciDl("1", mcs, harq, ndi, rv, mask)

@@ -1,0 +1,60 @@
+"""PCFICH: control format indicator channel (36.211 6.7, 36.212 5.3.4).
+
+Capability parity with lib/src/phy/phch/pcfich.c: the 3 fixed 32-bit CFI
+codewords, scrambling, QPSK, mapping to 4 quarter-spaced REGs of symbol 0;
+decoding by correlating the received soft bits against the 3 codewords
+(pcfich.c decode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.modem import Mod, demod_soft, modulate
+from ..ops.scrambling import descramble_llrs, scramble_bits
+from ..utils.cell import Cell
+from ..utils.sequence import cinit_pcfich
+from .regs import pcfich_regs, symbol_regs
+
+#: CFI codewords (36.212 Table 5.3.4-1): periodic 011/101/110 patterns.
+CFI_CODEWORDS = np.array(
+    [np.tile([0, 1, 1], 11)[:32], np.tile([1, 0, 1], 11)[:32],
+     np.tile([1, 1, 0], 11)[:32]], dtype=np.int8)
+
+
+def _re_indices(cell: Cell) -> np.ndarray:
+    regs0 = symbol_regs(cell, 0)
+    idx = []
+    for r in pcfich_regs(cell):
+        idx.extend(regs0[r])       # symbol 0 -> flat index = subcarrier
+    return np.asarray(idx, np.int32)
+
+
+def pcfich_put(grid, cfi: int, cell: Cell, sf_idx: int):
+    """Insert the CFI codeword into the port-0 grid [..., P, nsymb, nre]."""
+    bits = jnp.asarray(CFI_CODEWORDS[cfi - 1])
+    scr = scramble_bits(bits, cinit_pcfich(2 * sf_idx, cell.id))
+    syms = modulate(scr, Mod.QPSK)
+    idx = jnp.asarray(_re_indices(cell))
+    return grid.at[..., 0, 0, idx].set(syms.astype(grid.dtype))
+
+
+def pcfich_decode(grid, h, cell: Cell, sf_idx: int, noise_est=0.0):
+    """Decode CFI: grid/h [..., nsymb, nre] -> (cfi [...], corr [...]).
+
+    MRC equalization then correlation against the 3 codewords
+    (srslte_pcfich_decode, pcfich.c).
+    """
+    idx = jnp.asarray(_re_indices(cell))
+    y = grid[..., 0, :][..., idx]
+    hh = h[..., 0, :][..., idx]
+    x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est, 1e-12)
+    llr = demod_soft(x, Mod.QPSK)
+    llr = descramble_llrs(llr, cinit_pcfich(2 * sf_idx, cell.id))
+    # correlate: bit 0 <-> +1
+    signs = jnp.asarray(1.0 - 2.0 * CFI_CODEWORDS.astype(np.float32))
+    corr = jnp.einsum("...k,ck->...c", llr, signs)
+    cfi = jnp.argmax(corr, axis=-1) + 1
+    return cfi, jnp.max(corr, axis=-1) / jnp.sum(jnp.abs(llr), axis=-1)

@@ -1,0 +1,160 @@
+"""PDCCH: downlink control channel with blind decoding (36.211 6.8,
+36.212 5.3.3, 36.213 9.1.1).
+
+Capability parity with lib/src/phy/phch/pdcch.c: DCI CRC16-RNTI masking,
+tail-biting convolutional coding, rate matching to the CCE aggregation,
+control-region scrambling, REG mapping (via models/regs.py), LLR
+extraction of the whole region once (srslte_pdcch_extract_llr_multi) and
+blind search over candidate locations/formats (pdcch.c:341) — here every
+candidate of an aggregation level decodes as one Viterbi batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.fec.convcoder import conv_encode, viterbi_decode
+from ..ops.fec.rm_conv import rm_conv_rx, rm_conv_tx
+from ..ops.modem import Mod, demod_soft, modulate
+from ..ops.scrambling import descramble_llrs, scramble_bits
+from ..utils.bits import uint_to_bits
+from ..utils.cell import Cell
+from ..utils.crc import CRC16
+from ..utils.sequence import cinit_pdcch
+from .regs import RE_PER_CCE, pdcch_nof_cces, pdcch_reg_map
+
+#: Bits per CCE (36 QPSK REs).
+BITS_PER_CCE = 2 * RE_PER_CCE
+
+
+def _region_re_indices(cell: Cell, cfi: int, ng: float = 1.0) -> np.ndarray:
+    """Flat RE indices of the PDCCH region, quadruplet order, [n_regs*4]."""
+    return pdcch_reg_map(cell, cfi, ng).reshape(-1)
+
+
+def ue_search_candidates(rnti: int, sf_idx: int, n_cce: int):
+    """(L, cce) candidates: common + UE-specific (36.213 9.1.1)."""
+    out = []
+    for l, m_max in ((4, 4), (8, 2)):
+        for m in range(m_max):
+            cce = m * l
+            if cce + l <= n_cce:
+                out.append((l, cce))
+    y = rnti
+    for _ in range(sf_idx + 1):
+        y = (39827 * y) % 65537
+    for l, m_max in ((1, 6), (2, 6), (4, 2), (8, 2)):
+        if n_cce // l == 0:
+            continue
+        for m in range(m_max):
+            cce = l * ((y + m) % (n_cce // l))
+            if cce + l <= n_cce:
+                out.append((l, cce))
+    # dedupe preserving order
+    seen, uniq = set(), []
+    for c in out:
+        if c not in seen:
+            seen.add(c)
+            uniq.append(c)
+    return uniq
+
+
+def pdcch_encode(dci_bits, rnti: int, cce: int, l: int, cell: Cell,
+                 cfi: int, sf_idx: int, ng: float = 1.0):
+    """One DCI -> grid contribution [..., P, nsymb, nre] on port 0.
+
+    The region scrambling sequence offset follows the CCE position so
+    independent PDCCHs compose additively.
+    """
+    e = l * BITS_PER_CCE
+    crc = CRC16.jnp_compute(dci_bits).astype(jnp.int8)
+    mask = jnp.asarray(uint_to_bits(rnti & 0xFFFF, 16))
+    payload = jnp.concatenate(
+        [dci_bits.astype(jnp.int8), jnp.bitwise_xor(crc, mask)], axis=-1)
+    d = conv_encode(payload)
+    coded = rm_conv_tx(d, e)
+
+    # scramble with the region sequence at this candidate's bit offset
+    from ..utils.sequence import gold_sequence
+
+    seq = gold_sequence(cinit_pdcch(2 * sf_idx, cell.id),
+                        (cce + l) * BITS_PER_CCE)[cce * BITS_PER_CCE:]
+    coded = jnp.bitwise_xor(coded, jnp.asarray(seq))
+    syms = modulate(coded, Mod.QPSK)
+
+    idx_all = _region_re_indices(cell, cfi, ng)
+    idx = jnp.asarray(idx_all[cce * RE_PER_CCE : (cce + l) * RE_PER_CCE])
+    lead = syms.shape[:-1]
+    grid = jnp.zeros((*lead, cell.nof_ports, cell.nsymb_sf * cell.nof_re),
+                     jnp.complex64)
+    grid = grid.at[..., 0, idx].set(syms)
+    return grid.reshape(*lead, cell.nof_ports, cell.nsymb_sf, cell.nof_re)
+
+
+def pdcch_extract_llr(grid, h, cell: Cell, cfi: int, sf_idx: int,
+                      noise_est=0.0, ng: float = 1.0):
+    """Equalize + demap + descramble the whole region once
+    (srslte_pdcch_extract_llr_multi): -> llr [..., n_cce*72]."""
+    idx = jnp.asarray(_region_re_indices(cell, cfi, ng))
+    flat = grid.reshape(*grid.shape[:-2], -1)
+    hf = h.reshape(*h.shape[:-2], -1)
+    y = flat[..., idx]
+    hh = hf[..., idx]
+    x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est, 1e-12)
+    llr = demod_soft(x, Mod.QPSK) * jnp.repeat(jnp.abs(hh) ** 2, 2, axis=-1)
+    return descramble_llrs(llr, cinit_pdcch(2 * sf_idx, cell.id))
+
+
+@dataclass
+class DciHit:
+    payload: np.ndarray
+    l: int
+    cce: int
+    rnti: int
+
+
+def pdcch_blind_decode(grid, h, cell: Cell, cfi: int, sf_idx: int,
+                       rnti: int, dci_sizes: tuple[int, ...],
+                       noise_est=0.0, ng: float = 1.0) -> list[DciHit]:
+    """Blind search for one RNTI over its search space.
+
+    grid/h [nsymb, nre] (single subframe, single rx antenna). All
+    candidates of one (L, size) pair decode as a single Viterbi batch.
+    Returns every CRC-passing candidate.
+    """
+    n_cce = pdcch_nof_cces(cell, cfi, ng)
+    llr = pdcch_extract_llr(grid, h, cell, cfi, sf_idx, noise_est, ng)
+    cands = ue_search_candidates(rnti, sf_idx, n_cce)
+    mask = uint_to_bits(rnti & 0xFFFF, 16)
+    hits: list[DciHit] = []
+    by_l: dict[int, list[int]] = {}
+    for l, cce in cands:
+        by_l.setdefault(l, []).append(cce)
+
+    llr_np = llr  # jnp ok
+    for l, cces in by_l.items():
+        e = l * BITS_PER_CCE
+        seg = jnp.stack([llr_np[..., c * BITS_PER_CCE : c * BITS_PER_CCE + e]
+                         for c in cces])
+        for size in dci_sizes:
+            k = size + 16
+            d_llr = rm_conv_rx(seg, k)
+            bits = np.asarray(viterbi_decode(d_llr, wrap=1))  # [n_cand, K]
+            for row, cce in enumerate(cces):
+                b = bits[row]
+                unmasked = np.concatenate([b[:size], b[size:] ^ mask])
+                if not np.any(CRC16.compute(unmasked)):
+                    hits.append(DciHit(b[:size].astype(np.int8), l, cce, rnti))
+    # dedupe identical payloads found at nested aggregations
+    seen, uniq = set(), []
+    for hitem in hits:
+        key = hitem.payload.tobytes()
+        if key not in seen:
+            seen.add(key)
+            uniq.append(hitem)
+    return uniq

@@ -1,0 +1,64 @@
+"""PHICH: hybrid-ARQ indicator channel (36.211 6.9).
+
+Capability parity with lib/src/phy/phch/phich.c: BPSK ACK/NACK spread by
+length-4 orthogonal sequences (8 sequences, normal CP), repeated over 3
+REGs of symbol 0, group/sequence addressing, scrambling. Normal PHICH
+duration only (the reference's default).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.scrambling import descramble_llrs
+from ..utils.cell import Cell
+from ..utils.sequence import cinit_pdcch, gold_sequence
+from .regs import phich_regs, symbol_regs
+
+#: Orthogonal sequences, normal CP (36.211 Table 6.9.1-2).
+_W = np.array([
+    [1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1],
+    [1j, 1j, 1j, 1j], [1j, -1j, 1j, -1j], [1j, 1j, -1j, -1j],
+    [1j, -1j, -1j, 1j],
+], dtype=np.complex64)
+
+NSF = 4
+
+
+def _group_re_indices(cell: Cell, ng: float, group: int) -> np.ndarray:
+    regs0 = symbol_regs(cell, 0)
+    idx = []
+    for r in phich_regs(cell, ng)[group]:
+        idx.extend(regs0[r])
+    return np.asarray(idx, np.int32)  # 12 REs in symbol 0
+
+
+def _scramble_seq(cell: Cell, sf_idx: int) -> np.ndarray:
+    c = gold_sequence(cinit_pdcch(2 * sf_idx, cell.id), 12)
+    return (1.0 - 2.0 * c).astype(np.float32)
+
+
+def phich_put(grid, ack: int, cell: Cell, sf_idx: int, group: int = 0,
+              seq_idx: int = 0, ng: float = 1.0):
+    """Insert one ACK(1)/NACK(0) indicator into the port-0 grid."""
+    bpsk = 1.0 if ack else -1.0
+    z = np.tile(_W[seq_idx], 3) * bpsk          # 12 symbols over 3 REGs
+    z = z * _scramble_seq(cell, sf_idx)
+    idx = jnp.asarray(_group_re_indices(cell, ng, group))
+    cur = grid[..., 0, 0, idx]
+    return grid.at[..., 0, 0, idx].set(cur + jnp.asarray(z).astype(grid.dtype))
+
+
+def phich_decode(grid, h, cell: Cell, sf_idx: int, group: int = 0,
+                 seq_idx: int = 0, ng: float = 1.0, noise_est=0.0):
+    """Decode one indicator: -> (ack [...] bool, metric [...])."""
+    idx = jnp.asarray(_group_re_indices(cell, ng, group))
+    y = grid[..., 0, :][..., idx]
+    hh = h[..., 0, :][..., idx]
+    x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est, 1e-12)
+    x = x * jnp.asarray(_scramble_seq(cell, sf_idx))
+    w = jnp.asarray(np.tile(np.conj(_W[seq_idx]), 3))
+    corr = jnp.real(jnp.sum(x * w, axis=-1)) / 12.0
+    return corr > 0, corr
