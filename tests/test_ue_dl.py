@@ -1,0 +1,97 @@
+"""Full eNB->UE downlink subframe loop: the phy_dl_test equivalent.
+
+Composes a complete subframe (CRS + sync + PCFICH + PDCCH/DCI + PDSCH) on
+the eNB side, passes it through OFDM + channel, and runs the complete UE
+receiver (srslte_ue_dl_decode_rnti analog): chest -> CFI -> blind DCI ->
+grant resolution -> PDSCH decode (SURVEY.md section 4 tier 3,
+lib/test/phy/phy_dl_test.c:262-288).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from empower_srslte_tpu.models import dci as dci_mod
+from empower_srslte_tpu.models import ra
+from empower_srslte_tpu.models.enb_dl import (
+    enb_dl_base_grid,
+    enb_dl_gen_signal,
+    put_sync_signals,
+)
+from empower_srslte_tpu.models.pbch import mib_pack, pbch_put
+from empower_srslte_tpu.models.pcfich import pcfich_put
+from empower_srslte_tpu.models.pdcch import pdcch_encode
+from empower_srslte_tpu.models.pdsch import PdschConfig, pdsch_encode
+from empower_srslte_tpu.models.ue_dl import ue_dl_decode, ue_mib_decode
+from empower_srslte_tpu.ops.modem import Mod
+from empower_srslte_tpu.utils import Cell
+
+
+def _compose_subframe(cell, sf_idx, cfi, rnti, mcs, prb_start, prb_len, tb, rng):
+    """eNB side: full subframe with control + data for one UE."""
+    mod, tbs = ra.mcs_to_tbs(mcs, prb_len)
+    assert tbs == len(tb)
+    payload = dci_mod.pack_format1a(cell.nof_prb, prb_start, prb_len, mcs)
+    mask = ra.prb_mask_type2(cell.nof_prb, prb_start, prb_len)
+    cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
+                      mod=mod, prb_mask=mask)
+    plan = cfg.plan(tbs)
+
+    grid = enb_dl_base_grid(cell, sf_idx, ())
+    grid = put_sync_signals(grid, cell, sf_idx)
+    grid = pcfich_put(grid, cfi, cell, sf_idx)
+    grid = grid + pdcch_encode(jnp.asarray(payload), rnti, 0, 4, cell, cfi, sf_idx)
+    grid = grid + pdsch_encode(jnp.asarray(tb)[None], cfg, plan)[0]
+    return enb_dl_gen_signal(grid, cell)[0]  # port 0 samples
+
+
+class TestFullDownlink:
+    @pytest.mark.parametrize("mcs,snr_db", [(5, 15.0), (13, 20.0), (20, 26.0)])
+    def test_phy_dl_loop(self, mcs, snr_db, rng):
+        cell = Cell(nof_prb=25, id=1)
+        sf_idx, cfi, rnti = 4, 2, 0x4601
+        prb_start, prb_len = 2, 20
+        mod, tbs = ra.mcs_to_tbs(mcs, prb_len)
+        tb = rng.integers(0, 2, size=tbs).astype(np.int8)
+
+        samples = np.asarray(_compose_subframe(
+            cell, sf_idx, cfi, rnti, mcs, prb_start, prb_len, tb, rng))
+        p = np.mean(np.abs(samples) ** 2)
+        n0 = p / 10 ** (snr_db / 10)
+        noisy = samples + (rng.normal(size=len(samples))
+                           + 1j * rng.normal(size=len(samples))
+                           ).astype(np.complex64) * np.sqrt(n0 / 2)
+
+        results = ue_dl_decode(noisy.astype(np.complex64), cell, sf_idx, rnti)
+        assert len(results) == 1
+        r = results[0]
+        assert r.cfi == cfi
+        assert r.dci is not None and r.dci.mcs == mcs
+        assert r.crc_ok, "PDSCH CRC failed"
+        assert np.array_equal(r.tb_bits, tb)
+
+    def test_no_grant_for_other_rnti(self, rng):
+        cell = Cell(nof_prb=25, id=1)
+        tb = rng.integers(0, 2, size=ra.mcs_to_tbs(5, 20)[1]).astype(np.int8)
+        samples = np.asarray(_compose_subframe(
+            cell, 4, 2, 0x4601, 5, 2, 20, tb, rng))
+        results = ue_dl_decode(samples.astype(np.complex64), cell, 4, 0x777)
+        assert len(results) == 1 and results[0].dci is None
+
+    def test_mib_acquisition(self, rng):
+        cell = Cell(nof_prb=6, id=77, nof_ports=1)
+        mib = mib_pack(50, 0, 1, 128)
+        grid = enb_dl_base_grid(cell, 0, ())
+        grid = put_sync_signals(grid, cell, 0)
+        grid = pbch_put(grid, jnp.asarray(mib), cell, sfn=128)
+        samples = np.asarray(enb_dl_gen_signal(grid, cell))[0]
+        p = np.mean(np.abs(samples) ** 2)
+        noisy = samples + (rng.normal(size=len(samples))
+                           + 1j * rng.normal(size=len(samples))
+                           ).astype(np.complex64) * np.sqrt(p / 10 ** 2 / 2)
+        got = ue_mib_decode(noisy.astype(np.complex64), cell_id=77)
+        assert got is not None
+        assert got["nof_prb"] == 50
+        assert got["sfn_msb"] == 128 >> 2
+        assert got["sfn_mod4"] == 0
