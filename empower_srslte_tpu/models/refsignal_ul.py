@@ -1,0 +1,108 @@
+"""Uplink demodulation reference signals (DMRS) and base sequences,
+36.211 5.5.
+
+Capability parity with lib/src/phy/ch_estimation/refsignal_ul.c and
+ul_rs_tables.h: Zadoff-Chu base sequences with cyclic extension for
+allocations >= 3 PRB, the 30 special QPSK-phase sequences for 1-2 PRB
+(binary spec tables in empower_srslte_tpu/data/), group assignment
+u = f_ss mod 30, cyclic shifts, and PUSCH DMRS placement on the middle
+SC-FDMA symbol of each slot.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..utils.cell import Cell
+
+_DATA = pathlib.Path(__file__).resolve().parent.parent / "data"
+
+
+def _largest_prime_below(n: int) -> int:
+    def is_prime(x):
+        if x < 2:
+            return False
+        for d in range(2, int(x ** 0.5) + 1):
+            if x % d == 0:
+                return False
+        return True
+
+    p = n - 1
+    while not is_prime(p):
+        p -= 1
+    return p
+
+
+@functools.lru_cache(maxsize=1024)
+def base_sequence(u: int, v: int, m_sc: int) -> np.ndarray:
+    """r_{u,v}(n), length m_sc (36.211 5.5.1.1/5.5.1.2)."""
+    if m_sc == 12:
+        phi = np.load(_DATA / "ul_rs_phi12.npy")[u]
+        return np.exp(1j * phi * np.pi / 4).astype(np.complex64)
+    if m_sc == 24:
+        phi = np.load(_DATA / "ul_rs_phi24.npy")[u]
+        return np.exp(1j * phi * np.pi / 4).astype(np.complex64)
+    nzc = _largest_prime_below(m_sc)
+    q_bar = nzc * (u + 1) / 31.0
+    # q = floor(q_bar + 1/2) + v * (-1)^floor(2 q_bar)  (36.211 5.5.1.1)
+    q = int(np.floor(q_bar + 0.5) + v * (-1) ** int(np.floor(2 * q_bar)))
+    m = np.arange(nzc)
+    xq = np.exp(-1j * np.pi * q * m * (m + 1) / nzc)
+    n = np.arange(m_sc)
+    return xq[n % nzc].astype(np.complex64)
+
+
+def pusch_dmrs_symbols(cell: Cell) -> tuple[int, int]:
+    """Subframe-symbol indices carrying PUSCH DMRS (symbol 3 of each slot
+    for normal CP, 36.211 5.5.2.1.2)."""
+    l = 3 if cell.cp.value == "normal" else 2
+    return (l, cell.nsymb_slot + l)
+
+
+def pusch_dmrs(cell: Cell, n_prb: int, cyclic_shift: int = 0,
+               delta_ss: int = 0) -> np.ndarray:
+    """[2, 12*n_prb] DMRS sequences for the two slots (no group hopping).
+
+    u = (cell_id + delta_ss) mod 30 (36.211 5.5.1.3 with hopping off);
+    alpha = 2*pi*cyclic_shift/12.
+    """
+    m_sc = 12 * n_prb
+    u = (cell.id + delta_ss) % 30
+    r = base_sequence(u, 0, m_sc)
+    n = np.arange(m_sc)
+    alpha = 2 * np.pi * cyclic_shift / 12.0
+    seq = (np.exp(1j * alpha * n) * r).astype(np.complex64)
+    return np.stack([seq, seq])
+
+
+def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
+                   cyclic_shift: int = 0):
+    """LS channel estimate over the PUSCH allocation from the two DMRS
+    symbols, time-interpolated to all symbols (chest_ul.c analog).
+
+    grid [..., nsymb, nre] -> h [..., nsymb, 12*n_prb] (allocation only).
+    """
+    m_sc = 12 * n_prb
+    k0 = 12 * prb_start
+    dmrs = jnp.asarray(pusch_dmrs(cell, n_prb, cyclic_shift))
+    l0, l1 = pusch_dmrs_symbols(cell)
+    y0 = grid[..., l0, k0 : k0 + m_sc]
+    y1 = grid[..., l1, k0 : k0 + m_sc]
+    h0 = y0 * jnp.conj(dmrs[0])
+    h1 = y1 * jnp.conj(dmrs[1])
+    # 3-tap freq smoothing
+    def smooth(h):
+        pad = jnp.concatenate([h[..., :1], h, h[..., -1:]], axis=-1)
+        return (pad[..., :-2] + pad[..., 1:-1] + pad[..., 2:]) / 3.0
+
+    h0, h1 = smooth(h0), smooth(h1)
+    # linear time interpolation/extrapolation between the two DMRS symbols
+    nsymb = cell.nsymb_sf
+    t = (np.arange(nsymb) - l0) / float(l1 - l0)
+    t = jnp.asarray(t.astype(np.float32))[..., :, None]
+    return h0[..., None, :] * (1 - t) + h1[..., None, :] * t

@@ -1,0 +1,119 @@
+"""Uplink tests: DFT precoding, UL DMRS, PUSCH chain, PRACH detection.
+
+Mirrors the reference's pusch_test / prach_test tiers (BASELINE config 4:
+DFT-precoded SC-FDMA + turbo decode, batched subframes).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from empower_srslte_tpu.models.prach import prach_detect, prach_gen, prach_seq_len
+from empower_srslte_tpu.models.pusch import PuschConfig, pusch_decode, pusch_encode
+from empower_srslte_tpu.models.refsignal_ul import base_sequence, pusch_dmrs
+from empower_srslte_tpu.ops.dft_precoding import dft_deprecode, dft_precode, valid_prb
+from empower_srslte_tpu.ops.modem import Mod
+from empower_srslte_tpu.utils import Cell
+
+
+class TestDftPrecoding:
+    def test_valid_prb(self):
+        assert valid_prb(1) and valid_prb(12) and valid_prb(25) and valid_prb(96)
+        assert not valid_prb(7) and not valid_prb(11) and not valid_prb(0)
+
+    def test_unitary_roundtrip(self, rng):
+        x = (rng.normal(size=(3, 144)) + 1j * rng.normal(size=(3, 144))).astype(np.complex64)
+        y = dft_deprecode(dft_precode(jnp.asarray(x)))
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-5)
+        p_in = np.mean(np.abs(x) ** 2)
+        p_out = float(np.mean(np.abs(np.asarray(dft_precode(jnp.asarray(x)))) ** 2))
+        assert abs(p_in - p_out) < 1e-3
+
+
+class TestUlRs:
+    @pytest.mark.parametrize("m_sc", [12, 24, 36, 144, 600])
+    def test_base_sequence_cm(self, m_sc):
+        r = base_sequence(5, 0, m_sc)
+        assert r.shape == (m_sc,)
+        np.testing.assert_allclose(np.abs(r), 1.0, rtol=1e-5)
+
+    def test_sequences_distinct_groups(self):
+        a = base_sequence(0, 0, 144)
+        b = base_sequence(1, 0, 144)
+        assert abs(np.vdot(a, b)) / 144 < 0.5
+
+    def test_dmrs_shape(self):
+        cell = Cell(nof_prb=25, id=9)
+        d = pusch_dmrs(cell, 6, cyclic_shift=3)
+        assert d.shape == (2, 72)
+        np.testing.assert_allclose(np.abs(d), 1.0, rtol=1e-5)
+
+
+class TestPusch:
+    @pytest.mark.parametrize("mod,n_prb,tbs", [
+        (Mod.QPSK, 6, 1096), (Mod.QAM16, 12, 4584), (Mod.QAM64, 25, 18336)])
+    def test_roundtrip_flat_channel(self, mod, n_prb, tbs, rng):
+        cell = Cell(nof_prb=25, id=7)
+        cfg = PuschConfig(cell=cell, sf_idx=2, rnti=0x1d2c, mod=mod,
+                          prb_start=0, n_prb=n_prb)
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(2, tbs)).astype(np.int8)
+        grid = pusch_encode(jnp.asarray(tb), cfg, plan)
+        h = (0.9 - 0.4j)
+        rx = grid * h
+        n0 = 1e-3
+        rx = rx + jnp.asarray((rng.normal(size=rx.shape)
+                               + 1j * rng.normal(size=rx.shape))
+                              ).astype(jnp.complex64) * np.sqrt(n0 / 2)
+        bits, ok, _ = pusch_decode(rx, cfg, plan, noise_est=n0)
+        assert np.asarray(ok).all()
+        assert np.array_equal(np.asarray(bits), tb)
+
+    def test_roundtrip_selective_channel(self, rng):
+        cell = Cell(nof_prb=25, id=3)
+        cfg = PuschConfig(cell=cell, sf_idx=5, mod=Mod.QAM16, prb_start=4,
+                          n_prb=12)
+        tbs = 4584
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(1, tbs)).astype(np.int8)
+        grid = pusch_encode(jnp.asarray(tb), cfg, plan)
+        k = np.arange(cell.nof_re)
+        h = (1.1 * np.exp(2j * np.pi * k / 900)).astype(np.complex64)
+        rx = grid * jnp.asarray(h)
+        n0 = 2e-3
+        rx = rx + jnp.asarray((rng.normal(size=rx.shape)
+                               + 1j * rng.normal(size=rx.shape))
+                              ).astype(jnp.complex64) * np.sqrt(n0 / 2)
+        bits, ok, _ = pusch_decode(rx, cfg, plan, noise_est=n0)
+        assert bool(np.asarray(ok)[0])
+        assert np.array_equal(np.asarray(bits)[0], tb[0])
+
+
+class TestPrach:
+    @pytest.mark.parametrize("idx", [0, 7, 33])
+    def test_gen_detect_roundtrip(self, idx, rng):
+        cell = Cell(nof_prb=25, id=1)
+        sig = prach_gen(cell, rsi=22, preamble_idx=idx, zcz=5)
+        cp = len(sig) - prach_seq_len(cell)
+        win = sig[cp:]  # aligned sequence window
+        win = win + 0.05 * (rng.normal(size=len(win))
+                            + 1j * rng.normal(size=len(win))).astype(np.complex64)
+        det, offs, met = prach_detect(jnp.asarray(win[None]), cell, rsi=22,
+                                      zcz=5)
+        d = np.asarray(det[0])
+        assert d[idx], f"preamble {idx} not detected (metric {np.asarray(met[0])[idx]:.1f})"
+        assert d.sum() == 1, f"false alarms: {np.nonzero(d)}"
+        assert int(np.asarray(offs[0])[idx]) <= 2
+
+    def test_timing_offset(self, rng):
+        cell = Cell(nof_prb=25, id=1)
+        sig = prach_gen(cell, rsi=22, preamble_idx=4, zcz=5)
+        cp = len(sig) - prach_seq_len(cell)
+        delay = 40
+        win = np.concatenate([np.zeros(delay, np.complex64), sig[cp:]])
+        det, offs, met = prach_detect(jnp.asarray(win[None]), cell, rsi=22,
+                                      zcz=5)
+        assert bool(np.asarray(det[0])[4])
+        got = int(np.asarray(offs[0])[4])
+        assert abs(got - delay) <= 12  # one ZC sample ~ 9.2 time samples
