@@ -1,0 +1,176 @@
+"""MAC scheduler, RAN slicing, agent, HARQ, runtime (IO/config/metrics)
+tests — the srsenb/test/mac/scheduler_test.cc tier plus runtime pieces.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from empower_srslte_tpu.mac import (
+    DuoDynamicMetric,
+    EmpowerAgent,
+    MultiSliceMetric,
+    RanSlicer,
+    Scheduler,
+)
+from empower_srslte_tpu.mac.harq import RV_SEQ, DlHarqEntity
+from empower_srslte_tpu.models import ra
+from empower_srslte_tpu.runtime.config import load_config
+from empower_srslte_tpu.runtime.io import FileSink, FileSource, NetSink, NetSource
+from empower_srslte_tpu.runtime.metrics import MetricsCsv, MetricsHub, MetricsStdout
+
+
+class TestScheduler:
+    def test_rr_covers_band(self):
+        s = Scheduler(nof_prb=50)
+        for r in (0x10, 0x11, 0x12):
+            s.add_ue(r)
+            s.dl_buffer_state(r, 100000)
+        grants = s.dl_sched(tti=0)
+        assert len(grants) == 3
+        total = 0
+        used = 0
+        for g in grants:
+            total += g.n_prb
+            used |= g.rbg_bitmap
+        assert total == 50
+        # no RBG double-booked
+        assert sum(bin(g.rbg_bitmap).count("1") for g in grants) == bin(used).count("1")
+
+    def test_mcs_follows_cqi(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x20, cqi=3)
+        s.add_ue(0x21, cqi=15)
+        for r in (0x20, 0x21):
+            s.dl_buffer_state(r, 10**6)
+        grants = {g.rnti: g for g in s.dl_sched(0)}
+        assert grants[0x20].mcs < grants[0x21].mcs
+
+    def test_harq_retx_cycles_rv(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x30, cqi=10)
+        s.dl_buffer_state(0x30, 10**6)
+        g0 = s.dl_sched(0)[0]
+        assert g0.rv == 0
+        s.harq_feedback(0x30, g0.harq_pid, ok=False)
+        g1 = s.dl_sched(1)[0]
+        assert g1.harq_pid == g0.harq_pid and g1.rv == RV_SEQ[1]
+        assert g1.tbs == g0.tbs  # retx keeps the TB
+        s.harq_feedback(0x30, g1.harq_pid, ok=True)
+
+    def test_starved_ue_skipped(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x40)
+        s.dl_buffer_state(0x40, 0)
+        assert s.dl_sched(0) == []
+
+
+class TestRanSlicing:
+    def _setup(self, metric_cls, **kw):
+        slicer = RanSlicer()
+        slicer.add_slice(10, plmn=0x100, resources=3)
+        slicer.add_slice(20, plmn=0x200, resources=1)
+        return slicer
+
+    def test_registry(self):
+        sl = self._setup(None)
+        sl.add_user(0x50, 10)
+        assert sl.slice_of(0x50) == 10
+        sl.rem_slice(10)
+        assert sl.slice_of(0x50) == 1  # falls back to default
+
+    def test_multi_slice_proportional(self):
+        sl = self._setup(None)
+        sched = Scheduler(nof_prb=50, metric=MultiSliceMetric(sl))
+        for r, slice_id in [(0x60, 10), (0x61, 20)]:
+            sl.add_user(r, slice_id)
+            sched.add_ue(r, cqi=10)
+            sched.dl_buffer_state(r, 10**7)
+        prbs = {0x60: 0, 0x61: 0}
+        for tti in range(50):
+            for g in sched.dl_sched(tti):
+                prbs[g.rnti] += g.n_prb
+            for r in prbs:
+                sched.dl_buffer_state(r, 10**7)
+                for p in sched.ues[r].harq.processes:
+                    p.active = False
+        # slice 10 has 3x the resources of slice 20
+        ratio = prbs[0x60] / max(prbs[0x61], 1)
+        assert 2.0 < ratio < 4.5, f"ratio {ratio}, prbs {prbs}"
+
+    def test_duodynamic_switch_moves(self):
+        sl = self._setup(None)
+        duo = DuoDynamicMetric(sl, slice_a=10, slice_b=20, window_ttis=5)
+        rbgs = duo.slice_rbgs(0, 13)
+        start_split = len(rbgs[10])
+        for tti in range(1, 100):
+            duo.observe_load(1000.0, 10.0)  # A far more loaded
+            duo.slice_rbgs(tti, 13)
+        rbgs = duo.slice_rbgs(100, 13)
+        assert len(rbgs[10]) > start_split
+
+    def test_agent_prb_accounting(self):
+        sl = self._setup(None)
+        agent = EmpowerAgent(slicer=sl)
+        sched = Scheduler(nof_prb=25)
+        sched.add_ue(0x70, cqi=12)
+        sched.dl_buffer_state(0x70, 10**6)
+        for tti in range(10):
+            grants = sched.dl_sched(tti)
+            agent.process_dl_results(tti, grants, 25, sched.ues)
+            for g in grants:
+                sched.harq_feedback(g.rnti, g.harq_pid, True)
+            sched.dl_buffer_state(0x70, 10**6)
+        rep = agent.emit_reports()
+        assert rep["prb"]["dl_prb_total"] == 250
+        assert rep["prb"]["dl_prb_used"] > 0
+        assert rep["ues"][0]["rnti"] == 0x70
+        assert agent.handle_command({"op": "set_resources", "slice_id": 10,
+                                     "resources": 7})["ok"]
+        assert sl.get_slice(10).resources == 7
+
+
+class TestRuntime:
+    def test_file_io_roundtrip(self, tmp_path, rng):
+        data = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64)
+        p = str(tmp_path / "iq.bin")
+        with FileSink(p) as sink:
+            sink.write(data)
+        src = FileSource(p)
+        out = src.read(1000)
+        assert np.array_equal(out, data)
+        # zero-padded past EOF like the reference's filesource
+        assert np.all(src.read(10) == 0)
+
+    def test_net_io_roundtrip(self, rng):
+        data = (rng.normal(size=2048) + 1j * rng.normal(size=2048)).astype(np.complex64)
+        src = NetSource(port=0, timeout=2.0)
+        port = src.sock.getsockname()[1]
+        sink = NetSink("127.0.0.1", port)
+        sink.write(data)
+        out = src.read(2048)
+        assert np.array_equal(out, data)
+        src.close(); sink.close()
+
+    def test_config_ini_and_overrides(self, tmp_path):
+        ini = tmp_path / "enb.conf"
+        ini.write_text("[cell]\nnof_prb = 100\ncell_id = 3\n[log]\nphy_level = debug\n")
+        cfg = load_config(str(ini), overrides=["--expert.turbo_iterations=7",
+                                               "cell.nof_ports=2"])
+        assert cfg.cell.nof_prb == 100 and cfg.cell.cell_id == 3
+        assert cfg.cell.nof_ports == 2
+        assert cfg.log.phy_level == "debug"
+        assert cfg.expert.turbo_iterations == 7
+
+    def test_metrics_hub(self, tmp_path, capsys):
+        hub = MetricsHub()
+        csv_path = str(tmp_path / "m.csv")
+        hub.add_listener(MetricsStdout())
+        hub.add_listener(MetricsCsv(csv_path))
+        hub.report({"dl_mbps": 42.5, "bler": 0.01})
+        hub.report({"dl_mbps": 43.0, "bler": 0.02})
+        out = capsys.readouterr().out
+        assert "dl_mbps" in out and "42.500" in out
+        lines = open(csv_path).read().strip().splitlines()
+        assert len(lines) == 3  # header + 2 rows
