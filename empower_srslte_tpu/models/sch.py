@@ -157,6 +157,10 @@ def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
 
     full = jnp.concatenate(cb_bits, axis=-1)     # [..., tbs + 24]
     tb_ok = CRC24A.jnp_check(full)
+    # the all-zero word is a valid turbo codeword whose CRC trivially
+    # passes; a decoder collapsing to it (e.g. wrong descrambling) must
+    # not report success
+    tb_ok = jnp.logical_and(tb_ok, jnp.any(full != 0, axis=-1))
     if cb_ok:
         all_cb = cb_ok[0]
         for ok in cb_ok[1:]:
