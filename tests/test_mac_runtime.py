@@ -174,3 +174,33 @@ class TestRuntime:
         assert "dl_mbps" in out and "42.500" in out
         lines = open(csv_path).read().strip().splitlines()
         assert len(lines) == 3  # header + 2 rows
+
+
+class TestPcapCrash:
+    def test_mac_pcap_structure(self, tmp_path):
+        from empower_srslte_tpu.runtime.pcap import DLT_USER0, MacPcap
+
+        p = str(tmp_path / "mac.pcap")
+        with MacPcap(p) as pc:
+            pc.write_pdu(b"\x3f\x21\x00\x01", rnti=0x1234, tti=123)
+        import struct
+
+        raw = open(p, "rb").read()
+        magic, _, _, _, _, _, dlt = struct.unpack("<IHHiIII", raw[:24])
+        assert magic == 0xA1B2C3D4 and dlt == DLT_USER0
+        assert b"mac-lte" in raw
+        assert b"\x3f\x21\x00\x01" in raw
+
+    def test_crash_handler_writes(self, tmp_path):
+        import subprocess, sys
+
+        crash = tmp_path / "bt.crash"
+        code = (
+            "from empower_srslte_tpu.runtime import crash;"
+            f"crash.install({str(repr(str(crash)))});"
+            "raise RuntimeError('boom')"
+        )
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           cwd="/root/repo")
+        assert r.returncode != 0
+        assert "boom" in crash.read_text()
