@@ -85,7 +85,7 @@ class PmchConfig:
         return self.nof_re * self.mod.bits_per_symbol
 
     def plan(self, tbs: int, max_iterations: int = 5,
-             decoder_impl: str = "xla") -> DlschPlan:
+             decoder_impl: str = "auto") -> DlschPlan:
         return DlschPlan(tbs=tbs, g=self.g, qm=self.mod.bits_per_symbol,
                          max_iterations=max_iterations,
                          decoder_impl=decoder_impl)

@@ -53,7 +53,7 @@ class PuschConfig:
         return self.nof_data_symbols * self.m_sc * self.mod.bits_per_symbol
 
     def plan(self, tbs: int, rv: int = 0, max_iterations: int = 5,
-             decoder_impl: str = "xla") -> DlschPlan:
+             decoder_impl: str = "auto") -> DlschPlan:
         return DlschPlan(tbs=tbs, g=self.g, qm=self.mod.bits_per_symbol,
                          rv=rv, max_iterations=max_iterations,
                          decoder_impl=decoder_impl)

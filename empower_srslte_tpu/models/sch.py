@@ -57,7 +57,10 @@ class DlschPlan:
     rv: int = 0              # redundancy version
     n_layers: int = 1        # layers carrying this codeword
     max_iterations: int = 5
-    decoder_impl: str = "xla"
+    decoder_impl: str = "auto"
+    #: iterate only until every CB passes its CRC (sch.c:382 early stop,
+    #: batched); False = fixed max_iterations
+    early_stop: bool = False
 
     @functools.cached_property
     def segm(self) -> CbSegm:
@@ -144,7 +147,8 @@ def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
         sb = softbuffers[idx] if softbuffers is not None else None
         d_llr, ns = plan.rm(k, f).rx(seg, plan.rv, softbuffer=sb)
         new_soft.append(ns)
-        bits, _ = plan.decoder(k).decode(d_llr)
+        stop_crc = (CRC24B if segm.c > 1 else CRC24A) if plan.early_stop else None
+        bits, _ = plan.decoder(k).decode(d_llr, crc=stop_crc)
         if segm.c > 1:
             ok = CRC24B.jnp_check(bits)
             payload = bits[..., f : k - 24]

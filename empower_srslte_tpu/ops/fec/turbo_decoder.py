@@ -304,9 +304,10 @@ class TurboDecoder:
     iterations: int = 5
     window: int | None = None          # None = exact full-length sweeps
     overlap: int = DEFAULT_OVERLAP
-    #: "xla" = lax.scan sweeps; "pallas" = VMEM-resident TPU kernel
-    #: (turbo_decoder_pallas.py); "pallas_interpret" for CPU debugging.
-    impl: str = "xla"
+    #: "auto" = pallas on TPU / lax.scan elsewhere; "xla" = scan sweeps;
+    #: "pallas" = VMEM-resident TPU kernel (turbo_decoder_pallas.py);
+    #: "pallas_interpret" for CPU debugging.
+    impl: str = "auto"
 
     def _split_streams(self, d_llr):
         """d_llr[..., 3, K+4] -> per-constituent (sys1, par1, sys2t, par2).
@@ -336,11 +337,13 @@ class TurboDecoder:
         )
         return sys1, par1, sys2_tail, par2
 
-    def decode(self, d_llr, iterations: int | None = None):
+    def decode(self, d_llr, iterations: int | None = None, crc=None):
         """Decode d_llr[..., 3, K+4] -> (bits[..., K] int8, llr[..., K]).
 
-        jit-compatible; leading dims are batch. Runs the fixed number of
-        (dec1, dec2) half-iteration pairs with extrinsic exchange.
+        jit-compatible; leading dims are batch. Runs (dec1, dec2)
+        half-iteration pairs with extrinsic exchange — a fixed count, or,
+        when a ``crc`` (utils.crc.Crc covering the K bits, e.g. CRC24B
+        for segmented CBs) is given, until the whole batch passes.
         """
         import jax.numpy as jnp
 
@@ -368,7 +371,12 @@ class TurboDecoder:
         init_a = jnp.asarray(init_a, sys1_tm.dtype)
         init_b = jnp.asarray(init_b, sys1_tm.dtype)
 
-        use_pallas = self.impl.startswith("pallas") and self.window is not None
+        impl = self.impl
+        if impl == "auto":
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        use_pallas = impl.startswith("pallas") and self.window is not None
         if use_pallas:
             from .turbo_decoder_pallas import (
                 fold_lanes, map_decode_fused, pad_trellis_rows, unfold_lanes)
@@ -384,7 +392,7 @@ class TurboDecoder:
                 pad_trellis_rows(colpad(x * 0.5), o, pad))
             par1_pd = prep(par1_tm, 0.0)
             par2_pd = prep(par2_tm, 0.0)
-            interp = self.impl.endswith("interpret")
+            interp = impl.endswith("interpret")
 
         def run_map(lsa_pay, tail_sys, par_tm):
             lsa = jnp.concatenate([lsa_pay, tail_sys], axis=0)
@@ -399,9 +407,7 @@ class TurboDecoder:
             return _windowed_map_decode(
                 lsa, par_tm, k, self.overlap, self.window, init_a, init_b)
 
-        ext2 = jnp.zeros((k, b), sys1_tm.dtype)  # deinterleaved domain
-        llr_full = None
-        for _ in range(iters):
+        def iteration(ext2):
             # decoder 1: a priori = ext2 (natural order)
             lsa1 = sys1_pay + ext2
             llr1 = run_map(lsa1, sys1_tm[k:], par1_tm)[:k]
@@ -409,8 +415,36 @@ class TurboDecoder:
             # decoder 2: systematic+a-priori = interleave(sys + ext1)
             lsa2 = (sys1_pay + ext1)[pi, :]
             llr2 = run_map(lsa2, sys2_tail_tm, par2_tm)[:k]
-            ext2 = (llr2 - lsa2)[pinv, :]
-            llr_full = llr2[pinv, :]
+            return (llr2 - lsa2)[pinv, :], llr2[pinv, :]
+
+        ext2 = jnp.zeros((k, b), sys1_tm.dtype)  # deinterleaved domain
+        if crc is None:
+            llr_full = None
+            for _ in range(iters):
+                ext2, llr_full = iteration(ext2)
+        else:
+            # CRC early stop (the reference's per-CB stop, sch.c:382,
+            # batched: iterate until every CB in the batch passes or the
+            # iteration cap is reached)
+            import jax
+
+            def check(llr_full):
+                bits = (jnp.moveaxis(llr_full, 0, -1) < 0).astype(jnp.int8)
+                return jnp.all(crc.jnp_check(bits))
+
+            def cond(state):
+                it, ext2, llr_full, done = state
+                return jnp.logical_and(it < iters, jnp.logical_not(done))
+
+            def body(state):
+                it, ext2, _, _ = state
+                ext2, llr_full = iteration(ext2)
+                return it + 1, ext2, llr_full, check(llr_full)
+
+            ext2_1, llr_1 = iteration(ext2)
+            _, _, llr_full, _ = jax.lax.while_loop(
+                cond, body, (jnp.ones((), jnp.int32), ext2_1, llr_1,
+                             check(llr_1)))
 
         llr_out = jnp.moveaxis(llr_full, 0, -1).reshape(*lead, k)
         bits = (llr_out < 0).astype(jnp.int8)
