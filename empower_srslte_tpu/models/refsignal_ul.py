@@ -106,3 +106,39 @@ def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
     t = (np.arange(nsymb) - l0) / float(l1 - l0)
     t = jnp.asarray(t.astype(np.float32))[..., :, None]
     return h0[..., None, :] * (1 - t) + h1[..., None, :] * t
+
+
+# --- SRS: sounding reference signals (36.211 5.5.3) -------------------------
+
+
+def srs_sequence(cell: Cell, n_prb_srs: int, cyclic_shift: int = 0) -> np.ndarray:
+    """r_SRS over the sounding bandwidth: comb-2 -> M_sc = 12*n_prb/2
+    subcarriers (refsignal_ul.c srs path)."""
+    m_sc = 12 * n_prb_srs // 2
+    u = cell.id % 30
+    r = base_sequence(u, 0, m_sc)
+    n = np.arange(m_sc)
+    alpha = 2 * np.pi * cyclic_shift / 8.0
+    return (np.exp(1j * alpha * n) * r).astype(np.complex64)
+
+
+def srs_put(grid, cell: Cell, n_prb_srs: int, prb_start: int = 0,
+            comb: int = 0, cyclic_shift: int = 0):
+    """Insert SRS in the last SC-FDMA symbol (comb-2 spacing)."""
+    import jax.numpy as jnp
+
+    seq = srs_sequence(cell, n_prb_srs, cyclic_shift)
+    k = 12 * prb_start + comb + 2 * np.arange(len(seq))
+    return grid.at[..., cell.nsymb_sf - 1, jnp.asarray(k.astype(np.int32))].set(
+        jnp.asarray(seq))
+
+
+def srs_chest(grid, cell: Cell, n_prb_srs: int, prb_start: int = 0,
+              comb: int = 0, cyclic_shift: int = 0):
+    """LS channel estimate at the SRS comb positions -> h[..., M_sc]."""
+    import jax.numpy as jnp
+
+    seq = srs_sequence(cell, n_prb_srs, cyclic_shift)
+    k = 12 * prb_start + comb + 2 * np.arange(len(seq))
+    y = grid[..., cell.nsymb_sf - 1, jnp.asarray(k.astype(np.int32))]
+    return y * jnp.conj(jnp.asarray(seq))

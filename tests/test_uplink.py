@@ -117,3 +117,43 @@ class TestPrach:
         assert bool(np.asarray(det[0])[4])
         got = int(np.asarray(offs[0])[4])
         assert abs(got - delay) <= 12  # one ZC sample ~ 9.2 time samples
+
+
+class TestUeUlFacade:
+    def test_full_ul_subframe_roundtrip(self, rng):
+        from empower_srslte_tpu.models.pucch import (
+            PucchConfig, pucch_f1_bits, pucch_f1_decode)
+        from empower_srslte_tpu.models.refsignal_ul import srs_chest
+        from empower_srslte_tpu.models.ue_ul import (
+            enb_ul_receive_grid, ue_ul_generate)
+
+        cell = Cell(nof_prb=25, id=7)
+        cfg = PuschConfig(cell=cell, sf_idx=3, mod=Mod.QAM16, prb_start=4,
+                          n_prb=12)
+        tbs = 4584
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(tbs,)).astype(np.int8)
+        pcfg = PucchConfig(cell=cell, sf_idx=3, n_pucch=2, format="1a")
+
+        samples = ue_ul_generate(
+            cell,
+            pusch=(jnp.asarray(tb)[None], cfg, plan),
+            pucch=(pcfg, (1,)),
+            srs=dict(n_prb_srs=4, prb_start=20),
+        )
+        # flat channel + noise
+        h = 0.85 * np.exp(1j * 0.3)
+        rx = np.asarray(samples) * h
+        rx = rx + 0.002 * (rng.normal(size=rx.shape)
+                           + 1j * rng.normal(size=rx.shape)).astype(np.complex64)
+        grid = enb_ul_receive_grid(jnp.asarray(rx.astype(np.complex64)), cell)
+
+        bits, ok, _ = pusch_decode(grid, cfg, plan, noise_est=1e-3)
+        assert bool(np.asarray(ok)[0])
+        assert np.array_equal(np.asarray(bits)[0], tb)
+
+        d, _ = pucch_f1_decode(np.asarray(grid)[0], pcfg)
+        assert pucch_f1_bits(d, "1a") == (1,)
+
+        h_srs = np.asarray(srs_chest(grid, cell, 4, prb_start=20))[0]
+        np.testing.assert_allclose(np.mean(h_srs), h, atol=0.05)

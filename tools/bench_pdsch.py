@@ -1,0 +1,89 @@
+"""Full PDSCH chain throughput on TPU (BASELINE configs 2/3).
+
+Equalize -> demod -> descramble -> de-rate-match -> turbo decode for a
+batch of subframes; reports decoded Mbps and subframes/s. Reference
+figures: 150 Mbps at 20 MHz 2x2 (README.md:39), 36 Mbps at 10 MHz SISO.
+
+Usage: python tools/bench_pdsch.py [batch] [config: 20mimo|10siso]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from empower_srslte_tpu.models.pdsch import PdschConfig, pdsch_decode, pdsch_encode
+from empower_srslte_tpu.ops.equalizer import MimoType
+from empower_srslte_tpu.models import ra
+from empower_srslte_tpu.utils import Cell
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    config = sys.argv[2] if len(sys.argv) > 2 else "20mimo"
+    rng = np.random.default_rng(0)
+
+    if config == "20mimo":
+        cell = Cell(nof_prb=100, nof_ports=2, id=1)
+        mod, tbs = ra.mcs_to_tbs(27, 100)
+        cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=mod,
+                          mimo=MimoType.SPATIAL_MUX, nof_layers=2,
+                          nof_codewords=2)
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+        tb2 = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+        ports = pdsch_encode(jnp.asarray(tb), cfg, plan, jnp.asarray(tb2), plan)
+        h = (rng.normal(size=(batch, 2, 2, 14, 1200))
+             + 1j * rng.normal(size=(batch, 2, 2, 14, 1200))).astype(np.complex64)
+        y = jnp.einsum("brpsk,bpsk->brsk", jnp.asarray(h), ports)
+        n0 = 1e-3
+        y = y + jnp.asarray((rng.normal(size=y.shape) + 1j * rng.normal(size=y.shape))
+                            * np.sqrt(n0 / 2)).astype(jnp.complex64)
+
+        def fn(y, h):
+            (b1, b2), (ok1, ok2), _ = pdsch_decode(
+                y, h, cfg, plan, noise_est=n0, plan2=plan)
+            return jnp.sum(ok1) + jnp.sum(ok2)
+
+        bits_per_sf = 2 * tbs
+        args = (y, jnp.asarray(h))
+    else:
+        cell = Cell(nof_prb=50, nof_ports=1, id=1)
+        mod, tbs = ra.mcs_to_tbs(23, 50)
+        cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=mod)
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+        grid = pdsch_encode(jnp.asarray(tb), cfg, plan)
+        h = jnp.ones((batch, 1, 1, 14, 600), jnp.complex64) * (0.9 - 0.2j)
+        y = grid * 0.9 - grid * 0.2j
+        n0 = 1e-3
+
+        def fn(y, h):
+            bits, ok, _ = pdsch_decode(y, h, cfg, plan, noise_est=n0)
+            return jnp.sum(ok)
+
+        bits_per_sf = tbs
+        args = (y, h)
+
+    jfn = jax.jit(fn)
+    t0 = time.time()
+    r = jfn(*args)
+    n_ok = int(r)
+    print(f"compile+first: {time.time()-t0:.1f}s; ok={n_ok}/{batch if config!='20mimo' else 2*batch}")
+
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        r = jfn(*args)
+    _ = int(r)  # sync
+    dt = (time.time() - t0) / reps
+    mbps = batch * bits_per_sf / dt / 1e6
+    print(f"{config} batch={batch}: {dt*1e3:.2f} ms -> {mbps:.0f} Mbps, "
+          f"{batch/dt:.0f} subframes/s")
+
+
+if __name__ == "__main__":
+    main()
