@@ -139,25 +139,34 @@ def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
     None), batched turbo decode, CB CRC checks, reassembly, TB CRC.
     """
     segm = plan.segm
-    new_soft = []
-    cb_bits = []
-    cb_ok = []
+    stop_crc = (CRC24B if segm.c > 1 else CRC24A) if plan.early_stop else None
+
+    # Group code blocks by (K, E, F) and decode each group as ONE batched
+    # turbo decode (extra leading CB axis) — the reference decodes CBs
+    # serially (sch.c:307-422); stacking them multiplies the kernel batch.
+    groups: dict = {}
     for idx, (k, e, f, off) in enumerate(plan.cb_plans):
-        seg = llrs[..., off : off + e]
-        sb = softbuffers[idx] if softbuffers is not None else None
+        groups.setdefault((k, e, f), []).append((idx, off))
+
+    new_soft = [None] * segm.c
+    cb_bits = [None] * segm.c
+    cb_ok = [None] * segm.c
+    for (k, e, f), members in groups.items():
+        seg = jnp.stack([llrs[..., off : off + e] for _, off in members],
+                        axis=-2)                       # [..., n_cb, E]
+        sb = (jnp.stack([softbuffers[idx] for idx, _ in members], axis=-2)
+              if softbuffers is not None else None)
         d_llr, ns = plan.rm(k, f).rx(seg, plan.rv, softbuffer=sb)
-        new_soft.append(ns)
-        stop_crc = (CRC24B if segm.c > 1 else CRC24A) if plan.early_stop else None
         bits, _ = plan.decoder(k).decode(d_llr, crc=stop_crc)
-        if segm.c > 1:
-            ok = CRC24B.jnp_check(bits)
-            payload = bits[..., f : k - 24]
-        else:
-            ok = None
-            payload = bits[..., f:]
-        cb_bits.append(payload)
-        if ok is not None:
-            cb_ok.append(ok)
+        for slot, (idx, _) in enumerate(members):
+            new_soft[idx] = ns[..., slot, :]
+            b = bits[..., slot, :]
+            if segm.c > 1:
+                cb_ok[idx] = CRC24B.jnp_check(b)
+                cb_bits[idx] = b[..., f : k - 24]
+            else:
+                cb_bits[idx] = b[..., f:]
+    cb_ok = [ok for ok in cb_ok if ok is not None]
 
     full = jnp.concatenate(cb_bits, axis=-1)     # [..., tbs + 24]
     tb_ok = CRC24A.jnp_check(full)
