@@ -104,3 +104,25 @@ def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
         metric=float(np.asarray(metric[0])),
         subframes=sub,
     )
+
+
+def cell_search_vote(samples, cell_prb: int = 6, max_frames: int = 3):
+    """Scan all 3 N_id_2 over several frames and vote for the strongest
+    cell (srslte_ue_cellsearch_scan, ue_cell_search.c:249).
+
+    Returns (n_id_2, votes dict, mean peak-to-sidelobe per root).
+    """
+    cell = Cell(nof_prb=cell_prb, id=0)
+    frame = 10 * cell.sf_sample_len
+    n_frames = min(max_frames, samples.shape[-1] // frame)
+    assert n_frames >= 1, "need at least one frame"
+    wins = jnp.asarray(
+        np.stack([samples[i * frame : (i + 1) * frame]
+                  for i in range(n_frames)]))
+    _, peaks, psr = pss_find(wins, cell.fft_size)       # [F, 3]
+    psr_np = np.asarray(psr)
+    votes: dict[int, int] = {0: 0, 1: 0, 2: 0}
+    for f in range(n_frames):
+        votes[int(np.argmax(psr_np[f]))] += 1
+    best = max(votes, key=votes.get)
+    return best, votes, psr_np.mean(axis=0)

@@ -160,3 +160,48 @@ def rsrp(grid, cell: Cell, sf_idx: int, port: int = 0):
 def rssi(grid):
     """Total received power over the grid (chest_dl.c rssi)."""
     return jnp.mean(jnp.abs(grid) ** 2, axis=(-1, -2))
+
+
+def noise_est_empty_sc(grid, cell: Cell):
+    """Noise from the empty guard-adjacent subcarriers is not available in
+    the DC-skipped grid; the reference's third estimator uses REs adjacent
+    to the sync signals left empty (chest_dl.c:351-361). Here: the 5
+    unused REs on each side of the 62-RE sync band in PSS/SSS symbols.
+    Apply only to subframes 0/5. Returns [...] noise power.
+    """
+    from ..ops.sync import sync_re_indices
+
+    nsym = cell.nsymb_slot
+    mid = cell.nof_re // 2
+    edge = np.concatenate([np.arange(mid - 36, mid - 31),
+                           np.arange(mid + 31, mid + 36)])
+    re = grid[..., nsym - 1, :][..., jnp.asarray(edge)]
+    return jnp.mean(jnp.abs(re) ** 2, axis=-1)
+
+
+def rsrq(grid, cell: Cell, sf_idx: int, port: int = 0):
+    """RSRQ = N * RSRP / RSSI over the measurement bandwidth
+    (chest_dl.c:790-840)."""
+    return cell.nof_prb * rsrp(grid, cell, sf_idx, port) / jnp.maximum(
+        rssi(grid) * cell.nof_re, 1e-20)
+
+
+def cfo_est_pilots(grid, cell: Cell, sf_idx: int, port: int = 0):
+    """Residual CFO from the phase drift between the two CRS symbols of
+    each slot (chest_dl.c:583-603). Returns CFO in subcarrier units [...].
+    """
+    plan = _interp_plan(cell, sf_idx, port)
+    re_idx = jnp.asarray(plan["re_idx"])
+    syms = plan["syms"]
+    cvals = jnp.asarray(plan["conj_vals"])
+    rows = grid[..., jnp.asarray(syms), :]
+    h_p = jnp.take_along_axis(
+        rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
+        axis=-1) * cvals
+    # pairs within each slot: rows (0,1) and (2,3) for 2 CRS symbols/slot
+    corr = (jnp.sum(h_p[..., 1, :] * jnp.conj(h_p[..., 0, :]), axis=-1)
+            + jnp.sum(h_p[..., 3, :] * jnp.conj(h_p[..., 2, :]), axis=-1))
+    dsym = int(syms[1] - syms[0])  # symbols between CRS pilots in a slot
+    fft = cell.fft_size
+    cp = cell.cp_len_slot[1]
+    return jnp.angle(corr) / (2 * np.pi) * fft / ((fft + cp) * dsym)

@@ -175,3 +175,61 @@ def effective_channel_mux(h, pmi: int = 0):
     h[..., rx, port, n] -> h_eff[..., rx, layer, n] = H W."""
     w = jnp.asarray(codebook_2x2(pmi))
     return jnp.einsum("...rpn,pl->...rln", h, w)
+
+
+# --- PMI selection and channel condition (precoding.c:2148-2923) -----------
+
+
+def pmi_select_2layer(h, noise_est=1e-4):
+    """SINR-maximizing PMI for TM4 2-layer over the 2x2 codebook.
+
+    h [..., rx, port, n] -> (pmi [...], sinr [..., 3]) — evaluates the
+    post-MMSE SINR for each codebook entry averaged over the REs
+    (srslte_precoding_pmi_select, precoding.c:2148-2886).
+    """
+    import numpy as np
+
+    sinrs = []
+    for pmi in range(3):
+        h_eff = effective_channel_mux(h, pmi)
+        hh = jnp.einsum("...ijn,...ikn->...jkn", jnp.conj(h_eff), h_eff)
+        a = hh[..., 0, 0, :].real + noise_est
+        d = hh[..., 1, 1, :].real + noise_est
+        b = hh[..., 0, 1, :]
+        det = jnp.maximum((a * d - jnp.abs(b) ** 2).real, 1e-20)
+        # per-layer post-MMSE SINR_i = det / (noise * opposite diag) - 1
+        s0 = det / (noise_est * jnp.maximum(d, 1e-20)) - 1.0
+        s1 = det / (noise_est * jnp.maximum(a, 1e-20)) - 1.0
+        sinrs.append(jnp.mean(jnp.log1p(jnp.maximum(s0, 0))
+                              + jnp.log1p(jnp.maximum(s1, 0)), axis=-1))
+    stack = jnp.stack(sinrs, axis=-1)
+    return jnp.argmax(stack, axis=-1), stack
+
+
+def pmi_select_1layer(h, noise_est=1e-4):
+    """SINR-maximizing PMI for TM4 single layer over the 4-entry rank-1
+    codebook (36.211 Table 6.3.4.2.3-2): w = [1, v]/sqrt(2),
+    v in {1, -1, j, -j}."""
+    vs = (1.0, -1.0, 1j, -1j)
+    sinrs = []
+    for v in vs:
+        heff = (h[..., 0, :] + v * h[..., 1, :]) / jnp.sqrt(2.0)
+        g = jnp.sum(jnp.abs(heff) ** 2, axis=-2)  # over rx antennas
+        sinrs.append(jnp.mean(g, axis=-1) / noise_est)
+    stack = jnp.stack(sinrs, axis=-1)
+    return jnp.argmax(stack, axis=-1), stack
+
+
+def condition_number_db(h):
+    """Average 2x2 channel condition number in dB
+    (srslte_precoding_cn, precoding.c:2889-2923; mat.c:107-127)."""
+    hh = jnp.einsum("...ijn,...ikn->...jkn", jnp.conj(h), h)
+    a = hh[..., 0, 0, :].real
+    d = hh[..., 1, 1, :].real
+    b = hh[..., 0, 1, :]
+    tr = a + d
+    det = jnp.maximum(a * d - jnp.abs(b) ** 2, 1e-20)
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
+    lmax = (tr + disc) / 2
+    lmin = jnp.maximum((tr - disc) / 2, 1e-20)
+    return jnp.mean(10 * jnp.log10(lmax / lmin), axis=-1)

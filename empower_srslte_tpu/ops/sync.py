@@ -21,7 +21,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..utils.cell import Cell, symbol_sz
+from ..utils.cell import CP as _CP, Cell, symbol_sz
+
+CP_NORM = _CP.NORM
+CP_EXT = _CP.EXT
 
 #: PSS Zadoff-Chu root per N_id_2 (36.211 Table 6.11.1.1-1).
 PSS_ROOTS = (25, 29, 34)
@@ -203,3 +206,43 @@ def sync_re_indices(cell: Cell) -> np.ndarray:
     """Subcarrier indices of the central 62 sync REs in the cell grid."""
     mid = cell.nof_re // 2
     return np.arange(mid - 31, mid + 31)
+
+
+def detect_cp(samples, nof_prb: int):
+    """Detect normal vs extended CP from one subframe of aligned samples
+    (the Kim et al. correlation test, sync.c:377-432): compare the CP
+    autocorrelation energy under both hypotheses.
+
+    Returns (is_normal [...], metric_norm [...], metric_ext [...]).
+    """
+    norm = Cell(nof_prb=nof_prb, id=0, cp=CP_NORM)
+    ext = Cell(nof_prb=nof_prb, id=0, cp=CP_EXT)
+
+    def energy(cell):
+        fft = cell.fft_size
+        cps = cell.cp_len_slot
+        acc = None
+        pos = 0
+        for rep in range(2 * cell.nsymb_slot):
+            cp_len = cps[rep % cell.nsymb_slot]
+            a = samples[..., pos : pos + cp_len]
+            b = samples[..., pos + fft : pos + fft + cp_len]
+            c = jnp.abs(jnp.sum(a * jnp.conj(b), axis=-1))
+            acc = c if acc is None else acc + c
+            pos += cp_len + fft
+        return acc
+
+    m_norm = energy(norm)
+    m_ext = energy(ext)
+    return m_norm >= m_ext, m_norm, m_ext
+
+
+def sfo_estimate(peak_positions, frame_len: int):
+    """Sampling frequency offset from PSS peak drift across frames
+    (sfo.c analog): peaks [..., n_frames] -> SFO in samples/frame."""
+    n = peak_positions.shape[-1]
+    x = jnp.arange(n, dtype=jnp.float32)
+    y = (peak_positions - peak_positions[..., :1]).astype(jnp.float32)
+    y = y - jnp.round(y / frame_len) * frame_len  # unwrap frame jumps
+    xm = x - jnp.mean(x)
+    return jnp.sum(xm * y, axis=-1) / jnp.maximum(jnp.sum(xm * xm), 1e-9)
