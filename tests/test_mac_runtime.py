@@ -204,3 +204,35 @@ class TestPcapCrash:
                            cwd="/root/repo")
         assert r.returncode != 0
         assert "boom" in crash.read_text()
+
+
+class TestMacPdu:
+    def test_sdu_mux_roundtrip(self):
+        from empower_srslte_tpu.mac.pdu import MacPdu, unpack_pdu
+
+        pdu = MacPdu()
+        pdu.add_sdu(3, b"hello world")
+        pdu.add_sdu(4, b"x" * 200)
+        raw = pdu.pack(300)
+        assert len(raw) == 300
+        back = unpack_pdu(raw)
+        sdus = [s for s in back.subpdus if s.is_sdu]
+        assert sdus[0].lcid == 3 and sdus[0].payload == b"hello world"
+        assert sdus[1].lcid == 4 and sdus[1].payload == b"x" * 200
+
+    def test_ces_roundtrip(self):
+        from empower_srslte_tpu.mac.pdu import (
+            LCID_CRNTI, LCID_PHR, LCID_SHORT_BSR, MacPdu, unpack_pdu)
+
+        pdu = MacPdu()
+        pdu.add_short_bsr(2, 17)
+        pdu.add_phr(33)
+        pdu.add_crnti(0x5a5a)
+        pdu.add_sdu(3, b"data")
+        raw = pdu.pack(64)
+        back = unpack_pdu(raw)
+        by_lcid = {s.lcid: s for s in back.subpdus}
+        assert by_lcid[LCID_SHORT_BSR].payload[0] == (2 << 6) | 17
+        assert by_lcid[LCID_PHR].payload[0] == 33
+        assert int.from_bytes(by_lcid[LCID_CRNTI].payload, "big") == 0x5a5a
+        assert by_lcid[3].payload == b"data"

@@ -35,13 +35,20 @@ def main():
         plan = cfg.plan(tbs)
         tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
         tb2 = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
-        ports = pdsch_encode(jnp.asarray(tb), cfg, plan, jnp.asarray(tb2), plan)
         h = (rng.normal(size=(batch, 2, 2, 14, 1200))
              + 1j * rng.normal(size=(batch, 2, 2, 14, 1200))).astype(np.complex64)
-        y = jnp.einsum("brpsk,bpsk->brsk", jnp.asarray(h), ports)
         n0 = 1e-3
-        y = y + jnp.asarray((rng.normal(size=y.shape) + 1j * rng.normal(size=y.shape))
-                            * np.sqrt(n0 / 2)).astype(jnp.complex64)
+        noise = ((rng.normal(size=(batch, 2, 14, 1200))
+                  + 1j * rng.normal(size=(batch, 2, 14, 1200)))
+                 * np.sqrt(n0 / 2)).astype(np.complex64)
+
+        @jax.jit
+        def make_rx(tb, tb2, h, noise):
+            ports = pdsch_encode(tb, cfg, plan, tb2, plan)
+            return jnp.einsum("brpsk,bpsk->brsk", h, ports) + noise
+
+        y = make_rx(jnp.asarray(tb), jnp.asarray(tb2), jnp.asarray(h),
+                    jnp.asarray(noise))
 
         def fn(y, h):
             (b1, b2), (ok1, ok2), _ = pdsch_decode(
@@ -56,9 +63,9 @@ def main():
         cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=mod)
         plan = cfg.plan(tbs)
         tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
-        grid = pdsch_encode(jnp.asarray(tb), cfg, plan)
+        grid = jax.jit(lambda t: pdsch_encode(t, cfg, plan))(jnp.asarray(tb))
         h = jnp.ones((batch, 1, 1, 14, 600), jnp.complex64) * (0.9 - 0.2j)
-        y = grid * 0.9 - grid * 0.2j
+        y = grid * (0.9 - 0.2j)
         n0 = 1e-3
 
         def fn(y, h):
