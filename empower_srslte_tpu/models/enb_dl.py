@@ -35,12 +35,19 @@ def _crs_scatter(cell: Cell, sf_idx: int):
 
 def put_crs(grid, cell: Cell, sf_idx: int):
     """Insert CRS for all ports: grid [..., P, nsymb, nre] -> same."""
+    from ..utils.scatter import overlay
+
     lead = grid.shape[:-3]
     flatg = grid.reshape(*lead, grid.shape[-3], -1)
-    for p, (idx, vals) in enumerate(_crs_scatter(cell, sf_idx)):
-        flatg = flatg.at[..., p, jnp.asarray(idx)].set(
-            jnp.asarray(vals).astype(grid.dtype))
-    return flatg.reshape(grid.shape)
+    planes = []
+    scatters = _crs_scatter(cell, sf_idx)
+    for p in range(grid.shape[-3]):
+        plane = flatg[..., p, :]
+        if p < len(scatters):
+            idx, vals = scatters[p]
+            plane = overlay(plane, jnp.asarray(vals), idx)
+        planes.append(plane)
+    return jnp.stack(planes, axis=-2).reshape(grid.shape)
 
 
 def enb_dl_base_grid(cell: Cell, sf_idx: int, batch_shape=()):
@@ -58,13 +65,19 @@ def put_sync_signals(grid, cell: Cell, sf_idx: int):
         return grid
     from ..ops.sync import pss_freq, sss_freq, sync_re_indices
 
-    k = jnp.asarray(sync_re_indices(cell))
+    from ..utils.scatter import overlay
+
+    k = sync_re_indices(cell)
+    nre = cell.nof_re
     nsym = cell.nsymb_slot
     pss = jnp.asarray(pss_freq(cell.n_id_2))
     sss = jnp.asarray(sss_freq(cell.n_id_1, cell.n_id_2, sf_idx))
-    grid = grid.at[..., 0, nsym - 1, k].set(pss.astype(grid.dtype))
-    grid = grid.at[..., 0, nsym - 2, k].set(sss.astype(grid.dtype))
-    return grid
+    lead = grid.shape[:-3]
+    flatg = grid.reshape(*lead, grid.shape[-3], -1)
+    p0 = overlay(flatg[..., 0, :], pss, (nsym - 1) * nre + k)
+    p0 = overlay(p0, sss, (nsym - 2) * nre + k)
+    flatg = jnp.concatenate([p0[..., None, :], flatg[..., 1:, :]], axis=-2)
+    return flatg.reshape(grid.shape)
 
 
 def enb_dl_gen_signal(grid, cell: Cell):

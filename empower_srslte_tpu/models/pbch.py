@@ -92,13 +92,16 @@ def pbch_encode_period(mib_bits, cell: Cell):
 def pbch_put(grid, mib_bits, cell: Cell, sfn: int):
     """Insert this frame's PBCH quarter into the port-0 grid
     [..., P, nsymb, nre] (subframe 0 grids only)."""
+    from ..utils.scatter import overlay
+
     coded = pbch_encode_period(mib_bits, cell)
     q = sfn % 4
     syms = modulate(coded[..., q * QUARTER : (q + 1) * QUARTER], Mod.QPSK)
-    idx = jnp.asarray(pbch_re_indices(cell))
+    idx = pbch_re_indices(cell)
     lead = grid.shape[:-3]
     flat = grid.reshape(*lead, grid.shape[-3], -1)
-    flat = flat.at[..., 0, idx].set(syms.astype(grid.dtype))
+    p0 = overlay(flat[..., 0, :], syms, idx)
+    flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]], axis=-2)
     return flat.reshape(grid.shape)
 
 

@@ -34,11 +34,17 @@ def _re_indices(cell: Cell) -> np.ndarray:
 
 def pcfich_put(grid, cfi: int, cell: Cell, sf_idx: int):
     """Insert the CFI codeword into the port-0 grid [..., P, nsymb, nre]."""
+    from ..utils.scatter import overlay
+
     bits = jnp.asarray(CFI_CODEWORDS[cfi - 1])
     scr = scramble_bits(bits, cinit_pcfich(2 * sf_idx, cell.id))
     syms = modulate(scr, Mod.QPSK)
-    idx = jnp.asarray(_re_indices(cell))
-    return grid.at[..., 0, 0, idx].set(syms.astype(grid.dtype))
+    idx = _re_indices(cell)  # symbol-0 REs: flat index == subcarrier
+    lead = grid.shape[:-3]
+    flat = grid.reshape(*lead, grid.shape[-3], -1)
+    p0 = overlay(flat[..., 0, :], syms, idx)
+    flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]], axis=-2)
+    return flat.reshape(grid.shape)
 
 
 def pcfich_decode(grid, h, cell: Cell, sf_idx: int, noise_est=0.0):

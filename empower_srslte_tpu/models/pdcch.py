@@ -87,12 +87,17 @@ def pdcch_encode(dci_bits, rnti: int, cce: int, l: int, cell: Cell,
     coded = jnp.bitwise_xor(coded, jnp.asarray(seq))
     syms = modulate(coded, Mod.QPSK)
 
+    from ..utils.scatter import place
+
     idx_all = _region_re_indices(cell, cfi, ng)
-    idx = jnp.asarray(idx_all[cce * RE_PER_CCE : (cce + l) * RE_PER_CCE])
+    idx = idx_all[cce * RE_PER_CCE : (cce + l) * RE_PER_CCE]
     lead = syms.shape[:-1]
-    grid = jnp.zeros((*lead, cell.nof_ports, cell.nsymb_sf * cell.nof_re),
-                     jnp.complex64)
-    grid = grid.at[..., 0, idx].set(syms)
+    flat_len = cell.nsymb_sf * cell.nof_re
+    p0 = place(syms, idx, flat_len)
+    grid = jnp.concatenate(
+        [p0[..., None, :],
+         jnp.zeros((*lead, cell.nof_ports - 1, flat_len), jnp.complex64)]
+        if cell.nof_ports > 1 else [p0[..., None, :]], axis=-2)
     return grid.reshape(*lead, cell.nof_ports, cell.nsymb_sf, cell.nof_re)
 
 

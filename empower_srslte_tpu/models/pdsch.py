@@ -158,12 +158,12 @@ def pdsch_encode(tb_bits, cfg: PdschConfig, plan: DlschPlan, tb_bits2=None,
     else:
         raise NotImplementedError(cfg.mimo)
 
+    from ..utils.scatter import place
+
     n_ports = ports.shape[-2]
-    idx = jnp.asarray(cfg.re_indices[: ports.shape[-1]])
     lead = ports.shape[:-2]
-    grid = jnp.zeros((*lead, n_ports, cfg.cell.nsymb_sf * cfg.cell.nof_re),
-                     dtype=ports.dtype)
-    grid = grid.at[..., idx].set(ports)
+    flat_len = cfg.cell.nsymb_sf * cfg.cell.nof_re
+    grid = place(ports, cfg.re_indices[: ports.shape[-1]], flat_len)
     return grid.reshape(*lead, n_ports, cfg.cell.nsymb_sf, cfg.cell.nof_re)
 
 

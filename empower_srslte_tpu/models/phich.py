@@ -43,12 +43,18 @@ def _scramble_seq(cell: Cell, sf_idx: int) -> np.ndarray:
 def phich_put(grid, ack: int, cell: Cell, sf_idx: int, group: int = 0,
               seq_idx: int = 0, ng: float = 1.0):
     """Insert one ACK(1)/NACK(0) indicator into the port-0 grid."""
+    from ..utils.scatter import overlay
+
     bpsk = 1.0 if ack else -1.0
     z = np.tile(_W[seq_idx], 3) * bpsk          # 12 symbols over 3 REGs
     z = z * _scramble_seq(cell, sf_idx)
-    idx = jnp.asarray(_group_re_indices(cell, ng, group))
-    cur = grid[..., 0, 0, idx]
-    return grid.at[..., 0, 0, idx].set(cur + jnp.asarray(z).astype(grid.dtype))
+    idx = _group_re_indices(cell, ng, group)    # symbol-0 subcarriers
+    lead = grid.shape[:-3]
+    flat = grid.reshape(*lead, grid.shape[-3], -1)
+    cur = flat[..., 0, jnp.asarray(idx)]
+    p0 = overlay(flat[..., 0, :], cur + jnp.asarray(z).astype(grid.dtype), idx)
+    flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]], axis=-2)
+    return flat.reshape(grid.shape)
 
 
 def phich_decode(grid, h, cell: Cell, sf_idx: int, group: int = 0,

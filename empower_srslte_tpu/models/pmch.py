@@ -96,23 +96,27 @@ class PmchConfig:
 
 def pmch_put_rs(grid, cfg: PmchConfig):
     """Insert MBSFN RS into [..., nsymb, nre]."""
+    from ..utils.scatter import overlay
+
     idx_rows, syms, vals = mbsfn_rs(cfg.area_id, cfg.cell.nof_prb, cfg.sf_idx)
+    nre = cfg.cell.nof_re
+    lead = grid.shape[:-2]
+    flat = grid.reshape(*lead, -1)
     for row, s, v in zip(idx_rows, syms, vals):
-        grid = grid.at[..., s, jnp.asarray(row)].set(
-            jnp.asarray(v).astype(grid.dtype))
-    return grid
+        flat = overlay(flat, jnp.asarray(v), int(s) * nre + row)
+    return flat.reshape(grid.shape)
 
 
 def pmch_encode(tb_bits, cfg: PmchConfig, plan: DlschPlan):
     """tb[..., tbs] -> MBSFN subframe grid [..., nsymb, nre] (with RS)."""
+    from ..utils.scatter import place
+
     coded = dlsch_encode(tb_bits, plan)
     scr = scramble_bits(coded, cfg.cinit())
     syms = modulate(scr, cfg.mod)
-    idx = jnp.asarray(pmch_re_indices(cfg.cell, cfg.sf_idx, cfg.cfi))
     lead = syms.shape[:-1]
-    grid = jnp.zeros((*lead, cfg.cell.nsymb_sf * cfg.cell.nof_re),
-                     jnp.complex64)
-    grid = grid.at[..., idx].set(syms)
+    grid = place(syms, pmch_re_indices(cfg.cell, cfg.sf_idx, cfg.cfi),
+                 cfg.cell.nsymb_sf * cfg.cell.nof_re)
     grid = grid.reshape(*lead, cfg.cell.nsymb_sf, cfg.cell.nof_re)
     return pmch_put_rs(grid, cfg)
 

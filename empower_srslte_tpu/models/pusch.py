@@ -78,16 +78,25 @@ def pusch_encode(tb_bits, cfg: PuschConfig, plan: DlschPlan):
     blocks = syms.reshape(*lead, cfg.nof_data_symbols, cfg.m_sc)
     spread = dft_precode(blocks)
 
+    from ..utils.scatter import place
+
     cell = cfg.cell
-    grid = jnp.zeros((*lead, cell.nsymb_sf, cell.nof_re), jnp.complex64)
     k0 = 12 * cfg.prb_start
-    data_syms = jnp.asarray(cfg.data_symbol_indices)
-    grid = grid.at[..., data_syms, k0 : k0 + cfg.m_sc].set(spread)
-    dmrs = jnp.asarray(pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift))
     l0, l1 = pusch_dmrs_symbols(cell)
-    grid = grid.at[..., l0, k0 : k0 + cfg.m_sc].set(dmrs[0])
-    grid = grid.at[..., l1, k0 : k0 + cfg.m_sc].set(dmrs[1])
-    return grid
+    dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift)
+    # one static placement of data + DMRS values into the flat grid
+    data_idx = np.concatenate(
+        [s * cell.nof_re + k0 + np.arange(cfg.m_sc)
+         for s in cfg.data_symbol_indices])
+    dmrs_idx = np.concatenate(
+        [l * cell.nof_re + k0 + np.arange(cfg.m_sc) for l in (l0, l1)])
+    vals = jnp.concatenate(
+        [spread.reshape(*lead, -1),
+         jnp.broadcast_to(jnp.asarray(dmrs.reshape(-1)),
+                          (*lead, 2 * cfg.m_sc))], axis=-1)
+    flat = place(vals, np.concatenate([data_idx, dmrs_idx]),
+                 cell.nsymb_sf * cell.nof_re)
+    return flat.reshape(*lead, cell.nsymb_sf, cell.nof_re)
 
 
 def pusch_decode(grid, cfg: PuschConfig, plan: DlschPlan, noise_est=0.0,

@@ -127,10 +127,14 @@ def srs_put(grid, cell: Cell, n_prb_srs: int, prb_start: int = 0,
     """Insert SRS in the last SC-FDMA symbol (comb-2 spacing)."""
     import jax.numpy as jnp
 
+    from ..utils.scatter import overlay
+
     seq = srs_sequence(cell, n_prb_srs, cyclic_shift)
     k = 12 * prb_start + comb + 2 * np.arange(len(seq))
-    return grid.at[..., cell.nsymb_sf - 1, jnp.asarray(k.astype(np.int32))].set(
-        jnp.asarray(seq))
+    flat = grid.reshape(*grid.shape[:-2], -1)
+    flat = overlay(flat, jnp.asarray(seq),
+                   (cell.nsymb_sf - 1) * cell.nof_re + k)
+    return flat.reshape(grid.shape)
 
 
 def srs_chest(grid, cell: Cell, n_prb_srs: int, prb_start: int = 0,

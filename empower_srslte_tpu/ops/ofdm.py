@@ -80,11 +80,12 @@ def ofdm_tx_sf(grid, cell: Cell, *, normalize: bool = False):
     Equivalent of srslte_ofdm_tx_sf (ofdm.c:583): scatter subcarriers
     around DC, IFFT, insert per-symbol CP.
     """
+    from ..utils.scatter import place
+
     fft = cell.fft_size
     nsymb = cell.nsymb_sf
     bins = _grid_to_bins(cell.nof_prb)
-    spec = jnp.zeros((*grid.shape[:-1], fft), dtype=grid.dtype)
-    spec = spec.at[..., jnp.asarray(bins)].set(grid)
+    spec = place(grid, bins, fft)
     sym = jnp.fft.ifft(spec, axis=-1)                       # [..., nsymb, fft]
     if normalize:
         sym = sym * np.float32(np.sqrt(fft))
