@@ -35,51 +35,53 @@ def main():
         plan = cfg.plan(tbs)
         tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
         tb2 = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
-        h = (rng.normal(size=(batch, 2, 2, 14, 1200))
-             + 1j * rng.normal(size=(batch, 2, 2, 14, 1200))).astype(np.complex64)
         n0 = 1e-3
-        noise = ((rng.normal(size=(batch, 2, 14, 1200))
-                  + 1j * rng.normal(size=(batch, 2, 14, 1200)))
-                 * np.sqrt(n0 / 2)).astype(np.complex64)
+        hs = (batch, 2, 2, 14, 1200)
+        ns = (batch, 2, 14, 1200)
+        # complex values never cross the host-device boundary (the axon
+        # backend cannot transfer complex64): encode + channel + decode is
+        # ONE jit over real inputs
+        h_re = rng.normal(size=hs).astype(np.float32)
+        h_im = rng.normal(size=hs).astype(np.float32)
+        nz_re = (rng.normal(size=ns) * np.sqrt(n0 / 2)).astype(np.float32)
+        nz_im = (rng.normal(size=ns) * np.sqrt(n0 / 2)).astype(np.float32)
 
-        @jax.jit
-        def make_rx(tb, tb2, h, noise):
+        def fn(tb, tb2, h_re, h_im, nz_re, nz_im):
+            h = jax.lax.complex(h_re, h_im)
             ports = pdsch_encode(tb, cfg, plan, tb2, plan)
-            return jnp.einsum("brpsk,bpsk->brsk", h, ports) + noise
-
-        y = make_rx(jnp.asarray(tb), jnp.asarray(tb2), jnp.asarray(h),
-                    jnp.asarray(noise))
-
-        def fn(y, h):
+            y = (jnp.einsum("brpsk,bpsk->brsk", h, ports)
+                 + jax.lax.complex(nz_re, nz_im))
             (b1, b2), (ok1, ok2), _ = pdsch_decode(
                 y, h, cfg, plan, noise_est=n0, plan2=plan)
             return jnp.sum(ok1) + jnp.sum(ok2)
 
         bits_per_sf = 2 * tbs
-        args = (y, jnp.asarray(h))
+        args = tuple(jnp.asarray(a) for a in
+                     (tb, tb2, h_re, h_im, nz_re, nz_im))
     else:
         cell = Cell(nof_prb=50, nof_ports=1, id=1)
         mod, tbs = ra.mcs_to_tbs(23, 50)
         cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=mod)
         plan = cfg.plan(tbs)
         tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
-        grid = jax.jit(lambda t: pdsch_encode(t, cfg, plan))(jnp.asarray(tb))
-        h = jnp.ones((batch, 1, 1, 14, 600), jnp.complex64) * (0.9 - 0.2j)
-        y = grid * (0.9 - 0.2j)
         n0 = 1e-3
 
-        def fn(y, h):
-            bits, ok, _ = pdsch_decode(y, h, cfg, plan, noise_est=n0)
+        def fn(tb):
+            grid = pdsch_encode(tb, cfg, plan)
+            hval = jax.lax.complex(jnp.float32(0.9), jnp.float32(-0.2))
+            h = jnp.broadcast_to(hval, (batch, 1, 1, 14, 600))
+            bits, ok, _ = pdsch_decode(grid * hval, h, cfg, plan, noise_est=n0)
             return jnp.sum(ok)
 
         bits_per_sf = tbs
-        args = (y, h)
+        args = (jnp.asarray(tb),)
 
     jfn = jax.jit(fn)
     t0 = time.time()
     r = jfn(*args)
     n_ok = int(r)
-    print(f"compile+first: {time.time()-t0:.1f}s; ok={n_ok}/{batch if config!='20mimo' else 2*batch}")
+    total = 2 * batch if config == "20mimo" else batch
+    print(f"compile+first: {time.time()-t0:.1f}s; ok={n_ok}/{total}")
 
     reps = 5
     t0 = time.time()
