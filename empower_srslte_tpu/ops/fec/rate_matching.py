@@ -67,23 +67,24 @@ def _wmap(k: int, f: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=2048)
-def _selection(k: int, f: int, rv: int, e: int, ncb: int) -> np.ndarray:
-    """TX bit-selection map: e output positions -> flat d[3, K+4] indices.
-
-    k0 per 36.212 5.1.4.1.2; NULL positions are skipped; wraps modulo ncb
-    for repetition. Returns int32[e].
-    """
+def _circle(k: int, f: int, rv: int, ncb: int) -> np.ndarray:
+    """One full circle of useful (non-NULL) circular-buffer reads starting
+    at k0(rv), as flat d[3, K+4] indices (36.212 5.1.4.1.2)."""
     d = k + 4
     r = -(-d // NCOLS)
     w = _wmap(k, f)[:ncb]
     k0 = r * (2 * (-(-ncb // (8 * r))) * rv + 2)
-
     valid = w[(k0 + np.arange(ncb)) % ncb]
-    valid_idx = valid[valid != _NULL]  # one full circle of useful bits
-    n_useful = len(valid_idx)
-    reps = -(-e // n_useful)
-    out = np.tile(valid_idx, reps)[:e]
-    return out.astype(np.int32)
+    return valid[valid != _NULL].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=2048)
+def _selection(k: int, f: int, rv: int, e: int, ncb: int) -> np.ndarray:
+    """TX bit-selection map: e output positions -> flat d[3, K+4] indices
+    (the circle tiled to length e)."""
+    circle = _circle(k, f, rv, ncb)
+    reps = -(-e // len(circle))
+    return np.tile(circle, reps)[:e]
 
 
 class RateMatchTurbo:
@@ -142,13 +143,23 @@ class RateMatchTurbo:
         """
         import jax.numpy as jnp
 
+        from ...utils.scatter import place
+
         e = llr_e.shape[-1]
         d_flat_len = 3 * self.d
-        idx = jnp.asarray(self.tx_indices(rv, e), dtype=jnp.int32)
-
-        acc = jnp.zeros((*llr_e.shape[:-1], d_flat_len), llr_e.dtype)
-        # scatter-add repeated/retransmitted LLRs straight in d-domain
-        acc = acc.at[..., idx].add(llr_e)
+        # The selection is the k0(rv) circle tiled to E: combining
+        # repetitions = zero-pad to a whole number of circles, sum the
+        # circle copies, then one static placement into the d domain —
+        # no runtime scatter (the TPU backend lowers scatters poorly).
+        circle = _circle(self.k, self.f, rv, self.ncb)
+        n = len(circle)
+        reps = -(-e // n)
+        pad = reps * n - e
+        if pad:
+            llr_e = jnp.pad(llr_e, [(0, 0)] * (llr_e.ndim - 1) + [(0, pad)])
+        summed = jnp.sum(
+            llr_e.reshape(*llr_e.shape[:-1], reps, n), axis=-2)
+        acc = place(summed, circle, d_flat_len)
         if softbuffer is not None:
             acc = acc + softbuffer
         new_soft = acc
