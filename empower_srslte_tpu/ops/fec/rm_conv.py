@@ -25,8 +25,8 @@ PERM_CONV = np.array(
 
 
 @functools.lru_cache(maxsize=512)
-def _selection(k: int, e: int) -> np.ndarray:
-    """TX map: e output positions -> flat indices into d[3, K]."""
+def _circle(k: int) -> np.ndarray:
+    """One full circle of useful circular-buffer reads (flat d[3, K])."""
     r = -(-k // NCOLS)
     kp = r * NCOLS
     nd = kp - k
@@ -34,9 +34,15 @@ def _selection(k: int, e: int) -> np.ndarray:
     y = (j % r) * NCOLS + PERM_CONV[j // r]      # v position -> y row index
     pos = y - nd
     w = np.concatenate([np.where(pos >= 0, s * k + pos, -1) for s in range(3)])
-    valid = w[w >= 0]
-    reps = -(-e // len(valid))
-    return np.tile(valid, reps)[:e].astype(np.int32)
+    return w[w >= 0].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=512)
+def _selection(k: int, e: int) -> np.ndarray:
+    """TX map: e output positions -> flat indices into d[3, K]."""
+    circle = _circle(k)
+    reps = -(-e // len(circle))
+    return np.tile(circle, reps)[:e]
 
 
 def rm_conv_tx(d, e: int):
@@ -47,10 +53,20 @@ def rm_conv_tx(d, e: int):
 
 
 def rm_conv_rx(llr_e, k: int):
-    """Soft de-rate-matching: [..., E] LLRs -> d_llr[..., 3, K]
-    (scatter-add combines repetitions)."""
+    """Soft de-rate-matching: [..., E] LLRs -> d_llr[..., 3, K].
+
+    Repetition combining as circle-sum + static placement (no runtime
+    scatter, same rationale as rate_matching.RateMatchTurbo.rx).
+    """
+    from ...utils.scatter import place
+
     e = llr_e.shape[-1]
-    idx = jnp.asarray(_selection(k, e))
-    acc = jnp.zeros((*llr_e.shape[:-1], 3 * k), llr_e.dtype)
-    acc = acc.at[..., idx].add(llr_e)
+    circle = _circle(k)
+    n = len(circle)
+    reps = -(-e // n)
+    pad = reps * n - e
+    if pad:
+        llr_e = jnp.pad(llr_e, [(0, 0)] * (llr_e.ndim - 1) + [(0, pad)])
+    summed = jnp.sum(llr_e.reshape(*llr_e.shape[:-1], reps, n), axis=-2)
+    acc = place(summed, circle, 3 * k)
     return acc.reshape(*llr_e.shape[:-1], 3, k)
