@@ -158,3 +158,71 @@ def unpack_format1(bits: np.ndarray, n_prb_cell: int) -> DciDl | None:
     if not any(mask):
         return None
     return DciDl("1", mcs, harq, ndi, rv, mask)
+
+
+def format2_size(n_prb_cell: int, nof_ports: int = 2,
+                 open_loop: bool = False) -> int:
+    """Formats 2 (TM4) / 2A (TM3): RA header + RBG bitmap + TPC(2) +
+    HARQ(3) + swap flag(1) + 2x[MCS(5)+NDI(1)+RV(2)] + precoding info."""
+    n_rbg = math.ceil(n_prb_cell / ra.rbg_size(n_prb_cell))
+    precoding = (0 if open_loop else 3) if nof_ports == 2 else 6
+    size = ((1 if n_prb_cell > 10 else 0) + n_rbg + 2 + 3 + 1
+            + 2 * (5 + 1 + 2) + precoding)
+    while size in AMBIGUOUS_SIZES or size in (
+            format0_1a_size(n_prb_cell), format1_size(n_prb_cell)):
+        size += 1
+    return size
+
+
+@dataclass
+class DciDl2:
+    """Resolved MIMO DL grant (format 2/2A)."""
+
+    prb_mask: tuple[bool, ...]
+    mcs: tuple[int, int]
+    rv: tuple[int, int]
+    ndi: tuple[int, int]
+    harq_pid: int
+    swap: int
+    pmi: int
+
+    @property
+    def n_prb(self) -> int:
+        return sum(self.prb_mask)
+
+
+def pack_format2(n_prb_cell: int, rbg_bitmap: int, mcs: tuple[int, int],
+                 harq_pid: int = 0, ndi=(0, 0), rv=(0, 0), pmi: int = 0,
+                 swap: int = 0, open_loop: bool = False) -> np.ndarray:
+    n_rbg = math.ceil(n_prb_cell / ra.rbg_size(n_prb_cell))
+    fields = []
+    if n_prb_cell > 10:
+        fields.append((0, 1))
+    fields += [(rbg_bitmap, n_rbg), (0, 2), (harq_pid, 3), (swap, 1)]
+    for i in range(2):
+        fields += [(mcs[i], 5), (ndi[i], 1), (rv[i], 2)]
+    if not open_loop:
+        fields.append((pmi, 3))
+    bits = np.concatenate([uint_to_bits(v, n) for v, n in fields])
+    pad = format2_size(n_prb_cell, open_loop=open_loop) - len(bits)
+    return np.concatenate([bits, np.zeros(pad, np.int8)])
+
+
+def unpack_format2(bits: np.ndarray, n_prb_cell: int,
+                   open_loop: bool = False) -> DciDl2 | None:
+    n_rbg = math.ceil(n_prb_cell / ra.rbg_size(n_prb_cell))
+    p = 1 if n_prb_cell > 10 else 0
+    bitmap = bits_to_uint(bits[p : p + n_rbg]); p += n_rbg
+    p += 2  # tpc
+    harq = bits_to_uint(bits[p : p + 3]); p += 3
+    swap = bits_to_uint(bits[p : p + 1]); p += 1
+    mcs, ndi, rv = [], [], []
+    for _ in range(2):
+        mcs.append(bits_to_uint(bits[p : p + 5])); p += 5
+        ndi.append(bits_to_uint(bits[p : p + 1])); p += 1
+        rv.append(bits_to_uint(bits[p : p + 2])); p += 2
+    pmi = 0 if open_loop else bits_to_uint(bits[p : p + 3])
+    mask = ra.prb_mask_type0(n_prb_cell, bitmap)
+    if not any(mask):
+        return None
+    return DciDl2(mask, tuple(mcs), tuple(rv), tuple(ndi), harq, swap, pmi)

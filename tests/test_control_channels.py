@@ -198,3 +198,19 @@ class TestPdcch:
         hits = pdcch_blind_decode(rx, jnp.asarray(h), cell, cfi, sf_idx,
                                   0x2222, (size,))
         assert len(hits) == 0
+
+
+class TestDciFormat2:
+    def test_pack_unpack(self):
+        bits = dci_mod.pack_format2(50, rbg_bitmap=0x1FFFF, mcs=(12, 14),
+                                    harq_pid=3, rv=(0, 2), pmi=1)
+        assert len(bits) == dci_mod.format2_size(50)
+        d = dci_mod.unpack_format2(bits, 50)
+        assert d.mcs == (12, 14) and d.rv == (0, 2)
+        assert d.harq_pid == 3 and d.pmi == 1
+        assert d.n_prb == 50  # all 17 RBGs, last one truncated
+
+    def test_sizes_distinct(self):
+        for n in (25, 50, 100):
+            assert dci_mod.format2_size(n) != dci_mod.format0_1a_size(n)
+            assert dci_mod.format2_size(n) != dci_mod.format1_size(n)
