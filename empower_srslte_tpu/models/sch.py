@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..ops.fec.cbsegm import CbSegm, cbsegm
 from ..ops.fec.rate_matching import RateMatchTurbo
 from ..ops.fec.turbo_decoder import TurboDecoder
-from ..ops.fec.turbo_encoder import turbo_encode
+from ..ops.fec.turbo_encoder import turbo_encode_fast as turbo_encode
 from ..utils.crc import CRC24A, CRC24B
 
 
