@@ -22,12 +22,14 @@ import jax.numpy as jnp
 
 from ..ops.equalizer import (
     MimoType,
+    effective_channel_cdd,
     effective_channel_mux,
     eq_mux_2x2,
     eq_sfbc,
     eq_single,
     layerdemap,
     layermap,
+    precode_cdd_2layer,
     precode_mux_2x2,
     precode_sfbc,
 )
@@ -155,6 +157,9 @@ def pdsch_encode(tb_bits, cfg: PdschConfig, plan: DlschPlan, tb_bits2=None,
     elif cfg.mimo is MimoType.SPATIAL_MUX:
         layers = layermap(cws, cfg.nof_layers, cfg.nof_codewords)
         ports = precode_mux_2x2(layers, cfg.pmi)
+    elif cfg.mimo is MimoType.CDD:
+        layers = layermap(cws, cfg.nof_layers, cfg.nof_codewords)
+        ports = precode_cdd_2layer(layers)
     else:
         raise NotImplementedError(cfg.mimo)
 
@@ -201,10 +206,13 @@ def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
         x, csi = eq_sfbc(y[..., :m], h0[..., :m], h1[..., :m])
         cw_syms = [x]
         csis = [csi]
-    elif cfg.mimo is MimoType.SPATIAL_MUX:
+    elif cfg.mimo in (MimoType.SPATIAL_MUX, MimoType.CDD):
         hp = jnp.stack([pdsch_extract(h[..., :, p, :, :], cfg)
                         for p in range(2)], axis=-2)      # [..., A, 2, M]
-        h_eff = effective_channel_mux(hp, cfg.pmi)
+        if cfg.mimo is MimoType.SPATIAL_MUX:
+            h_eff = effective_channel_mux(hp, cfg.pmi)
+        else:
+            h_eff = effective_channel_cdd(hp)
         x, csi = eq_mux_2x2(y, h_eff, noise_est)          # [..., 2, M]
         cw_syms = layerdemap(x, cfg.nof_codewords)
         csis = layerdemap(csi, cfg.nof_codewords)

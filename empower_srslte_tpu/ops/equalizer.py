@@ -233,3 +233,43 @@ def condition_number_db(h):
     lmax = (tr + disc) / 2
     lmin = jnp.maximum((tr - disc) / 2, 1e-20)
     return jnp.mean(10 * jnp.log10(lmax / lmin), axis=-1)
+
+
+# --- TM3: open-loop spatial multiplexing with large-delay CDD ---------------
+
+
+def _cdd_matrices():
+    """W (fixed identity codebook entry), U (DFT), D(i) (per-RE cycling
+    diagonal) for 2 layers (36.211 6.3.4.2.2)."""
+    import numpy as np
+
+    w = np.array([[1, 0], [0, 1]], np.complex64) / np.sqrt(2)
+    u = np.array([[1, 1], [1, np.exp(-2j * np.pi / 2)]], np.complex64) / np.sqrt(2)
+    return w, u
+
+
+def precode_cdd_2layer(layers):
+    """TM3 large-delay CDD: x_ports(i) = W D(i) U x_layers(i)
+    (precoding.c precoding_cdd). layers [..., 2, n] -> ports [..., 2, n]."""
+    import numpy as np
+
+    n = layers.shape[-1]
+    w, u = _cdd_matrices()
+    # D(i) = diag(1, e^{-j 2 pi i / 2}) = diag(1, (-1)^i)
+    sign = jnp.asarray((1.0 - 2.0 * (np.arange(n) % 2)).astype(np.float32))
+    ux = jnp.einsum("lm,...mn->...ln", jnp.asarray(u), layers)
+    ux = jnp.stack([ux[..., 0, :], ux[..., 1, :] * sign], axis=-2)
+    return jnp.einsum("pl,...ln->...pn", jnp.asarray(w), ux)
+
+
+def effective_channel_cdd(h):
+    """Fold W·D(i)·U into the per-port channel:
+    h[..., rx, port, n] -> h_eff[..., rx, layer, n]."""
+    import numpy as np
+
+    n = h.shape[-1]
+    w, u = _cdd_matrices()
+    hw = jnp.einsum("...rpn,pl->...rln", h, jnp.asarray(w))
+    sign = jnp.asarray((1.0 - 2.0 * (np.arange(n) % 2)).astype(np.float32))
+    hwd = jnp.stack([hw[..., 0, :], hw[..., 1, :] * sign], axis=-2)
+    return jnp.einsum("...rln,lm->...rmn", hwd, jnp.asarray(u))

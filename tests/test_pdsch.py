@@ -150,3 +150,35 @@ class TestPdschMimo:
             bits, ok, _ = pdsch_decode(jnp.asarray(noisy), h, cfg, plan, noise_est=n0)
             assert bool(np.asarray(ok)[0])
             assert np.array_equal(np.asarray(bits)[0], tb[0])
+
+
+class TestPdschCdd:
+    @pytest.mark.parametrize("ncw", [1, 2])
+    def test_tm3_cdd_2x2(self, ncw, rng):
+        cell = Cell(nof_prb=25, nof_ports=2, id=1)
+        cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=Mod.QAM16,
+                          mimo=MimoType.CDD, nof_layers=2, nof_codewords=ncw)
+        tbs = 6456
+        plan = DlschPlan(tbs=tbs, g=cfg.g, qm=4, n_layers=2 // ncw)
+        tb = rng.integers(0, 2, size=(1, tbs)).astype(np.int8)
+        if ncw == 2:
+            tb2 = rng.integers(0, 2, size=(1, tbs)).astype(np.int8)
+            ports = pdsch_encode(jnp.asarray(tb), cfg, plan, jnp.asarray(tb2), plan)
+        else:
+            ports = pdsch_encode(jnp.asarray(tb), cfg, plan)
+        hmat = (rng.normal(size=(2, 2, 14, cell.nof_re))
+                + 1j * rng.normal(size=(2, 2, 14, cell.nof_re))).astype(np.complex64)
+        y = np.einsum("rpsk,bpsk->brsk", hmat, np.asarray(ports))
+        noisy, n0 = _awgn(y, 25.0, rng)
+        h = jnp.asarray(hmat)[None]
+        if ncw == 2:
+            (b1, b2), (ok1, ok2), _ = pdsch_decode(
+                jnp.asarray(noisy), h, cfg, plan, noise_est=n0, plan2=plan)
+            assert bool(np.asarray(ok1)[0]) and bool(np.asarray(ok2)[0])
+            assert np.array_equal(np.asarray(b1)[0], tb[0])
+            assert np.array_equal(np.asarray(b2)[0], tb2[0])
+        else:
+            bits, ok, _ = pdsch_decode(jnp.asarray(noisy), h, cfg, plan,
+                                       noise_est=n0)
+            assert bool(np.asarray(ok)[0])
+            assert np.array_equal(np.asarray(bits)[0], tb[0])
