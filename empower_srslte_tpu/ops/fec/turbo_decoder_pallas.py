@@ -59,7 +59,7 @@ def _wiring():
     return (t.next_state, t.parity, t.prev_state, t.prev_parity)
 
 
-def _half_iter_kernel(l: int, o: int, lanes: int):
+def _half_iter_kernel(l: int, o: int, lanes: int, group: int = GROUP):
     """Kernel body for one constituent decode over grid (W, B_folded/lanes).
 
     Refs: lsa_hbm/lp_hbm [rows, 8, Bf] (ANY); llr block out [L, 8, lanes];
@@ -68,10 +68,10 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
     """
     ns, par, ps, pp = _wiring()
 
-    assert l % GROUP == 0 and o % GROUP == 0
+    assert l % group == 0 and o % group == 0
     span = l + 2 * o
-    n_groups = (l + o) // GROUP
-    o_groups = o // GROUP
+    n_groups = (l + o) // group
+    o_groups = o // group
 
     def step_gammas(ls, lp_):
         """Branch metrics for (u, p) combos from pre-halved [8, lanes] rows."""
@@ -89,7 +89,7 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
         w = pl.program_id(0)
         b = pl.program_id(1)
         n_w = pl.num_programs(0)
-        row0 = pl.multiple_of(w * l, GROUP)
+        row0 = pl.multiple_of(w * l, group)
         col0 = pl.multiple_of(b * lanes, 128)
 
         cp_s = pltpu.make_async_copy(
@@ -121,11 +121,11 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
         # ---- beta backward sweep, store beta_{j+1} for j in [0, L) --------
         def bgroup(gi, beta):
             beta = list(beta)
-            base = pl.multiple_of((n_groups - 1 - gi) * GROUP + o, GROUP)
-            ls_blk = lsa_buf[pl.ds(base, GROUP)]      # [G, 8, lanes]
-            lp_blk = lp_buf[pl.ds(base, GROUP)]
-            saves = [None] * GROUP
-            for j in range(GROUP - 1, -1, -1):
+            base = pl.multiple_of((n_groups - 1 - gi) * group + o, group)
+            ls_blk = lsa_buf[pl.ds(base, group)]      # [G, 8, lanes]
+            lp_blk = lp_buf[pl.ds(base, group)]
+            saves = [None] * group
+            for j in range(group - 1, -1, -1):
                 g = step_gammas(ls_blk[j], lp_blk[j])
                 saves[j] = beta
                 beta = [
@@ -139,7 +139,7 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
             def _():
                 # [G, 8, 8, lanes] block store of pre-update carries
                 blk = jnp.stack([jnp.stack(sv, axis=0) for sv in saves], axis=0)
-                betas_ref[pl.ds(pl.multiple_of(base - o, GROUP), GROUP)] = blk
+                betas_ref[pl.ds(pl.multiple_of(base - o, group), group)] = blk
 
             return tuple(beta)
 
@@ -147,14 +147,14 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
 
         # ---- alpha forward sweep + LLR emission ---------------------------
         def agroup(gi, alpha):
-            base = pl.multiple_of(gi * GROUP, GROUP)
-            ls_blk = lsa_buf[pl.ds(base, GROUP)]
-            lp_blk = lp_buf[pl.ds(base, GROUP)]
+            base = pl.multiple_of(gi * group, group)
+            ls_blk = lsa_buf[pl.ds(base, group)]
+            lp_blk = lp_buf[pl.ds(base, group)]
 
             def half_sweep(alpha, emit_blk):
                 alpha = list(alpha)
                 outs = []
-                for j in range(GROUP):
+                for j in range(group):
                     g = step_gammas(ls_blk[j], lp_blk[j])
                     if emit_blk is not None:
                         bk1 = [emit_blk[j, s] for s in range(8)]
@@ -177,10 +177,10 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
                 return tuple(a)
 
             def emit(alpha):
-                eb = pl.multiple_of(base - o, GROUP)
-                bblk = betas_ref[pl.ds(eb, GROUP)]     # [G, 8, 8, lanes]
+                eb = pl.multiple_of(base - o, group)
+                bblk = betas_ref[pl.ds(eb, group)]     # [G, 8, 8, lanes]
                 a, outs = half_sweep(alpha, bblk)
-                llr_ref[pl.ds(eb, GROUP)] = jnp.stack(outs, axis=0)
+                llr_ref[pl.ds(eb, group)] = jnp.stack(outs, axis=0)
                 return tuple(a)
 
             return jax.lax.cond(gi < o_groups, train, emit, alpha)
@@ -191,7 +191,8 @@ def _half_iter_kernel(l: int, o: int, lanes: int):
 
 
 def map_decode_fused(lsa_pd, lp_pd, k: int, l: int, o: int, *,
-                     lanes: int = DEFAULT_LANES, interpret: bool = False):
+                     lanes: int = DEFAULT_LANES, group: int = GROUP,
+                     interpret: bool = False):
     """One constituent MAP decode over pre-halved padded LLR arrays.
 
     lsa_pd/lp_pd: [rows, 8, Bf] f32 — O PAD rows, the K+3 payload+tail
@@ -205,7 +206,7 @@ def map_decode_fused(lsa_pd, lp_pd, k: int, l: int, o: int, *,
     w = k // l
     grid = (w, bf // lanes)
 
-    kernel = _half_iter_kernel(l, o, lanes)
+    kernel = _half_iter_kernel(l, o, lanes, group)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k, 8, bf), jnp.float32),

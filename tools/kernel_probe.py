@@ -15,7 +15,9 @@ def main():
     k = 6144
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    l, o = 128, 40
+    group = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    o = 48 if group == 16 else 40
+    l = 128
     t0 = time.time()
     rng = np.random.default_rng(0)
     lsa = fold_lanes(pad_trellis_rows(
@@ -25,7 +27,7 @@ def main():
     lsa, lp = jax.block_until_ready((lsa, lp))
     print("inputs ready", time.time() - t0, flush=True)
 
-    fn = jax.jit(lambda a, p: map_decode_fused(a, p, k, l, o, lanes=lanes))
+    fn = jax.jit(lambda a, p: map_decode_fused(a, p, k, l, o, lanes=lanes, group=group))
     r = fn(lsa, lp)
     print("dispatched", time.time() - t0, flush=True)
     _ = float(r[0, 0, 0])
@@ -36,7 +38,7 @@ def main():
         r = fn(lsa, lp)
     _ = float(r[0, 0, 0])
     dt = (time.time() - t1) / 10
-    print(f"lanes={lanes} per-kernel: {dt*1e3:.2f} ms -> half-iter throughput "
+    print(f"lanes={lanes} group={group} per-kernel: {dt*1e3:.2f} ms -> half-iter throughput "
           f"{b*k/dt/1e6:.0f} Mbit/s-of-halfiters", flush=True)
 
 
