@@ -115,3 +115,33 @@ class TestChestMeasurements:
         rx = ofdm_rx_sf(jnp.asarray(s.astype(np.complex64)), cell)
         est = float(np.asarray(cfo_est_pilots(rx, cell, 0)[0]))
         assert abs(est - cfo_true) < 0.01
+
+
+class TestUeReports:
+    def test_cqi_staircase(self):
+        from empower_srslte_tpu.models.measurements import cqi_from_snr
+
+        import jax.numpy as jnp
+
+        vals = np.asarray(cqi_from_snr(jnp.asarray([-10.0, 0.0, 12.0, 30.0])))
+        assert vals[0] == 0 and vals[-1] == 15
+        assert np.all(np.diff(vals) >= 0)
+
+    def test_full_report(self, rng):
+        from empower_srslte_tpu.models.measurements import ue_measurement_report
+
+        import jax.numpy as jnp
+
+        n = 120
+        # well-conditioned strong channel -> rank 2, high CQI
+        h_good = np.tile((2 * np.eye(2, dtype=np.complex64))[:, :, None],
+                         (1, 1, n))
+        rep = ue_measurement_report(jnp.asarray(h_good), noise_est=1e-3)
+        assert int(np.asarray(rep["ri"])) == 2
+        assert int(np.asarray(rep["cqi"])) >= 13
+        # rank-1 channel -> ri 1, lower rank report
+        u = (rng.normal(size=2) + 1j * rng.normal(size=2)).astype(np.complex64)
+        h_r1 = np.einsum("r,p->rp", u, u.conj())[:, :, None].repeat(n, -1)
+        rep1 = ue_measurement_report(jnp.asarray(h_r1.astype(np.complex64)),
+                                     noise_est=1e-3)
+        assert int(np.asarray(rep1["ri"])) == 1
