@@ -1,0 +1,155 @@
+"""MME-lite: the NAS attach state machine over HSS + SP-GW
+(srsepc/src/mme parity for the attach/authentication flow).
+
+Drives the reference's attach sequence (nas.cc): Attach Request ->
+Authentication Request/Response (Milenage via the HSS) -> Security Mode
+Command/Complete (K_NASint derived from K_ASME) -> session creation at
+the SP-GW -> Attach Accept with the UE IP. Transport-agnostic: the eNB
+side passes opaque NAS PDUs (the reference carries them over S1AP).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+from dataclasses import dataclass, field
+
+from ..upper import security
+from . import nas
+from .hss import Hss
+from .spgw import SpGw
+
+
+def kdf_nas_int(kasme: bytes, alg_id: int = 2) -> bytes:
+    """K_NASint derivation (33.401 A.7: FC=0x69, algo type NAS-int=2)."""
+    s = (b"\x69" + b"\x02" + b"\x00\x01" + bytes([alg_id]) + b"\x00\x01")
+    return hmac.new(kasme, s, hashlib.sha256).digest()[16:]
+
+
+@dataclass
+class UeContext:
+    imsi: str
+    state: str = "idle"        # idle -> auth -> smc -> attached
+    xres: bytes = b""
+    kasme: bytes = b""
+    k_nas_int: bytes = b""
+    ul_count: int = 0
+    dl_count: int = 0
+    ue_ip: str = ""
+    guti: int = 0
+
+
+class Mme:
+    """Attach-flow endpoint (one per EPC)."""
+
+    def __init__(self, hss: Hss, spgw: SpGw | None = None):
+        self.hss = hss
+        self.spgw = spgw or SpGw()
+        self._by_imsi: dict[str, UeContext] = {}
+        self._next_guti = 0x1000
+
+    def handle_ul_nas(self, pdu: bytes, enb_teid: int = 0) -> bytes | None:
+        """Process one uplink NAS message; returns the downlink response
+        (or None)."""
+        msg_type = pdu[1] if (pdu[0] >> 4) == nas.SH_PLAIN else None
+
+        if msg_type == nas.MSG_ATTACH_REQUEST:
+            imsi = nas.unpack_attach_request(pdu)
+            av = self.hss.generate_av(imsi)
+            if av is None:
+                return None
+            ctx = UeContext(imsi=imsi, state="auth", xres=av["xres"],
+                            kasme=av["kasme"])
+            self._by_imsi[imsi] = ctx
+            return nas.pack_auth_request(av["rand"], av["autn"])
+
+        if msg_type == nas.MSG_AUTH_RESPONSE:
+            ctx = self._ctx_in_state("auth")
+            if ctx is None:
+                return None
+            res = nas.unpack_auth_response(pdu)
+            if res != ctx.xres:
+                ctx.state = "idle"
+                return None
+            ctx.k_nas_int = kdf_nas_int(ctx.kasme)
+            ctx.state = "smc"
+            cmd = nas.pack_security_mode_command()
+            out = nas.protect(cmd, ctx.k_nas_int, ctx.dl_count, direction=1)
+            ctx.dl_count += 1
+            return out
+
+        # integrity-protected uplink (security mode complete)
+        ctx = self._ctx_in_state("smc")
+        if ctx is not None:
+            inner = nas.unprotect(pdu, ctx.k_nas_int, ctx.ul_count,
+                                  direction=0)
+            ctx.ul_count += 1
+            if inner is not None and inner[1] == nas.MSG_SECURITY_MODE_COMPLETE:
+                sess = self.spgw.create_session(ctx.imsi, enb_teid)
+                ctx.ue_ip = sess.ue_ip
+                ctx.guti = self._next_guti
+                self._next_guti += 1
+                ctx.state = "attached"
+                acc = nas.pack_attach_accept(ctx.ue_ip, ctx.guti)
+                out = nas.protect(acc, ctx.k_nas_int, ctx.dl_count, 1)
+                ctx.dl_count += 1
+                return out
+        return None
+
+    def _ctx_in_state(self, state: str) -> UeContext | None:
+        for ctx in self._by_imsi.values():
+            if ctx.state == state:
+                return ctx
+        return None
+
+    def context(self, imsi: str) -> UeContext | None:
+        return self._by_imsi.get(imsi)
+
+
+@dataclass
+class UeNas:
+    """UE-side NAS endpoint (srsue/src/upper/nas.cc + usim.cc analog)."""
+
+    imsi: str
+    key: bytes
+    opc: bytes
+    k_nas_int: bytes = b""
+    kasme: bytes = b""
+    ul_count: int = 0
+    dl_count: int = 0
+    ue_ip: str = ""
+    attached: bool = False
+
+    def attach_request(self) -> bytes:
+        return nas.pack_attach_request(self.imsi)
+
+    def handle_dl_nas(self, pdu: bytes,
+                      plmn: bytes = b"\x00\xf1\x10") -> bytes | None:
+        if (pdu[0] >> 4) == nas.SH_PLAIN and pdu[1] == nas.MSG_AUTH_REQUEST:
+            rand, autn = nas.unpack_auth_request(pdu)
+            res, ck, ik, ak = security.milenage_f2345(self.key, self.opc, rand)
+            # verify network MAC-A (AUTN = SQN^AK | AMF | MAC)
+            sqn = bytes(a ^ b for a, b in zip(autn[:6], ak))
+            mac_a, _ = security.milenage_f1(self.key, self.opc, rand, sqn,
+                                            autn[6:8])
+            if mac_a != autn[8:]:
+                return None  # network authentication failed
+            from .hss import kasme_derive
+
+            self.kasme = kasme_derive(ck, ik, plmn, autn[:6])
+            self.k_nas_int = kdf_nas_int(self.kasme)
+            return nas.pack_auth_response(res)
+
+        inner = nas.unprotect(pdu, self.k_nas_int, self.dl_count, 1)
+        self.dl_count += 1
+        if inner is None:
+            return None
+        if inner[1] == nas.MSG_SECURITY_MODE_COMMAND:
+            out = nas.protect(nas.pack_security_mode_complete(),
+                              self.k_nas_int, self.ul_count, 0)
+            self.ul_count += 1
+            return out
+        if inner[1] == nas.MSG_ATTACH_ACCEPT:
+            _, self.ue_ip = nas.unpack_attach_accept(inner)
+            self.attached = True
+        return None

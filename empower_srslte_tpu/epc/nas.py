@@ -1,0 +1,130 @@
+"""NAS EMM message subset (24.301; srsepc/src/mme nas.cc / liblte_mme.cc
+parity for the attach flow).
+
+Pack/unpack for the messages exercised by the reference's attach
+procedure: Attach Request, Authentication Request/Response, Security Mode
+Command/Complete, Attach Accept. Plain-header (non-ciphered) encoding plus
+the integrity-protected header variant with EIA2 MAC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..upper import security
+
+#: Protocol discriminator: EPS Mobility Management.
+PD_EMM = 0x07
+
+# message types (24.301 Table 9.8.1)
+MSG_ATTACH_REQUEST = 0x41
+MSG_ATTACH_ACCEPT = 0x42
+MSG_AUTH_REQUEST = 0x52
+MSG_AUTH_RESPONSE = 0x53
+MSG_SECURITY_MODE_COMMAND = 0x5D
+MSG_SECURITY_MODE_COMPLETE = 0x5E
+
+#: Security header types.
+SH_PLAIN = 0x0
+SH_INTEGRITY = 0x1
+SH_INTEGRITY_CIPHERED = 0x2
+
+
+def _imsi_to_bcd(imsi: str) -> bytes:
+    """IMSI -> mobile identity BCD (odd-length IMSI typical)."""
+    digits = [int(c) for c in imsi]
+    odd = len(digits) % 2 == 1
+    out = [(digits[0] << 4) | (0x9 if odd else 0x1)]
+    rest = digits[1:]
+    for i in range(0, len(rest) - 1, 2):
+        out.append((rest[i + 1] << 4) | rest[i])
+    if len(rest) % 2 == 1:
+        out.append(0xF0 | rest[-1])
+    return bytes(out)
+
+
+def _bcd_to_imsi(b: bytes) -> str:
+    digits = [str(b[0] >> 4)]
+    for byte in b[1:]:
+        digits.append(str(byte & 0xF))
+        if (byte >> 4) != 0xF:
+            digits.append(str(byte >> 4))
+    return "".join(digits)
+
+
+def pack_attach_request(imsi: str) -> bytes:
+    ident = _imsi_to_bcd(imsi)
+    return bytes([PD_EMM, MSG_ATTACH_REQUEST, 0x71, len(ident)]) + ident
+
+
+def unpack_attach_request(msg: bytes) -> str:
+    assert msg[1] == MSG_ATTACH_REQUEST
+    ln = msg[3]
+    return _bcd_to_imsi(msg[4 : 4 + ln])
+
+
+def pack_auth_request(rand: bytes, autn: bytes, ksi: int = 0) -> bytes:
+    return (bytes([PD_EMM, MSG_AUTH_REQUEST, ksi & 0x0F]) + rand
+            + bytes([len(autn)]) + autn)
+
+
+def unpack_auth_request(msg: bytes) -> tuple[bytes, bytes]:
+    assert msg[1] == MSG_AUTH_REQUEST
+    rand = msg[3:19]
+    ln = msg[19]
+    return rand, msg[20 : 20 + ln]
+
+
+def pack_auth_response(res: bytes) -> bytes:
+    return bytes([PD_EMM, MSG_AUTH_RESPONSE, len(res)]) + res
+
+
+def unpack_auth_response(msg: bytes) -> bytes:
+    assert msg[1] == MSG_AUTH_RESPONSE
+    return msg[3 : 3 + msg[2]]
+
+
+def pack_security_mode_command(eea: int = 2, eia: int = 2) -> bytes:
+    return bytes([PD_EMM, MSG_SECURITY_MODE_COMMAND, (eea << 4) | eia])
+
+
+def pack_security_mode_complete() -> bytes:
+    return bytes([PD_EMM, MSG_SECURITY_MODE_COMPLETE])
+
+
+def pack_attach_accept(ue_ip: str, guti: int = 0) -> bytes:
+    import ipaddress
+
+    ip = ipaddress.ip_address(ue_ip).packed
+    return (bytes([PD_EMM, MSG_ATTACH_ACCEPT]) + guti.to_bytes(4, "big") + ip)
+
+
+def unpack_attach_accept(msg: bytes) -> tuple[int, str]:
+    import ipaddress
+
+    assert msg[1] == MSG_ATTACH_ACCEPT
+    guti = int.from_bytes(msg[2:6], "big")
+    return guti, str(ipaddress.ip_address(msg[6:10]))
+
+
+# --- integrity-protected wrapper (24.301 9.1/9.2) ---------------------------
+
+
+def protect(msg: bytes, k_nas_int: bytes, count: int,
+            direction: int) -> bytes:
+    """Wrap with the integrity-protected security header:
+    [SH|PD, MAC(4), SEQ, inner...]."""
+    seq = count & 0xFF
+    mac = security.eia2(k_nas_int, count, 0, direction, bytes([seq]) + msg)
+    return bytes([(SH_INTEGRITY << 4) | PD_EMM]) + mac + bytes([seq]) + msg
+
+
+def unprotect(pdu: bytes, k_nas_int: bytes, count: int,
+              direction: int) -> bytes | None:
+    """Verify + strip the security header; None on MAC failure."""
+    if (pdu[0] >> 4) != SH_INTEGRITY:
+        return pdu  # plain message
+    mac, seq, inner = pdu[1:5], pdu[5], pdu[6:]
+    exp = security.eia2(k_nas_int, (count & ~0xFF) | seq, 0, direction,
+                        bytes([seq]) + inner)
+    return inner if mac == exp else None

@@ -93,3 +93,60 @@ class TestSpgw:
         s = gw.create_session("imsi2", enb_teid=7)
         gw.delete_session("imsi2")
         assert gw.downlink(self._ip_packet(s.ue_ip)) is None
+
+
+class TestAttachFlow:
+    def test_full_attach(self):
+        from empower_srslte_tpu.epc.mme import Mme, UeNas
+        from empower_srslte_tpu.epc import Hss, Subscriber
+
+        k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+        op = bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318")
+        opc = security.milenage_opc(k, op)
+        imsi = "001010123456789"
+
+        hss = Hss()
+        hss.add_subscriber(Subscriber(name="t", auth_algo="mil", imsi=imsi,
+                                      key=k, opc=opc))
+        mme = Mme(hss)
+        ue = UeNas(imsi=imsi, key=k, opc=opc)
+
+        # UE -> MME: attach request; MME -> UE: auth request
+        auth_req = mme.handle_ul_nas(ue.attach_request(), enb_teid=0x42)
+        assert auth_req is not None
+        # UE validates AUTN (mutual auth) and answers RES
+        auth_resp = ue.handle_dl_nas(auth_req)
+        assert auth_resp is not None
+        # MME checks XRES, sends protected security mode command
+        smc = mme.handle_ul_nas(auth_resp)
+        assert smc is not None
+        # UE verifies MAC, completes; MME creates session + attach accept
+        smcomp = ue.handle_dl_nas(smc)
+        assert smcomp is not None
+        accept = mme.handle_ul_nas(smcomp, enb_teid=0x42)
+        assert accept is not None
+        ue.handle_dl_nas(accept)
+
+        assert ue.attached and ue.ue_ip.startswith("172.16.0.")
+        ctx = mme.context(imsi)
+        assert ctx.state == "attached" and ctx.ue_ip == ue.ue_ip
+        # both sides derived the same NAS integrity key
+        assert ue.k_nas_int == ctx.k_nas_int
+
+    def test_wrong_res_rejected(self):
+        from empower_srslte_tpu.epc.mme import Mme, UeNas
+        from empower_srslte_tpu.epc import Hss, Subscriber
+        from empower_srslte_tpu.epc import nas
+
+        k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+        op = bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318")
+        opc = security.milenage_opc(k, op)
+        imsi = "001010123456789"
+        hss = Hss()
+        hss.add_subscriber(Subscriber(name="t", auth_algo="mil", imsi=imsi,
+                                      key=k, opc=opc))
+        mme = Mme(hss)
+        mme.handle_ul_nas(nas.pack_attach_request(imsi))
+        bad = nas.pack_auth_response(b"\x00" * 8)
+        assert mme.handle_ul_nas(bad) is None
+        assert mme.context(imsi).state == "idle"
