@@ -9,8 +9,6 @@ the integrity-protected header variant with EIA2 MAC.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 from ..upper import security
 
 #: Protocol discriminator: EPS Mobility Management.

@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import socket
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 from .ran import RanSlicer
 from .scheduler import DlGrant

@@ -20,7 +20,7 @@ metric_dl plugin, scheduler_RAN.h:450-552).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .ran import DEFAULT_SLICE_ID, RanSlicer
 from .scheduler import UeState

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.ofdm import ofdm_tx_sf
 from ..utils.cell import Cell
-from .refsignal import crs_pilots, crs_symbol_indices
+from .refsignal import crs_pilots
 
 
 @functools.lru_cache(maxsize=256)

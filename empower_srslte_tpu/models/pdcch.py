@@ -11,7 +11,6 @@ candidate of an aggregation level decodes as one Viterbi batch.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 from ..ops.fec.convcoder import conv_encode, viterbi_decode
 from ..ops.fec.rm_conv import rm_conv_rx, rm_conv_tx
 from ..ops.modem import Mod, demod_soft, modulate
-from ..ops.scrambling import descramble_llrs, scramble_bits
+from ..ops.scrambling import descramble_llrs
 from ..utils.bits import uint_to_bits
 from ..utils.cell import Cell
 from ..utils.crc import CRC16

@@ -12,7 +12,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..ops.scrambling import descramble_llrs
 from ..utils.cell import Cell
 from ..utils.sequence import cinit_pdcch, gold_sequence
 from .regs import phich_regs, symbol_regs

@@ -18,8 +18,6 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from ..ops.fec.cbsegm import CbSegm, cbsegm

@@ -11,7 +11,7 @@ plan-per-configuration design.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -11,8 +11,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-import jax.numpy as jnp
-
 
 @dataclass
 class AgcState:

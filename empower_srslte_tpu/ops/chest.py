@@ -169,8 +169,6 @@ def noise_est_empty_sc(grid, cell: Cell):
     unused REs on each side of the 62-RE sync band in PSS/SSS symbols.
     Apply only to subframes 0/5. Returns [...] noise power.
     """
-    from ..ops.sync import sync_re_indices
-
     nsym = cell.nsymb_slot
     mid = cell.nof_re // 2
     edge = np.concatenate([np.arange(mid - 36, mid - 31),

@@ -21,7 +21,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..utils.cell import CP as _CP, Cell, symbol_sz
+from ..utils.cell import CP as _CP, Cell
 
 CP_NORM = _CP.NORM
 CP_EXT = _CP.EXT

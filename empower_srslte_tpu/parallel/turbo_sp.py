@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..ops.fec.tables import qpp_deinterleaver, qpp_interleaver
 from ..ops.fec.turbo_decoder import (

@@ -10,7 +10,6 @@ an INI loader, and the same --section.key=value override grammar.
 from __future__ import annotations
 
 import configparser
-import dataclasses
 from dataclasses import dataclass, field, fields
 
 

@@ -7,7 +7,7 @@ EEA/EIA algorithms (the reference's lib_security hooks).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from . import security
 

@@ -13,7 +13,7 @@ invoke ``tick``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 MOD_UM = 1024
 MOD_AM = 1024

@@ -14,7 +14,7 @@ All numerology is 3GPP TS 36.211 Rel-8 FDD. Everything is computed from
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # --- 36.211 constants -------------------------------------------------------
 
