@@ -16,8 +16,8 @@ from . import security
 class PdcpConfig:
     is_control: bool = False       # SRB (5-bit SN + MAC-I) vs DRB (12-bit)
     bearer_id: int = 1
-    cipher: str = "eea0"           # eea0 | eea2
-    integrity: str = "none"        # none | eia2
+    cipher: str = "eea0"           # eea0 | eea1 | eea2
+    integrity: str = "none"        # none | eia1 | eia2
     key_enc: bytes = b"\x00" * 16
     key_int: bytes = b"\x00" * 16
 
@@ -41,10 +41,15 @@ class PdcpEntity:
         return (hfn << bits) | sn
 
     def _cipher(self, count: int, direction: int, data: bytes) -> bytes:
-        if self.cfg.cipher == "eea2":
-            return security.eea2(self.cfg.key_enc, count, self.cfg.bearer_id,
-                                 direction, data)
+        if self.cfg.cipher in ("eea1", "eea2"):
+            fn = security.eea1 if self.cfg.cipher == "eea1" else security.eea2
+            return fn(self.cfg.key_enc, count, self.cfg.bearer_id,
+                      direction, data)
         return data
+
+    def _mac(self, count: int, direction: int, msg: bytes) -> bytes:
+        fn = security.eia1 if self.cfg.integrity == "eia1" else security.eia2
+        return fn(self.cfg.key_int, count, self.cfg.bearer_id, direction, msg)
 
     # --- TX -----------------------------------------------------------------
 
@@ -53,10 +58,9 @@ class PdcpEntity:
         sn = self.tx_sn
         count = self._count(self.tx_hfn, sn)
         body = sdu
-        if self.cfg.is_control and self.cfg.integrity == "eia2":
+        if self.cfg.is_control and self.cfg.integrity in ("eia1", "eia2"):
             header = bytes([sn & 0x1F])
-            mac = security.eia2(self.cfg.key_int, count, self.cfg.bearer_id,
-                                direction, header + sdu)
+            mac = self._mac(count, direction, header + sdu)
             body = sdu + mac
         body = self._cipher(count, direction, body)
         if self.cfg.is_control:
@@ -84,10 +88,9 @@ class PdcpEntity:
         self.rx_sn = sn
         count = self._count(self.rx_hfn, sn)
         body = self._cipher(count, direction, body)
-        if self.cfg.is_control and self.cfg.integrity == "eia2":
+        if self.cfg.is_control and self.cfg.integrity in ("eia1", "eia2"):
             sdu, mac = body[:-4], body[-4:]
-            exp = security.eia2(self.cfg.key_int, count, self.cfg.bearer_id,
-                                direction, bytes([sn & 0x1F]) + sdu)
+            exp = self._mac(count, direction, bytes([sn & 0x1F]) + sdu)
             if mac != exp:
                 self.integrity_failures += 1
                 return None

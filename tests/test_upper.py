@@ -132,6 +132,66 @@ class TestSecurity:
         assert mac != security.eia2(k, 8, 3, 0, b"signalling message")
         assert mac != security.eia2(k, 7, 3, 0, b"signalling messagf")
 
+    def test_eea1_33401_annexc3_set1(self):
+        # 33.401 v13.1.0 Annex C.3 test set 1 (same vectors as the
+        # reference's lib/test/common/test_eea1.cc)
+        k = bytes.fromhex("d3c5d592327fb11c4035c6680af8c6d1")
+        pt = bytes.fromhex("981ba6824c1bfb1ab485472029b71d80"
+                           "8ce33e2cc3c0b5fc1f3de8a6dc66b1f0")
+        ct = bytes.fromhex("5d5bfe75eb04f68ce0a12377ea00b37d"
+                           "47c6a0ba06309155086a859c4341b378")
+        assert security.eea1(k, 0x398A59B4, 0x15, 1, pt, 253) == ct
+        back = security.eea1(k, 0x398A59B4, 0x15, 1, ct, 253)
+        exp = bytearray(pt)
+        exp[-1] &= 0xF8  # tail bits past LENGTH are zeroed
+        assert back == bytes(exp)
+
+    def test_eea1_33401_annexc3_set2(self):
+        k = bytes.fromhex("2bd6459f82c440e0952c49104805ff48")
+        pt = bytes.fromhex(
+            "7ec61272743bf1614726446a6c38ced166f6ca76eb5430044286346cef13"
+            "0f92922b03450d3a9975e5bd2ea0eb55ad8e1b199e3ec4316020e9a1b285"
+            "e762795359b7bdfd39bef4b2484583d5afe082aee638bf5fd5a606193901"
+            "a08f4ab41aab9b134880")
+        ct = bytes.fromhex(
+            "3f67850714b8da69efb727ed7a6c0c50714ad736c4f5600006e3525be807"
+            "c467c677ff864af45fba09c27cde38f87a1f84d59ab255408f2c7b82f9ea"
+            "d41a1fe65eabebfbc1f3a4c56c9a26fcf7b3d66d0220ee4775bc58170a2b"
+            "12f3431d11b344d6e36c")
+        assert security.eea1(k, 0xC675A64B, 0x0C, 1, pt, 798) == ct
+
+    def test_eia1_properties(self):
+        # No EIA1 in the reference (liblte_security.h has eea1+eia2 only);
+        # the SNOW3G core is validated by the EEA1 goldens above, so only
+        # the UIA2 MAC wrapper is checked structurally here.
+        k = bytes.fromhex("2bd6459f82c5b300952c49104881ff48")
+        mac = security.eia1(k, 0x38A6F056, 0x1F, 0, b"324bc98@{**")
+        assert len(mac) == 4
+        assert mac != security.eia1(k, 0x38A6F056, 0x1F, 1, b"324bc98@{**")
+        assert mac != security.eia1(k, 0x38A6F057, 0x1F, 0, b"324bc98@{**")
+        assert mac != security.eia1(k, 0x38A6F056, 0x1F, 0, b"324bc98@{*+")
+        # length-in-bits sensitivity (same bytes, different bit length)
+        assert security.eia1(k, 1, 0, 0, b"\xAA", 7) != \
+            security.eia1(k, 1, 0, 0, b"\xAA", 8)
+
+    def test_kdf_family(self):
+        # 33.401 Annex A chain: deterministic, correct lengths, distinct
+        k_asme = security.generate_k_asme(
+            b"\x01" * 16, b"\x02" * 16, b"\x03" * 6, b"\x04" * 6,
+            "001", "01")
+        assert len(k_asme) == 32
+        k_enb = security.generate_k_enb(k_asme, 7)
+        nh = security.generate_nh(k_asme, k_enb)
+        k_enb_star = security.generate_k_enb_star(k_enb, pci=123,
+                                                  earfcn_dl=3400)
+        assert len(k_enb) == 32 and len(nh) == 32 and len(k_enb_star) == 32
+        assert k_enb != nh != k_enb_star
+        nas_enc, nas_int = security.generate_k_nas(k_asme, 1, 2)
+        rrc_enc, rrc_int = security.generate_k_rrc(k_enb, 1, 2)
+        up_enc, up_int = security.generate_k_up(k_enb, 1, 2)
+        keys = {nas_enc, nas_int, rrc_enc, rrc_int, up_enc, up_int}
+        assert len(keys) == 6 and all(len(x) == 16 for x in keys)
+
     def test_milenage_35207_set1(self):
         k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
         rand = bytes.fromhex("23553cbe9637a89d218ae64dae47bf35")
