@@ -62,3 +62,156 @@ def cqi_unpack_wideband(bits: np.ndarray) -> int:
     for b in bits[:4]:
         out = (out << 1) | int(b)
     return out
+
+
+# --- UCI on PUSCH (36.212 5.2.2.6-5.2.2.8; sch.c:550-985, uci.c:491-720) -----
+#
+# TPU-first layout: everything data-dependent is distilled into static
+# per-grant index tables on the host (a permutation for the channel
+# interleaver, position vectors for RI/ACK), so the device path is pure
+# gathers/scatters around the existing turbo/RM kernels — the same design
+# the reference uses with its precomputed interleaver LUTs
+# (sch.c:550-568 ulsch_interleave_gen).
+
+#: 36.213 Table 8.6.3-1/2/3 beta offsets (sch.c:48-58)
+BETA_HARQ_OFFSET = (2.0, 2.5, 3.125, 4.0, 5.0, 6.25, 8.0, 10.0,
+                    12.625, 15.875, 20.0, 31.0, 50.0, 80.0, 126.0, -1.0)
+BETA_RI_OFFSET = (1.25, 1.625, 2.0, 2.5, 3.125, 4.0, 5.0, 6.25, 8.0, 10.0,
+                  12.625, 15.875, 20.0, -1.0, -1.0, -1.0)
+BETA_CQI_OFFSET = (-1.0, -1.0, 1.125, 1.25, 1.375, 1.625, 1.75, 2.0, 2.25,
+                   2.5, 2.875, 3.125, 3.5, 4.0, 5.0, 6.25)
+
+# Bit-level codes used in RI/ACK patterns (uci.c encode_ri_ack):
+UCI_BIT_0, UCI_BIT_1, UCI_BIT_REPETITION, UCI_BIT_PLACEHOLDER = 0, 1, 2, 3
+
+#: Column sets for ACK (around DMRS) and RI placement (uci.c:504-534)
+ACK_COLUMNS_NORM = (2, 3, 8, 9)
+ACK_COLUMNS_EXT = (1, 2, 6, 7)
+RI_COLUMNS_NORM = (1, 4, 7, 10)
+RI_COLUMNS_EXT = (0, 3, 5, 8)
+
+
+def q_prime_ri_ack(o: int, o_cqi: int, beta: float, m_sc_init: int,
+                   n_symb_init: int, k_sum: int, m_sc: int) -> int:
+    """Q' for RI or HARQ-ACK (36.212 5.2.2.6 / uci.c:548-571).
+
+    k_sum = sum of code-block sizes of the UL-SCH TB; 0 when PUSCH carries
+    UCI only (then the CQI payload rules 5.2.4.1 apply).
+    """
+    if k_sum == 0:
+        k_sum = o_cqi if o_cqi <= 11 else o_cqi + 8
+    x = int(np.ceil(o * m_sc_init * n_symb_init * beta / k_sum))
+    return min(x, 4 * m_sc)
+
+
+def q_prime_cqi(o: int, beta: float, q_ri: int, m_sc_init: int,
+                n_symb_init: int, k_sum: int, m_sc: int,
+                n_symb: int) -> int:
+    """Q' for CQI/PMI (uci.c:270-287). L = 0 (O<11) or 8 (CRC8 appended)."""
+    l = 0 if o < 11 else 8
+    if k_sum > 0:
+        x = int(np.ceil((o + l) * m_sc_init * n_symb_init * beta / k_sum))
+    else:
+        x = 1 << 30
+    return min(x, m_sc * n_symb - q_ri)
+
+
+def ri_ack_positions(q_prime: int, qm: int, rows: int, normal_cp: bool,
+                     ack: bool) -> np.ndarray:
+    """Bit positions in the q vector for Q' RI/ACK symbols
+    (uci.c:499-545): symbol i sits at row = rows-1-i//4,
+    col = column_set[(3i) % 4], position = (row + rows*col)*Qm + k."""
+    if ack:
+        cols = ACK_COLUMNS_NORM if normal_cp else ACK_COLUMNS_EXT
+    else:
+        cols = RI_COLUMNS_NORM if normal_cp else RI_COLUMNS_EXT
+    pos = np.empty((q_prime, qm), np.int64)
+    for i in range(q_prime):
+        row = rows - 1 - i // 4
+        col = cols[(3 * i) % 4]
+        pos[i] = (row + rows * col) * qm + np.arange(qm)
+    return pos.reshape(-1)
+
+
+def ri_ack_pattern(values: np.ndarray, qm: int) -> np.ndarray:
+    """Coded bit pattern for 1- or 2-bit RI/ACK (uci.c encode_ri_ack):
+    returns codes (UCI_BIT_*) of length qm (1 bit) or 3*qm (2 bits);
+    symbol i of Q' uses pattern[(i*qm) % len : ... + qm]."""
+    values = np.atleast_1d(np.asarray(values)).astype(np.int64)
+    if len(values) == 1:
+        pat = np.full(qm, UCI_BIT_PLACEHOLDER, np.int64)
+        pat[0] = UCI_BIT_1 if values[0] else UCI_BIT_0
+        if qm > 1:
+            pat[1] = UCI_BIT_REPETITION
+        return pat
+    b0, b1 = int(values[0]), int(values[1])
+    b2 = b0 ^ b1
+    pat = np.full(3 * qm, UCI_BIT_PLACEHOLDER, np.int64)
+    trip = [(b0, b1), (b2, b0), (b1, b2)]
+    for m, (x, y) in enumerate(trip):
+        pat[m * qm] = x
+        if qm > 1:
+            pat[m * qm + 1] = y
+    return pat
+
+
+def ulsch_interleaver_perm(h_prime_total: int, n_symb: int, qm: int,
+                           ri_positions: np.ndarray) -> np.ndarray:
+    """perm[g_idx] -> q bit position (36.212 5.2.2.8; ulsch_interleave_gen
+    sch.c:550-568). The (data+CQI) stream is written row-major (row, col,
+    k) skipping RI positions; q position of matrix entry (row,col,k) is
+    (row + rows*col)*Qm + k."""
+    rows = h_prime_total // n_symb
+    cols = n_symb
+    j, i, k = np.meshgrid(np.arange(rows), np.arange(cols), np.arange(qm),
+                          indexing="ij")
+    scan = ((j + rows * i) * qm + k).reshape(-1)   # scan order -> q position
+    ri_mask = np.zeros(h_prime_total * qm, bool)
+    if len(ri_positions):
+        ri_mask[ri_positions] = True
+    return scan[~ri_mask[scan]]
+
+
+def encode_cqi_pusch(cqi_bits: np.ndarray, n_out_bits: int) -> np.ndarray:
+    """Coded CQI stream for PUSCH (36.212 5.2.2.6.4-5; uci.c:289-390).
+
+    O <= 11: RM (32, O) cyclically repeated to n_out_bits.
+    O  > 11: CRC8 + rate-1/3 tail-biting conv code + conv rate matching.
+    """
+    o = len(cqi_bits)
+    if o <= 11:
+        cw = rm_encode(np.asarray(cqi_bits, np.int8), 32)
+        reps = int(np.ceil(n_out_bits / 32))
+        return np.tile(cw, reps)[:n_out_bits]
+    from ..ops.fec.convcoder import conv_encode_np
+    from ..ops.fec.rm_conv import rm_conv_tx
+    from ..utils.crc import CRC8
+    with_crc = CRC8.attach(np.asarray(cqi_bits, np.int8))
+    d = conv_encode_np(with_crc)[0]                 # [3, K]
+    return np.asarray(rm_conv_tx(d, n_out_bits), np.int8)
+
+
+def decode_cqi_pusch(llrs, o: int, n_out_bits: int):
+    """-> (bits [o], crc_ok) . Short: fold cyclic repeats and ML-correlate
+    (decode_cqi_short uci.c:392); long: conv RM^-1 + Viterbi + CRC8."""
+    import jax.numpy as _jnp
+    if o <= 11:
+        nfull = n_out_bits // 32
+        rem = n_out_bits % 32
+        acc = _jnp.zeros(llrs.shape[:-1] + (32,), llrs.dtype)
+        if nfull:
+            acc = acc + llrs[..., : nfull * 32].reshape(
+                *llrs.shape[:-1], nfull, 32).sum(-2)
+        if rem:
+            acc = acc.at[..., :rem].add(llrs[..., nfull * 32 :])
+        return rm_decode(acc, 32, o), True
+    from ..ops.fec.convcoder import viterbi_decode
+    from ..ops.fec.rm_conv import rm_conv_rx
+    from ..utils.crc import CRC8
+    bits = np.asarray(viterbi_decode(rm_conv_rx(llrs, o + 8)))
+    if bits.ndim == 2 and bits.shape[0] == 1 and llrs.ndim == 1:
+        bits = bits[0]
+    if bits.ndim == 1:
+        ok = bool((CRC8.compute(bits[:o]) == bits[o : o + 8]).all())
+        return bits[:o], ok
+    return bits[..., :o], None

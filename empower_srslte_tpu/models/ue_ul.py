@@ -26,15 +26,22 @@ def ue_ul_generate(cell: Cell, *, pusch: tuple | None = None,
                    cfo: float = 0.0, timing_advance: int = 0):
     """Build one UL subframe.
 
-    pusch: (tb_bits[..., tbs], PuschConfig, DlschPlan) or None
+    pusch: (tb_bits[..., tbs], PuschConfig, DlschPlan | UciPlan) or None
+           — with a UciPlan the subframe carries multiplexed CQI/RI/ACK
+           (srslte_ue_ul_pusch_encode_rnti_softbuffer_cfg's uci_data path)
     pucch: (PucchConfig, bits tuple or payload array) or None
     srs:   dict(n_prb_srs=..., prb_start=..., comb=..., cyclic_shift=...)
     Returns time samples [..., sf_sample_len].
     """
+    from .pusch import UciPlan, pusch_encode_uci
+
     grid = None
     if pusch is not None:
         tb, cfg, plan = pusch
-        grid = pusch_encode(tb, cfg, plan)
+        if isinstance(plan, UciPlan):
+            grid = pusch_encode_uci(tb, cfg, plan)
+        else:
+            grid = pusch_encode(tb, cfg, plan)
     if grid is None:
         grid = jnp.zeros((cell.nsymb_sf, cell.nof_re), jnp.complex64)
     if pucch is not None:

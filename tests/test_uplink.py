@@ -157,3 +157,92 @@ class TestUeUlFacade:
 
         h_srs = np.asarray(srs_chest(grid, cell, 4, prb_start=20))[0]
         np.testing.assert_allclose(np.mean(h_srs), h, atol=0.05)
+
+
+class TestUciOnPusch:
+    """UCI multiplexing on PUSCH (36.212 5.2.2.6-8; sch.c:550-1095)."""
+
+    def _cfg(self, mod=Mod.QAM16, n_prb=12):
+        return PuschConfig(cell=Cell(nof_prb=25, id=1), n_prb=n_prb,
+                           mod=mod, rnti=0x46)
+
+    def test_interleaver_perm_is_bijection(self):
+        from empower_srslte_tpu.models import uci as uci_mod
+
+        rows, cols, qm = 48, 12, 4
+        h = rows * cols
+        ri = uci_mod.ri_ack_positions(6, qm, rows, True, ack=False)
+        perm = uci_mod.ulsch_interleaver_perm(h, cols, qm, ri)
+        assert len(perm) == h * qm - len(ri)
+        assert len(np.unique(perm)) == len(perm)
+        assert not np.intersect1d(perm, ri).size
+        # ACK columns (around DMRS) and RI columns never collide
+        ack = uci_mod.ri_ack_positions(6, qm, rows, True, ack=True)
+        assert not np.intersect1d(ack, ri).size
+
+    @pytest.mark.parametrize("mod,cqi_len,ack", [
+        (Mod.QPSK, 5, (1,)),
+        (Mod.QAM16, 5, (1,)),
+        (Mod.QAM16, 16, (1, 0)),   # long CQI (conv-coded) + 2-bit ACK
+        (Mod.QAM64, 7, (0,)),
+    ])
+    def test_data_plus_uci_roundtrip(self, rng, mod, cqi_len, ack):
+        from empower_srslte_tpu.models.pusch import (
+            UciData, UciPlan, pusch_decode_uci, pusch_encode_uci)
+
+        cfg = self._cfg(mod)
+        tbs = 1224
+        tb = rng.integers(0, 2, tbs).astype(np.int8)
+        uci = UciData(cqi_bits=tuple(int(x) for x in
+                                     rng.integers(0, 2, cqi_len)),
+                      ri=1, ack=ack)
+        plan = UciPlan(cfg, tbs, uci)
+        assert plan.q_ri > 0 and plan.q_ack > 0 and plan.q_cqi > 0
+        grid = pusch_encode_uci(jnp.asarray(tb), cfg, plan)
+        out = pusch_decode_uci(grid, cfg, plan, noise_est=1e-4)
+        assert bool(np.asarray(out["crc_ok"]).all())
+        assert np.array_equal(np.asarray(out["tb"]).ravel()[:tbs], tb)
+        assert out["ri"] == 1
+        assert out["ack"] == ack
+        assert np.array_equal(out["cqi_bits"].ravel(),
+                              np.asarray(uci.cqi_bits))
+        if cqi_len > 11:
+            assert out["cqi_ok"] is True
+
+    def test_uci_only_pusch_awgn(self, rng):
+        """Aperiodic CQI report without UL-SCH data (5.2.4 rules)."""
+        from empower_srslte_tpu.models.pusch import (
+            UciData, UciPlan, pusch_decode_uci, pusch_encode_uci)
+
+        cfg = self._cfg(Mod.QPSK, n_prb=6)
+        uci = UciData(cqi_bits=tuple(int(x) for x in rng.integers(0, 2, 7)),
+                      ri=1, ack=(1,))
+        plan = UciPlan(cfg, 0, uci)
+        # UCI fills the whole grant when there is no data
+        assert plan.q_cqi * plan.qm + plan.q_ri * plan.qm <= plan.nb_q
+        grid = np.asarray(pusch_encode_uci(None, cfg, plan))
+        grid = grid + 0.05 * (rng.normal(size=grid.shape)
+                              + 1j * rng.normal(size=grid.shape))
+        out = pusch_decode_uci(jnp.asarray(grid.astype(np.complex64)),
+                               cfg, plan, noise_est=0.0025)
+        assert np.array_equal(out["cqi_bits"].ravel(),
+                              np.asarray(uci.cqi_bits))
+        assert out["ri"] == 1 and out["ack"] == (1,)
+
+    def test_ack_puncturing_does_not_break_data(self, rng):
+        """ACK punctures data REs; the turbo code must still decode the
+        TB with the punctured LLRs zeroed (sch.c:925-928)."""
+        from empower_srslte_tpu.models.pusch import (
+            UciData, UciPlan, pusch_decode_uci, pusch_encode_uci)
+
+        cfg = self._cfg(Mod.QPSK)
+        tbs = 600
+        tb = rng.integers(0, 2, tbs).astype(np.int8)
+        uci = UciData(ack=(1,), i_offset_ack=6)    # beta=8: many punctures
+        plan = UciPlan(cfg, tbs, uci)
+        assert plan.q_ack >= 8
+        grid = pusch_encode_uci(jnp.asarray(tb), cfg, plan)
+        out = pusch_decode_uci(grid, cfg, plan, noise_est=1e-4)
+        assert bool(np.asarray(out["crc_ok"]).all())
+        assert np.array_equal(np.asarray(out["tb"]).ravel()[:tbs], tb)
+        assert out["ack"] == (1,)
