@@ -46,7 +46,9 @@ SYNC_RE = 72
 
 @functools.lru_cache(maxsize=1024)
 def pdsch_re_indices(cell: Cell, sf_idx: int, cfi: int,
-                     prb_mask: tuple[bool, ...] | None = None) -> np.ndarray:
+                     prb_mask: tuple[bool, ...] | None = None,
+                     prb_mask_slot1: tuple[bool, ...] | None = None
+                     ) -> np.ndarray:
     """Flat indices (s * nof_re + k) of PDSCH REs, in 36.211 6.3.5 mapping
     order (k ascending within each symbol, symbols ascending, skipping the
     control region, CRS, and the PSS/SSS/PBCH reservations of subframes
@@ -73,7 +75,13 @@ def pdsch_re_indices(cell: Cell, sf_idx: int, cfi: int,
 
     if prb_mask is not None:
         col = np.repeat(np.asarray(prb_mask, dtype=bool), 12)
-        usable &= col[None, :]
+        if prb_mask_slot1 is not None:
+            # distributed VRB allocations hop between slots (ra.c:353-420)
+            col1 = np.repeat(np.asarray(prb_mask_slot1, dtype=bool), 12)
+            usable[: cell.nsymb_slot] &= col[None, :]
+            usable[cell.nsymb_slot :] &= col1[None, :]
+        else:
+            usable &= col[None, :]
 
     sym_idx, k_idx = np.nonzero(usable)
     order = np.lexsort((k_idx, sym_idx))          # symbol-major, k fastest
@@ -94,10 +102,12 @@ class PdschConfig:
     nof_codewords: int = 1
     pmi: int = 0
     prb_mask: tuple[bool, ...] | None = None
+    prb_mask_slot1: tuple[bool, ...] | None = None   # distributed VRB hop
 
     @functools.cached_property
     def re_indices(self) -> np.ndarray:
-        return pdsch_re_indices(self.cell, self.sf_idx, self.cfi, self.prb_mask)
+        return pdsch_re_indices(self.cell, self.sf_idx, self.cfi,
+                                self.prb_mask, self.prb_mask_slot1)
 
     @property
     def nof_re(self) -> int:

@@ -114,3 +114,95 @@ def prb_mask_type0(n_prb_cell: int, rbg_bitmap: int) -> tuple[bool, ...]:
             for i in range(g * p, min((g + 1) * p, n_prb_cell)):
                 mask[i] = True
     return tuple(mask)
+
+
+# --- RA type 2 distributed (DVRB; 36.211 6.2.3.2, 36.213 7.1.6.3) -----------
+
+
+def type2_ngap(n_prb_cell: int, ngap_is_1: bool = True) -> int:
+    """N_gap (36.211 Table 6.2.3.2-1; ra.c:656-676)."""
+    if n_prb_cell <= 10:
+        return n_prb_cell // 2
+    if n_prb_cell == 11:
+        return 4
+    if n_prb_cell <= 19:
+        return 8
+    if n_prb_cell <= 26:
+        return 12
+    if n_prb_cell <= 44:
+        return 18
+    if n_prb_cell <= 49:
+        return 27
+    if n_prb_cell <= 63:
+        return 27 if ngap_is_1 else 9
+    if n_prb_cell <= 79:
+        return 32 if ngap_is_1 else 16
+    return 48 if ngap_is_1 else 16
+
+
+def type2_n_rb_step(n_prb_cell: int) -> int:
+    """N_RB_step for format 1C (36.213 Table 7.1.6.3-1)."""
+    return 2 if n_prb_cell < 50 else 4
+
+
+def type2_n_vrb_dl(n_prb_cell: int, ngap_is_1: bool = True) -> int:
+    """Number of distributed VRBs (36.211 6.2.3.2; ra.c:687-694)."""
+    ngap = type2_ngap(n_prb_cell, ngap_is_1)
+    if ngap_is_1:
+        return 2 * min(ngap, n_prb_cell - ngap)
+    return (n_prb_cell // ngap) * 2 * ngap
+
+
+def type2_riv_decode(riv: int, n_prb_cell: int,
+                     nof_vrb: int) -> tuple[int, int]:
+    """RIV -> (RB_start, L_crb) against an N_vrb that may differ from the
+    cell bandwidth (distributed mode; ra.c:644-652)."""
+    length = riv // n_prb_cell + 1
+    start = riv % n_prb_cell
+    if length > nof_vrb - start:
+        length = n_prb_cell - riv // n_prb_cell + 1
+        start = n_prb_cell - riv % n_prb_cell - 1
+    return start, length
+
+
+def prb_mask_type2_dist(n_prb_cell: int, rb_start: int, l_crb: int,
+                        ngap_is_1: bool = True):
+    """Distributed VRB -> PRB mapping (36.211 6.2.3.2; ra.c:353-420).
+
+    Returns (mask_slot0, mask_slot1) — distributed allocations hop
+    between slots.
+    """
+    p = rbg_size(n_prb_cell)
+    if ngap_is_1:
+        n_tilde_vrb = type2_n_vrb_dl(n_prb_cell, True)
+        n_gap = type2_ngap(n_prb_cell, True)
+    else:
+        n_tilde_vrb = 2 * type2_n_vrb_dl(n_prb_cell, True)
+        n_gap = type2_ngap(n_prb_cell, False)
+    n_row = math.ceil(n_tilde_vrb / (4 * p)) * p
+    n_null = 4 * n_row - n_tilde_vrb
+    m0 = [False] * n_prb_cell
+    m1 = [False] * n_prb_cell
+    for i in range(l_crb):
+        n_vrb = i + rb_start
+        ntv = n_vrb % n_tilde_vrb
+        base = n_tilde_vrb * (n_vrb // n_tilde_vrb)
+        nt_prb = 2 * n_row * (ntv % 2) + ntv // 2 + base
+        nt2_prb = n_row * (ntv % 4) + ntv // 4 + base
+        if n_null and ntv >= n_tilde_vrb - n_null and ntv % 2 == 1:
+            odd = nt_prb - n_row
+        elif n_null and ntv >= n_tilde_vrb - n_null and ntv % 2 == 0:
+            odd = nt_prb - n_row + n_null // 2
+        elif n_null and ntv < n_tilde_vrb - n_null and ntv % 4 >= 2:
+            odd = nt2_prb - n_null // 2
+        else:
+            odd = nt2_prb
+        even = (odd + n_tilde_vrb // 2) % n_tilde_vrb \
+            + n_tilde_vrb * (n_vrb // n_tilde_vrb)
+        for val, m in ((odd, m0), (even, m1)):
+            prb = val if val < n_tilde_vrb // 2 \
+                else val + n_gap - n_tilde_vrb // 2
+            if prb >= n_prb_cell:
+                raise ValueError("distributed VRB exceeds bandwidth")
+            m[prb] = True
+    return tuple(m0), tuple(m1)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.chest import chest_dl, noise_est_pilots
 from ..ops.equalizer import MimoType
+from ..ops.modem import Mod
 from ..ops.ofdm import ofdm_rx_sf
 from ..utils.cell import Cell
 from . import dci as dci_mod
@@ -65,8 +66,13 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                                noise_est=noise)
     cfi = int(np.asarray(cfi_arr[0]))
 
+    # common search space RNTIs additionally monitor format 1C
+    # (ue_dl.c: SI/P/RA-RNTI -> formats 1A+1C)
+    common_ss = rnti in (0xFFFF, 0xFFFE) or 1 <= rnti <= 0x3C
     sizes = (dci_mod.format0_1a_size(cell.nof_prb),
              dci_mod.format1_size(cell.nof_prb))
+    if common_ss:
+        sizes = sizes + (dci_mod.format1c_size(cell.nof_prb),)
     hits = pdcch_blind_decode(grid, h[0, 0] if h.ndim == 4 else h[0],
                               cell, cfi, sf_idx, rnti, sizes,
                               noise_est=noise)
@@ -78,6 +84,23 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             d = dci_mod.unpack_format1a(hit.payload, cell.nof_prb)
         elif len(hit.payload) == sizes[1]:
             d = dci_mod.unpack_format1(hit.payload, cell.nof_prb)
+        elif common_ss and len(hit.payload) == sizes[2]:
+            d1c = dci_mod.unpack_format1c(hit.payload, cell.nof_prb)
+            if d1c is None:
+                continue
+            tbs = int(ra.tbs_format1c_table()[d1c.i_tbs])
+            cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
+                              mod=Mod.QPSK, mimo=mimo,
+                              prb_mask=d1c.prb_mask,
+                              prb_mask_slot1=d1c.prb_mask_slot1)
+            plan = cfg.plan(tbs, rv=0, max_iterations=max_iterations)
+            bits, ok, _ = pdsch_decode(
+                grid[None, None], h[None, None], cfg, plan,
+                noise_est=noise)
+            results.append(UeDlResult(
+                cfi=cfi, dci=d1c, tb_bits=np.asarray(bits)[0],
+                crc_ok=bool(np.asarray(ok)[0]), noise_est=noise))
+            continue
         if d is None:
             continue
         mod, tbs = ra.mcs_to_tbs(d.mcs, d.n_prb)

@@ -214,3 +214,61 @@ class TestDciFormat2:
         for n in (25, 50, 100):
             assert dci_mod.format2_size(n) != dci_mod.format0_1a_size(n)
             assert dci_mod.format2_size(n) != dci_mod.format1_size(n)
+
+
+class TestDciCompactFormats:
+    """Formats 1B/1C/1D + distributed VRB (dci.c:777-1206, ra.c:353-420)."""
+
+    def test_sizes_match_reference_table(self):
+        # expected values from the reference's precomputed dci_sz_table.h
+        expected_1c = {6: 8, 15: 10, 25: 12, 50: 13, 75: 14, 100: 15}
+        for n, e in expected_1c.items():
+            assert dci_mod.format1c_size(n) == e
+        # 1B == 1D and avoids ambiguous sizes
+        for n in (6, 15, 25, 50, 75, 100):
+            s = dci_mod.format1b_size(n)
+            assert s == dci_mod.format1d_size(n)
+            assert s not in dci_mod.AMBIGUOUS_SIZES
+
+    @pytest.mark.parametrize("n_prb", [6, 25, 50, 100])
+    def test_format1b_roundtrip(self, n_prb):
+        b = dci_mod.pack_format1b(n_prb, 1, 3, mcs=9, harq_pid=5, ndi=1,
+                                  rv=2, pinfo=1, pmi_confirm=1)
+        d = dci_mod.unpack_format1b(b, n_prb)
+        assert (d.mcs, d.harq_pid, d.ndi, d.rv, d.pinfo, d.flag) == \
+            (9, 5, 1, 2, 1, 1)
+        assert d.n_prb == 3 and not d.dist
+
+    @pytest.mark.parametrize("n_prb", [6, 25, 50, 100])
+    def test_format1d_distributed(self, n_prb):
+        from empower_srslte_tpu.models import ra as ra_mod
+
+        nvrb = ra_mod.type2_n_vrb_dl(n_prb, True)
+        L = min(4, nvrb)
+        b = dci_mod.pack_format1d(n_prb, 0, L, mcs=4, dist=True,
+                                  power_offset=1)
+        d = dci_mod.unpack_format1d(b, n_prb)
+        assert d.dist and d.n_prb == L and sum(d.prb_mask_slot1) == L
+        # slot hop: each individual VRB maps to different PRBs in the two
+        # slots (the full *set* may coincide for symmetric allocations)
+        m0, m1 = ra_mod.prb_mask_type2_dist(n_prb, 0, 1, True)
+        assert m0 != m1
+
+    def test_format1c_roundtrip(self):
+        from empower_srslte_tpu.models import ra as ra_mod
+
+        for n_prb in (6, 25, 50, 100):
+            step = ra_mod.type2_n_rb_step(n_prb)
+            c = dci_mod.pack_format1c(n_prb, 0, step * 2, i_tbs=11)
+            assert len(c) == dci_mod.format1c_size(n_prb)
+            d = dci_mod.unpack_format1c(c, n_prb)
+            assert d.i_tbs == 11 and d.n_prb == step * 2
+
+    def test_dist_mapping_is_permutation(self):
+        from empower_srslte_tpu.models import ra as ra_mod
+
+        # mapping the full DVRB range must hit each PRB at most once
+        for n_prb in (25, 50):
+            nvrb = ra_mod.type2_n_vrb_dl(n_prb, True)
+            m0, m1 = ra_mod.prb_mask_type2_dist(n_prb, 0, nvrb, True)
+            assert sum(m0) == nvrb and sum(m1) == nvrb

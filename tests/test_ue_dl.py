@@ -95,3 +95,39 @@ class TestFullDownlink:
         assert got["nof_prb"] == 50
         assert got["sfn_msb"] == 128 >> 2
         assert got["sfn_mod4"] == 0
+
+
+class TestFormat1CDownlink:
+    def test_si_rnti_1c_grant_full_loop(self, rng):
+        """SIB-style distributed 1C grant at SI-RNTI through the full
+        eNB-compose -> UE-decode loop (common search space monitors 1C)."""
+        from empower_srslte_tpu.models.enb_dl import (
+            enb_dl_base_grid, enb_dl_gen_signal, put_sync_signals)
+        from empower_srslte_tpu.models.pcfich import pcfich_put
+
+        cell = Cell(nof_prb=25, id=1)
+        si_rnti = 0xFFFF
+        sf_idx, cfi = 5, 2
+        step = ra.type2_n_rb_step(cell.nof_prb)
+        start, length, i_tbs = 0, 4 * step, 5
+        tbs = int(ra.tbs_format1c_table()[i_tbs])
+        tb = rng.integers(0, 2, tbs).astype(np.int8)
+        payload = dci_mod.pack_format1c(cell.nof_prb, start, length, i_tbs)
+        d1c = dci_mod.unpack_format1c(payload, cell.nof_prb)
+        cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=si_rnti,
+                          mod=Mod.QPSK, prb_mask=d1c.prb_mask,
+                          prb_mask_slot1=d1c.prb_mask_slot1)
+        plan = cfg.plan(tbs)
+        grid = enb_dl_base_grid(cell, sf_idx, ())
+        grid = put_sync_signals(grid, cell, sf_idx)
+        grid = pcfich_put(grid, cfi, cell, sf_idx)
+        grid = grid + pdcch_encode(jnp.asarray(payload), si_rnti, 0, 4,
+                                   cell, cfi, sf_idx)
+        grid = grid + pdsch_encode(jnp.asarray(tb)[None], cfg, plan)[0]
+        samples = np.asarray(enb_dl_gen_signal(grid, cell)[0])
+        res = ue_dl_decode(samples.astype(np.complex64), cell, sf_idx,
+                           si_rnti)
+        assert len(res) == 1
+        r = res[0]
+        assert type(r.dci).__name__ == "DciDl1C" and r.crc_ok
+        assert np.array_equal(np.asarray(r.tb_bits).ravel()[:tbs], tb)
