@@ -47,6 +47,7 @@ class Mme:
         self.spgw = spgw or SpGw()
         self._by_imsi: dict[str, UeContext] = {}
         self._next_guti = 0x1000
+        self.last_ctx: UeContext | None = None  # ctx of the last UL NAS
 
     def handle_ul_nas(self, pdu: bytes, enb_teid: int = 0) -> bytes | None:
         """Process one uplink NAS message; returns the downlink response
@@ -61,12 +62,14 @@ class Mme:
             ctx = UeContext(imsi=imsi, state="auth", xres=av["xres"],
                             kasme=av["kasme"])
             self._by_imsi[imsi] = ctx
+            self.last_ctx = ctx
             return nas.pack_auth_request(av["rand"], av["autn"])
 
         if msg_type == nas.MSG_AUTH_RESPONSE:
             ctx = self._ctx_in_state("auth")
             if ctx is None:
                 return None
+            self.last_ctx = ctx
             res = nas.unpack_auth_response(pdu)
             if res != ctx.xres:
                 ctx.state = "idle"
@@ -81,6 +84,7 @@ class Mme:
         # integrity-protected uplink (security mode complete)
         ctx = self._ctx_in_state("smc")
         if ctx is not None:
+            self.last_ctx = ctx
             inner = nas.unprotect(pdu, ctx.k_nas_int, ctx.ul_count,
                                   direction=0)
             ctx.ul_count += 1

@@ -1,0 +1,377 @@
+"""RRC connection procedures: UE and eNB state machines over the codecs.
+
+Capability parity with srsue/src/upper/rrc.cc (connection establishment,
+NAS transport, AS security activation, reconfiguration, measurement
+reporting, handover) and srsenb/src/upper/rrc.cc (the eNB peer). NAS
+PDUs ride inside RRC exactly as in the reference (SetupComplete /
+UL/DLInformationTransfer); the MME is the epc.Mme attach state machine.
+
+Transport is message-level: each endpoint consumes/produces
+(srb_id, pdu_bytes) pairs, so tests can run them back-to-back or through
+real RLC/PDCP entities. SRB1/SRB2 signalling is integrity-protected with
+the PDCP entity once AS security activates (K_eNB -> K_RRCint per 33.401).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..upper import security
+from ..upper.pdcp import PdcpConfig, PdcpEntity
+from . import messages as M
+
+SRB0, SRB1, SRB2 = 0, 1, 2
+
+_DEFAULT_SRB1 = {
+    "srb_identity": 1,
+    "rlc_config": ("explicitValue", ("am", {
+        "ul_am_rlc": {"t_poll_retransmit": 10, "poll_pdu": 0,
+                      "poll_byte": 14, "max_retx_threshold": 3},
+        "dl_am_rlc": {"t_reordering": 7, "t_status_prohibit": 0}})),
+    "logical_channel_config": ("defaultValue", None),
+}
+
+_DEFAULT_DRB1 = {
+    "eps_bearer_identity": 5,
+    "drb_identity": 1,
+    "pdcp_config": {"discard_timer": 2,
+                    "rlc_um": {"pdcp_sn_size": 1},
+                    "header_compression": ("notUsed", None)},
+    "rlc_config": ("um_bi_directional", {
+        "ul_um_rlc": {"sn_field_length": 1},
+        "dl_um_rlc": {"sn_field_length": 1, "t_reordering": 7}}),
+    "logical_channel_identity": 3,
+    "logical_channel_config": {"ul_specific_parameters": {
+        "priority": 13, "prioritised_bit_rate": 0,
+        "bucket_size_duration": 2, "logical_channel_group": 2}},
+}
+
+_DEFAULT_MEAS = {
+    "meas_object_to_add_mod_list": [
+        {"meas_object_id": 1, "meas_object": ("measObjectEUTRA", {
+            "carrier_freq": 3400, "allowed_meas_bandwidth": 3,
+            "presence_antenna_port1": True, "neigh_cell_config": 1})}],
+    "report_config_to_add_mod_list": [
+        {"report_config_id": 1, "report_config": ("reportConfigEUTRA", {
+            "trigger_type": ("event", {
+                "event_id": ("eventA3", {"a3_offset": 6,
+                                         "report_on_leave": False}),
+                "hysteresis": 0, "time_to_trigger": 0}),
+            "trigger_quantity": 0, "report_quantity": 1,
+            "max_report_cells": 4, "report_interval": 0,
+            "report_amount": 7})}],
+    "meas_id_to_add_mod_list": [
+        {"meas_id": 1, "meas_object_id": 1, "report_config_id": 1}],
+}
+
+
+def _srb_pdcp(k_rrc_int: bytes, k_rrc_enc: bytes) -> PdcpConfig:
+    return PdcpConfig(is_control=True, bearer_id=1, cipher="eea0",
+                      integrity="eia2", key_enc=k_rrc_enc,
+                      key_int=k_rrc_int)
+
+
+@dataclass
+class UeRrc:
+    """srsue rrc.cc analog: IDLE -> CONNECTED with AS security."""
+
+    nas: object                          # epc.mme.UeNas
+    state: str = "idle"
+    c_rnti: int = 0
+    transaction_id: int = 0
+    srb1_pdcp_tx: PdcpEntity | None = None
+    srb1_pdcp_rx: PdcpEntity | None = None
+    security_activated: bool = False
+    k_enb: bytes = b""
+    meas_config: dict | None = None
+    drbs: list = field(default_factory=list)
+    serving_pci: int = 0
+    events: list = field(default_factory=list)
+
+    # --- connection establishment -------------------------------------------
+
+    def connect(self, cause: str = "mo_Signalling") -> tuple[int, bytes]:
+        """-> (SRB0, RRCConnectionRequest)."""
+        import os
+        msg = {"critical_extensions": ("r8", {
+            "ue_identity": ("randomValue",
+                            int.from_bytes(os.urandom(5), "big")),
+            "establishment_cause": cause, "spare": 0})}
+        self.state = "connecting"
+        return SRB0, M.pack_ul_ccch("rrcConnectionRequest", msg)
+
+    def handle_dl(self, srb: int, pdu: bytes) -> list[tuple[int, bytes]]:
+        """Process one DL message; returns UL (srb, pdu) responses."""
+        if srb == SRB0:
+            return self._handle_dl_ccch(pdu)
+        if self.security_activated:
+            body = self.srb1_pdcp_rx.write_pdu(pdu, direction=1)
+            if body is None:
+                self.events.append("integrity_failure")
+                return []
+            pdu = body
+        return self._handle_dl_dcch(pdu)
+
+    def _handle_dl_ccch(self, pdu: bytes) -> list[tuple[int, bytes]]:
+        name, v = M.unpack_dl_ccch(pdu)
+        if name == "rrcConnectionSetup" and self.state == "connecting":
+            self.state = "connected"
+            self.events.append("connection_setup")
+            msg = {"rrc_transaction_identifier":
+                   v["rrc_transaction_identifier"],
+                   "critical_extensions": ("c1", ("r8", {
+                       "selected_plmn_identity": 1,
+                       "dedicated_info_nas": self.nas.attach_request()}))}
+            return [(SRB1,
+                     M.pack_ul_dcch("rrcConnectionSetupComplete", msg))]
+        if name == "rrcConnectionReject":
+            self.state = "idle"
+            self.events.append("connection_reject")
+        return []
+
+    def _handle_dl_dcch(self, pdu: bytes) -> list[tuple[int, bytes]]:
+        name, v = M.unpack_dl_dcch(pdu)
+        r8 = v["critical_extensions"][1][1] if name != "dlInformationTransfer" \
+            else v["critical_extensions"][1][1]
+        out: list[tuple[int, bytes]] = []
+        if name == "dlInformationTransfer":
+            nas_pdu = r8["dedicated_info_type"][1]
+            resp = self.nas.handle_dl_nas(nas_pdu)
+            if resp is not None:
+                msg = {"critical_extensions": ("c1", ("r8", {
+                    "dedicated_info_type": ("dedicatedInfoNAS", resp)}))}
+                out.append(self._ul(SRB1, M.pack_ul_dcch(
+                    "ulInformationTransfer", msg)))
+        elif name == "securityModeCommand":
+            # derive AS keys (33.401 A.3/A.7); NAS uplink count 0 as in
+            # the initial-attach K_eNB derivation
+            self.k_enb = security.generate_k_enb(self.nas.kasme, 0)
+            k_rrc_enc, k_rrc_int = security.generate_k_rrc(self.k_enb, 0, 2)
+            self.srb1_pdcp_tx = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+            self.srb1_pdcp_rx = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+            msg = {"rrc_transaction_identifier":
+                   v["rrc_transaction_identifier"],
+                   "critical_extensions": ("r8", {})}
+            raw = M.pack_ul_dcch("securityModeComplete", msg)
+            # the complete is the first integrity-protected message
+            self.security_activated = True
+            self.events.append("security_activated")
+            out.append(self._ul(SRB1, raw, force_protect=True))
+        elif name == "rrcConnectionReconfiguration":
+            if r8.get("radio_resource_config_dedicated"):
+                rrd = r8["radio_resource_config_dedicated"]
+                for drb in rrd.get("drb_to_add_mod_list") or []:
+                    self.drbs.append(drb["drb_identity"])
+                    self.events.append(f"drb{drb['drb_identity']}_setup")
+            if r8.get("meas_config"):
+                self.meas_config = r8["meas_config"]
+                self.events.append("meas_configured")
+            if r8.get("mobility_control_info"):
+                mci = r8["mobility_control_info"]
+                self.serving_pci = mci["target_pci"]
+                self.c_rnti = mci["new_ue_identity"]
+                # handover key derivation (33.401 A.5)
+                self.k_enb = security.generate_k_enb_star(
+                    self.k_enb, mci["target_pci"], 3400)
+                k_rrc_enc, k_rrc_int = security.generate_k_rrc(
+                    self.k_enb, 0, 2)
+                self.srb1_pdcp_tx = PdcpEntity(
+                    _srb_pdcp(k_rrc_int, k_rrc_enc))
+                self.srb1_pdcp_rx = PdcpEntity(
+                    _srb_pdcp(k_rrc_int, k_rrc_enc))
+                self.events.append(f"handover_to_{mci['target_pci']}")
+            for nas_pdu in r8.get("dedicated_info_nas_list") or []:
+                resp = self.nas.handle_dl_nas(nas_pdu)
+                if resp is not None:
+                    msg = {"critical_extensions": ("c1", ("r8", {
+                        "dedicated_info_type": ("dedicatedInfoNAS",
+                                                resp)}))}
+                    out.append(self._ul(SRB1, M.pack_ul_dcch(
+                        "ulInformationTransfer", msg)))
+            msg = {"rrc_transaction_identifier":
+                   v["rrc_transaction_identifier"],
+                   "critical_extensions": ("r8", {})}
+            out.append(self._ul(SRB1, M.pack_ul_dcch(
+                "rrcConnectionReconfigurationComplete", msg)))
+        elif name == "rrcConnectionRelease":
+            self.state = "idle"
+            self.security_activated = False
+            self.events.append("released")
+        return out
+
+    def send_measurement_report(self, rsrp: int, rsrq: int,
+                                neigh: list[tuple[int, int, int]]
+                                ) -> tuple[int, bytes]:
+        """neigh: [(pci, rsrp, rsrq)]; -> protected SRB1 PDU."""
+        cells = [{"phys_cell_id": pci,
+                  "meas_result": {"rsrp_result": p, "rsrq_result": q}}
+                 for pci, p, q in neigh]
+        mr = {"critical_extensions": ("c1", ("r8", {"meas_results": {
+            "meas_id": 1,
+            "meas_result_pcell": {"rsrp_result": rsrp, "rsrq_result": rsrq},
+            "meas_result_neigh_cells": ("measResultListEUTRA", cells)
+            if cells else None}}))}
+        return self._ul(SRB1, M.pack_ul_dcch("measurementReport", mr))
+
+    def _ul(self, srb: int, raw: bytes,
+            force_protect: bool = False) -> tuple[int, bytes]:
+        if (self.security_activated or force_protect) and srb != SRB0:
+            return srb, self.srb1_pdcp_tx.write_sdu(raw, direction=0)
+        return srb, raw
+
+
+@dataclass
+class EnbRrc:
+    """srsenb rrc.cc analog: per-UE connection handling + NAS relay."""
+
+    mme: object                          # epc.mme.Mme
+    next_c_rnti: int = 0x46
+    ues: dict = field(default_factory=dict)
+    handover_margin_db: int = 3
+    events: list = field(default_factory=list)
+
+    def handle_ul(self, rnti: int, srb: int,
+                  pdu: bytes) -> list[tuple[int, int, bytes]]:
+        """-> list of (rnti, srb, pdu) downlink messages."""
+        if srb == SRB0:
+            return self._handle_ul_ccch(pdu)
+        ue = self.ues[rnti]
+        if ue["security_activated"] or ue.get("smc_pending"):
+            # after sending SecurityModeCommand the next UL message (the
+            # complete) is already integrity-protected (36.331 5.3.4.3)
+            body = ue["pdcp_rx"].write_pdu(pdu, direction=0)
+            if body is None:
+                self.events.append("integrity_failure")
+                return []
+            pdu = body
+        return self._handle_ul_dcch(rnti, pdu)
+
+    def _handle_ul_ccch(self, pdu: bytes):
+        name, v = M.unpack_ul_ccch(pdu)
+        if name != "rrcConnectionRequest":
+            return []
+        rnti = self.next_c_rnti
+        self.next_c_rnti += 1
+        self.ues[rnti] = {"state": "setup", "security_activated": False,
+                          "pdcp_tx": None, "pdcp_rx": None, "tid": 0}
+        self.events.append(f"connection_request_{rnti:#x}")
+        msg = {"rrc_transaction_identifier": 0,
+               "critical_extensions": ("c1", ("r8", {
+                   "radio_resource_config_dedicated": {
+                       "srb_to_add_mod_list": [_DEFAULT_SRB1]}}))}
+        return [(rnti, SRB0, M.pack_dl_ccch("rrcConnectionSetup", msg))]
+
+    def _handle_ul_dcch(self, rnti: int, pdu: bytes):
+        ue = self.ues[rnti]
+        name, v = M.unpack_ul_dcch(pdu)
+        out = []
+        if name == "rrcConnectionSetupComplete":
+            ue["state"] = "connected"
+            nas_pdu = v["critical_extensions"][1][1]["dedicated_info_nas"]
+            resp = self.mme.handle_ul_nas(nas_pdu)
+            if resp is not None:
+                out.append((rnti, SRB1, self._dl_info_transfer(ue, resp)))
+        elif name == "ulInformationTransfer":
+            nas_pdu = v["critical_extensions"][1][1][
+                "dedicated_info_type"][1]
+            resp = self.mme.handle_ul_nas(nas_pdu)
+            ctx = self._mme_ctx()
+            if ctx is not None and ctx.state == "attached" \
+                    and not ue["security_activated"]:
+                # NAS attach completed: hold the attach accept and run AS
+                # security first; the accept rides in the reconfiguration
+                # (srsenb rrc.cc order, matching the captured golden)
+                ue["pending_nas"] = resp
+                ue["kasme"] = ctx.kasme
+                out.append((rnti, SRB1, self._security_mode_command(ue)))
+            elif resp is not None:
+                out.append((rnti, SRB1, self._dl_info_transfer(ue, resp)))
+        elif name == "securityModeComplete":
+            # first protected message: validated with the derived keys
+            ue["smc_pending"] = False
+            ue["security_activated"] = True
+            self.events.append("as_security_activated")
+            out.append((rnti, SRB1, self._protect(ue, self._reconfig(ue))))
+        elif name == "rrcConnectionReconfigurationComplete":
+            ue["state"] = "reconfigured"
+            self.events.append("reconfig_complete")
+        elif name == "measurementReport":
+            mr = v["critical_extensions"][1][1]["meas_results"]
+            serving = mr["meas_result_pcell"]["rsrp_result"]
+            neigh = mr.get("meas_result_neigh_cells")
+            if neigh is not None:
+                for cell in neigh[1]:
+                    n_rsrp = cell["meas_result"]["rsrp_result"]
+                    if n_rsrp >= serving + 2 * self.handover_margin_db:
+                        self.events.append(
+                            f"handover_decision_{cell['phys_cell_id']}")
+                        out.append((rnti, SRB1, self._protect(
+                            ue, self._handover_command(
+                                ue, cell["phys_cell_id"]))))
+                        break
+        return out
+
+    # --- message builders -----------------------------------------------------
+
+    def _dl_info_transfer(self, ue, nas_pdu: bytes) -> bytes:
+        ue["tid"] = (ue["tid"] + 1) % 4
+        msg = {"rrc_transaction_identifier": ue["tid"],
+               "critical_extensions": ("c1", ("r8", {
+                   "dedicated_info_type": ("dedicatedInfoNAS", nas_pdu)}))}
+        raw = M.pack_dl_dcch("dlInformationTransfer", msg)
+        return self._protect(ue, raw) if ue["security_activated"] else raw
+
+    def _security_mode_command(self, ue) -> bytes:
+        k_enb = security.generate_k_enb(ue["kasme"], 0)
+        k_rrc_enc, k_rrc_int = security.generate_k_rrc(k_enb, 0, 2)
+        ue["k_enb"] = k_enb
+        ue["pdcp_tx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+        ue["pdcp_rx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+        ue["smc_pending"] = True
+        msg = {"rrc_transaction_identifier": 1,
+               "critical_extensions": ("c1", ("r8", {
+                   "security_config_smc": {"security_algorithm_config": {
+                       "ciphering_algorithm": "eea0",
+                       "integrity_prot_algorithm": "eia2"}}}))}
+        return M.pack_dl_dcch("securityModeCommand", msg)
+
+    def _reconfig(self, ue) -> bytes:
+        nas_list = [ue.pop("pending_nas")] if ue.get("pending_nas") else None
+        msg = {"rrc_transaction_identifier": 2,
+               "critical_extensions": ("c1", ("r8", {
+                   "meas_config": _DEFAULT_MEAS,
+                   "dedicated_info_nas_list": nas_list,
+                   "radio_resource_config_dedicated": {
+                       "drb_to_add_mod_list": [_DEFAULT_DRB1]}}))}
+        return M.pack_dl_dcch("rrcConnectionReconfiguration", msg)
+
+    def _handover_command(self, ue, target_pci: int) -> bytes:
+        new_rnti = self.next_c_rnti
+        self.next_c_rnti += 1
+        mci = {"target_pci": target_pci, "t304": 4,
+               "new_ue_identity": new_rnti,
+               "radio_resource_config_common": {
+                   "prach_config": {"root_sequence_index": 128},
+                   "pusch_config_common": {
+                       "pusch_config_basic": {
+                           "n_sb": 1, "hopping_mode": 0,
+                           "pusch_hopping_offset": 2,
+                           "enable_64qam": False},
+                       "ul_reference_signals_pusch": {
+                           "group_hopping_enabled": False,
+                           "group_assignment_pusch": 0,
+                           "sequence_hopping_enabled": False,
+                           "cyclic_shift": 0}},
+                   "ul_cyclic_prefix_length": 0},
+               "rach_config_dedicated": {"ra_preamble_index": 4,
+                                         "ra_prach_mask_index": 0}}
+        msg = {"rrc_transaction_identifier": 3,
+               "critical_extensions": ("c1", ("r8", {
+                   "mobility_control_info": mci}))}
+        return M.pack_dl_dcch("rrcConnectionReconfiguration", msg)
+
+    def _protect(self, ue, raw: bytes) -> bytes:
+        return ue["pdcp_tx"].write_sdu(raw, direction=1)
+
+    def _mme_ctx(self):
+        return getattr(self.mme, "last_ctx", None)

@@ -143,11 +143,14 @@ class Seq(Type):
             if fl.optional:
                 w.put(0 if v.get(fl.name) is None else 1, 1)
         for fl in self.fields:
-            val = v.get(fl.name, fl.default)
-            if fl.optional and val is None:
-                continue
-            if val is None and not isinstance(fl.typ, Null):
-                raise ValueError(f"missing field {fl.name}")
+            if fl.optional:
+                val = v.get(fl.name)
+                if val is None:
+                    continue       # absent (defaults never auto-encode)
+            else:
+                val = v.get(fl.name, fl.default)
+                if val is None and not isinstance(fl.typ, Null):
+                    raise ValueError(f"missing field {fl.name}")
             fl.typ.pack(w, val)
         if exts:
             # normally-small length (X.691 10.9.3.4) + presence bitmap +

@@ -31,6 +31,8 @@ class PdcpEntity:
         self.rx_hfn = 0
         self.rx_sdus: list[bytes] = []
         self.integrity_failures = 0
+        self.replays_discarded = 0
+        self._last_rx_count = -1
 
     @property
     def _sn_mod(self) -> int:
@@ -87,6 +89,13 @@ class PdcpEntity:
             self.rx_hfn += 1
         self.rx_sn = sn
         count = self._count(self.rx_hfn, sn)
+        if self.cfg.is_control:
+            # SRB replay protection: COUNT must strictly increase (36.323
+            # 5.1.2.2 discards duplicate SNs on SRBs)
+            if count <= self._last_rx_count:
+                self.replays_discarded += 1
+                return None
+            self._last_rx_count = count
         body = self._cipher(count, direction, body)
         if self.cfg.is_control and self.cfg.integrity in ("eia1", "eia2"):
             sdu, mac = body[:-4], body[-4:]

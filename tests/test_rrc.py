@@ -309,3 +309,182 @@ class TestEngineProperties:
         w2 = BitWriter()
         t.pack(w2, v)
         assert w2.bits == w.bits
+
+
+def _make_epc():
+    from empower_srslte_tpu.epc import Hss, Subscriber
+    from empower_srslte_tpu.epc.mme import Mme, UeNas
+    from empower_srslte_tpu.upper import security
+
+    k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+    op = bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318")
+    opc = security.milenage_opc(k, op)
+    imsi = "001010123456789"
+    hss = Hss()
+    hss.add_subscriber(Subscriber(name="t", auth_algo="mil", imsi=imsi,
+                                  key=k, opc=opc))
+    return Mme(hss), UeNas(imsi=imsi, key=k, opc=opc), k, opc, imsi
+
+
+def _pump(ue, enb, max_rounds=30, transport=None):
+    """Run the UE<->eNB message exchange to quiescence.
+
+    transport: optional (ul_fn, dl_fn) that the PDUs pass through
+    (e.g. RLC AM entities)."""
+    srb, pdu = ue.connect()
+    ul, dl = [(srb, pdu)], []
+    rnti = None
+    for _ in range(max_rounds):
+        if not ul and not dl:
+            break
+        while ul:
+            srb, pdu = ul.pop(0)
+            if transport and srb != 0:
+                pdu = transport[0](pdu)
+            for m_rnti, m_srb, m_pdu in enb.handle_ul(
+                    rnti if srb != 0 else 0, srb, pdu):
+                rnti = m_rnti
+                dl.append((m_srb, m_pdu))
+        while dl:
+            srb, pdu = dl.pop(0)
+            if transport and srb != 0:
+                pdu = transport[1](pdu)
+            ul.extend(ue.handle_dl(srb, pdu))
+    return rnti
+
+
+class TestRrcProcedures:
+    """Full attach over RRC messages (srsue/srsenb rrc.cc flow parity):
+    CCCH setup -> NAS auth via UL/DLInformationTransfer -> AS security
+    (K_eNB->K_RRCint, PDCP EIA2 on SRB1) -> reconfiguration carrying the
+    attach accept + DRB1 + measConfig -> measurement-driven handover."""
+
+    def test_full_attach_over_rrc(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        _pump(ue, enb)
+        assert ue.state == "connected"
+        assert ue.security_activated
+        assert "as_security_activated" in enb.events
+        assert ue.nas.attached and ue.nas.ue_ip.startswith("172.16.0.")
+        assert ue.drbs == [1]
+        assert ue.meas_config is not None
+        assert "reconfig_complete" in enb.events
+
+    def test_attach_over_rlc_am_transport(self):
+        """Same flow, but SRB1 PDUs ride through real RLC AM entities
+        (segmentation at small PDU size + status exchange)."""
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.upper.rlc import RlcAm
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+
+        def through_rlc(pdu):
+            tx, rx = RlcAm(), RlcAm()
+            tx.write_sdu(pdu)
+            while True:
+                p = tx.read_pdu(40)
+                if p is None:
+                    break
+                rx.write_pdu(p)
+            st = rx.get_status_pdu()
+            if st is not None:
+                tx.handle_status(st)
+            assert rx.rx_sdus, "RLC did not deliver"
+            return rx.rx_sdus[-1]
+
+        _pump(ue, enb, transport=(through_rlc, through_rlc))
+        assert ue.nas.attached and ue.drbs == [1]
+
+    def test_measurement_handover(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        # neighbour much stronger -> handover command with mobility info
+        srb, mr = ue.send_measurement_report(50, 20, [(301, 70, 25)])
+        for _, m_srb, m_pdu in enb.handle_ul(rnti, srb, mr):
+            ue.handle_dl(m_srb, m_pdu)
+        assert "handover_decision_301" in enb.events
+        assert ue.serving_pci == 301
+        assert "handover_to_301" in ue.events
+        assert ue.c_rnti != 0
+
+    def test_measurement_below_threshold_no_handover(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        srb, mr = ue.send_measurement_report(60, 20, [(301, 61, 25)])
+        out = enb.handle_ul(rnti, srb, mr)
+        assert out == []
+        assert not any("handover" in e for e in enb.events)
+
+    def test_tampered_srb1_rejected(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        srb, mr = ue.send_measurement_report(50, 20, [(301, 70, 25)])
+        bad = bytearray(mr)
+        bad[4] ^= 0x20
+        out = enb.handle_ul(rnti, srb, bytes(bad))
+        assert out == []
+        assert "integrity_failure" in enb.events
+
+    def test_wrong_usim_key_fails_auth(self):
+        from empower_srslte_tpu.epc.mme import UeNas
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, k, opc, imsi = _make_epc()
+        bad_nas = UeNas(imsi=imsi, key=b"\x13" * 16, opc=opc)
+        ue = UeRrc(nas=bad_nas)
+        enb = EnbRrc(mme=mme)
+        _pump(ue, enb)
+        # UE rejects the network (AUTN MAC mismatch with wrong K)
+        assert not bad_nas.attached
+        assert not ue.security_activated
+
+    def test_two_ues_attach_same_enb(self):
+        from empower_srslte_tpu.epc import Hss, Subscriber
+        from empower_srslte_tpu.epc.mme import Mme, UeNas
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.upper import security
+
+        k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+        opc = security.milenage_opc(
+            k, bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318"))
+        hss = Hss()
+        for imsi in ("001010123456789", "001010123456790"):
+            hss.add_subscriber(Subscriber(name="t", auth_algo="mil",
+                                          imsi=imsi, key=k, opc=opc))
+        enb = EnbRrc(mme=Mme(hss))
+        ue1 = UeRrc(nas=UeNas(imsi="001010123456789", key=k, opc=opc))
+        ue2 = UeRrc(nas=UeNas(imsi="001010123456790", key=k, opc=opc))
+        _pump(ue1, enb)
+        _pump(ue2, enb)
+        assert ue1.nas.attached and ue2.nas.attached
+        assert ue1.nas.ue_ip != ue2.nas.ue_ip
+
+    def test_replayed_srb1_pdu_discarded(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        srb, mr = ue.send_measurement_report(50, 20, [])
+        enb.handle_ul(rnti, srb, mr)
+        assert enb.handle_ul(rnti, srb, mr) == []   # replayed bytes
+        assert enb.ues[rnti]["pdcp_rx"].replays_discarded == 1
