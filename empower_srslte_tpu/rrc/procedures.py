@@ -268,24 +268,13 @@ class EnbRrc:
         if name == "rrcConnectionSetupComplete":
             ue["state"] = "connected"
             nas_pdu = v["critical_extensions"][1][1]["dedicated_info_nas"]
-            resp = self.mme.handle_ul_nas(nas_pdu)
-            if resp is not None:
-                out.append((rnti, SRB1, self._dl_info_transfer(ue, resp)))
+            out.extend(self._apply_directives(
+                rnti, ue, self._mme_iface().initial_ue(nas_pdu)))
         elif name == "ulInformationTransfer":
             nas_pdu = v["critical_extensions"][1][1][
                 "dedicated_info_type"][1]
-            resp = self.mme.handle_ul_nas(nas_pdu)
-            ctx = self._mme_ctx()
-            if ctx is not None and ctx.state == "attached" \
-                    and not ue["security_activated"]:
-                # NAS attach completed: hold the attach accept and run AS
-                # security first; the accept rides in the reconfiguration
-                # (srsenb rrc.cc order, matching the captured golden)
-                ue["pending_nas"] = resp
-                ue["kasme"] = ctx.kasme
-                out.append((rnti, SRB1, self._security_mode_command(ue)))
-            elif resp is not None:
-                out.append((rnti, SRB1, self._dl_info_transfer(ue, resp)))
+            out.extend(self._apply_directives(
+                rnti, ue, self._mme_iface().ul_nas(nas_pdu)))
         elif name == "securityModeComplete":
             # first protected message: validated with the derived keys
             ue["smc_pending"] = False
@@ -321,8 +310,37 @@ class EnbRrc:
         raw = M.pack_dl_dcch("dlInformationTransfer", msg)
         return self._protect(ue, raw) if ue["security_activated"] else raw
 
+    def _apply_directives(self, rnti, ue, directives) -> list:
+        """Map MME directives (direct adapter or S1AP client) to DL
+        messages: dl_nas -> DLInformationTransfer; ctx_setup (the
+        InitialContextSetupRequest carrying K_eNB + attach accept) ->
+        AS SecurityModeCommand, accept deferred to the reconfiguration."""
+        out = []
+        for d in directives:
+            if d[0] == "dl_nas":
+                out.append((rnti, SRB1, self._dl_info_transfer(ue, d[1])))
+            elif d[0] == "ctx_setup":
+                _, k_enb, nas_pdu = d
+                ue["pending_nas"] = nas_pdu
+                ue["k_enb"] = k_enb
+                out.append((rnti, SRB1, self._security_mode_command(ue)))
+            elif d[0] == "release":
+                ue["state"] = "idle"
+        return out
+
+    def _mme_iface(self):
+        """Accept either a raw epc.Mme (wrapped in the direct adapter) or
+        an object already exposing initial_ue/ul_nas (EnbS1ap)."""
+        if hasattr(self.mme, "initial_ue"):
+            return self.mme
+        from ..s1ap.procedures import DirectMmeAdapter
+
+        if not hasattr(self, "_adapter"):
+            self._adapter = DirectMmeAdapter(self.mme)
+        return self._adapter
+
     def _security_mode_command(self, ue) -> bytes:
-        k_enb = security.generate_k_enb(ue["kasme"], 0)
+        k_enb = ue.get("k_enb") or security.generate_k_enb(ue["kasme"], 0)
         k_rrc_enc, k_rrc_int = security.generate_k_rrc(k_enb, 0, 2)
         ue["k_enb"] = k_enb
         ue["pdcp_tx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
@@ -373,5 +391,4 @@ class EnbRrc:
     def _protect(self, ue, raw: bytes) -> bytes:
         return ue["pdcp_tx"].write_sdu(raw, direction=1)
 
-    def _mme_ctx(self):
-        return getattr(self.mme, "last_ctx", None)
+

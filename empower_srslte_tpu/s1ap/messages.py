@@ -1,0 +1,450 @@
+"""S1AP message codecs (36.413; liblte_s1ap.cc parity for the procedure
+subset the reference apps exercise: S1 Setup, Initial UE Message,
+UL/DL NAS Transport, Initial Context Setup, UE Context Release, Paging).
+
+Values are plain dicts; every message is a ProtocolIE container encoded
+with the exact envelope layout of the reference's generated codec
+(PDU: ext(1)+choice(2)+align; InitiatingMessage: procedureCode(8)+
+criticality(2)+align+length+body; IE: id(16)+criticality(2)+align+
+length+value — liblte_s1ap.cc:43003-43024, 43973-44008).
+"""
+
+from __future__ import annotations
+
+from .per import AReader, AWriter
+
+# 36.413 procedure codes
+PROC_INITIAL_CONTEXT_SETUP = 9
+PROC_PAGING = 10
+PROC_DOWNLINK_NAS = 11
+PROC_INITIAL_UE_MESSAGE = 12
+PROC_UPLINK_NAS = 13
+PROC_S1_SETUP = 17
+PROC_UE_CONTEXT_RELEASE_REQUEST = 18
+PROC_UE_CONTEXT_RELEASE = 23
+
+# PDU choices
+INITIATING, SUCCESSFUL, UNSUCCESSFUL = 0, 1, 2
+
+# IE ids (liblte_s1ap.h values = 36.413 9.0)
+IE_MME_UE_S1AP_ID = 0
+IE_CAUSE = 2
+IE_ENB_UE_S1AP_ID = 8
+IE_ERAB_TO_SETUP_LIST_CTXT = 24
+IE_NAS_PDU = 26
+IE_ERAB_SETUP_ITEM_CTXT = 50
+IE_ERAB_SETUP_LIST_CTXT = 51
+IE_ERAB_TO_SETUP_ITEM_CTXT = 52
+IE_GLOBAL_ENB_ID = 59
+IE_ENB_NAME = 60
+IE_MME_NAME = 61
+IE_SUPPORTED_TAS = 64
+IE_UE_AMBR = 66
+IE_TAI = 67
+IE_SECURITY_KEY = 73
+IE_RELATIVE_MME_CAPACITY = 87
+IE_UE_S1AP_IDS = 99
+IE_EUTRAN_CGI = 100
+IE_SERVED_GUMMEIS = 105
+IE_UE_SECURITY_CAPABILITIES = 107
+IE_RRC_ESTABLISHMENT_CAUSE = 134
+IE_DEFAULT_PAGING_DRX = 137
+IE_UE_PAGING_ID = 80
+IE_CN_DOMAIN = 109
+IE_TAI_LIST = 46
+
+CRIT_REJECT, CRIT_IGNORE, CRIT_NOTIFY = 0, 1, 2
+
+
+def _plmn_bytes(mcc: str, mnc: str) -> bytes:
+    d = [int(c) for c in mcc] + ([0xF] if len(mnc) == 2 else []) \
+        + [int(c) for c in mnc]
+    return bytes([d[1] << 4 | d[0], d[3] << 4 | d[2], d[5] << 4 | d[4]])
+
+
+def _plmn_parse(b: bytes) -> tuple[str, str]:
+    # inverse of _plmn_bytes: digits packed low-nibble-first
+    d = [b[0] & 0xF, b[0] >> 4, b[1] & 0xF, b[1] >> 4, b[2] & 0xF,
+         b[2] >> 4]
+    mcc = f"{d[0]}{d[1]}{d[2]}"
+    mnc = (f"{d[4]}{d[5]}" if d[3] == 0xF else f"{d[3]}{d[4]}{d[5]}")
+    return mcc, mnc
+
+
+# --- IE value codecs ----------------------------------------------------------
+
+
+def _enc_ies(ies: list[tuple[int, int, bytes]]) -> bytes:
+    """Message body: ext(1)+align, IE count (16), then each IE."""
+    w = AWriter()
+    w.put(0, 1)
+    w.align()
+    w.put(len(ies), 16)
+    for ie_id, crit, val in ies:
+        w.put(ie_id, 16)
+        w.put(crit, 2)
+        w.align()
+        w.put_open(val)
+    return w.to_bytes()
+
+
+def _dec_ies(data: bytes) -> dict[int, bytes]:
+    r = AReader(data)
+    if r.get(1):
+        raise ValueError("extended S1AP message")
+    r.align()
+    n = r.get(16)
+    out = {}
+    for _ in range(n):
+        ie_id = r.get(16)
+        r.get(2)
+        val = r.get_open()
+        out[ie_id] = val
+    return out
+
+
+def _enc_big(v: int) -> bytes:
+    w = AWriter()
+    w.put_big_int(v)
+    return w.to_bytes()
+
+
+def _dec_big(b: bytes) -> int:
+    return AReader(b).get_big_int()
+
+
+def _enc_nas(pdu: bytes) -> bytes:
+    w = AWriter()
+    w.put_open(pdu)
+    return w.to_bytes()
+
+
+def _dec_nas(b: bytes) -> bytes:
+    return AReader(b).get_open()
+
+
+def enc_tai(mcc: str, mnc: str, tac: int) -> bytes:
+    # TAI ::= SEQ {pLMNidentity OCTET STRING(3), tAC OCTET STRING(2), ext}
+    w = AWriter()
+    w.put(0, 1)   # ext
+    w.put(0, 1)   # iE-Extensions absent
+    w.put_bytes(_plmn_bytes(mcc, mnc))
+    w.put_bytes(tac.to_bytes(2, "big"))
+    return w.to_bytes()
+
+
+def dec_tai(b: bytes) -> tuple[str, str, int]:
+    r = AReader(b)
+    r.get(2)
+    plmn = r.get_bytes(3)
+    tac = int.from_bytes(r.get_bytes(2), "big")
+    return (*_plmn_parse(plmn), tac)
+
+
+def enc_cgi(mcc: str, mnc: str, cell_id: int) -> bytes:
+    # EUTRAN-CGI ::= SEQ {pLMNidentity, cell-ID BIT STRING(28), ext}
+    w = AWriter()
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put_bytes(_plmn_bytes(mcc, mnc))
+    w.align()
+    w.put(cell_id, 28)
+    return w.to_bytes()
+
+
+def dec_cgi(b: bytes) -> tuple[str, str, int]:
+    r = AReader(b)
+    r.get(2)
+    plmn = r.get_bytes(3)
+    r.align()
+    cell = r.get(28)
+    return (*_plmn_parse(plmn), cell)
+
+
+# --- message builders ---------------------------------------------------------
+
+
+def _pdu(kind: int, proc: int, crit: int, body: bytes) -> bytes:
+    w = AWriter()
+    w.put(0, 1)          # ext
+    w.put(kind, 2)       # initiating/successful/unsuccessful
+    w.align()
+    w.put(proc, 8)
+    w.put(crit, 2)
+    w.align()
+    w.put_open(body)
+    return w.to_bytes()
+
+
+def unpack_pdu(data: bytes) -> tuple[int, int, dict[int, bytes]]:
+    """-> (kind, procedureCode, {ie_id: value_bytes})."""
+    r = AReader(data)
+    if r.get(1):
+        raise ValueError("extended S1AP PDU")
+    kind = r.get(2)
+    r.align()
+    proc = r.get(8)
+    r.get(2)
+    body = r.get_open()
+    return kind, proc, _dec_ies(body)
+
+
+def pack_s1_setup_request(mcc: str, mnc: str, enb_id: int, enb_name: str,
+                          tac: int) -> bytes:
+    # Global-ENB-ID ::= SEQ {pLMNidentity, eNB-ID CHOICE{macro BIT(20),
+    # home BIT(28)}, ext}
+    w = AWriter()
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put_bytes(_plmn_bytes(mcc, mnc))
+    w.put(0, 1)          # choice ext
+    w.put(0, 1)          # macroENB-ID
+    w.align()
+    w.put(enb_id, 20)
+    gid = w.to_bytes()
+    w2 = AWriter()       # SupportedTAs ::= SEQ (1..256) OF SupportedTAs-Item
+    w2.put(0, 8)         # count-1
+    w2.put(0, 1)
+    w2.put(0, 1)
+    w2.put_bytes(tac.to_bytes(2, "big"))
+    w2.put(0, 8)         # BPLMNs count-1
+    w2.put_bytes(_plmn_bytes(mcc, mnc))
+    tas = w2.to_bytes()
+    name = enb_name.encode()
+    ies = [(IE_GLOBAL_ENB_ID, CRIT_REJECT, gid),
+           (IE_ENB_NAME, CRIT_IGNORE, bytes([len(name)]) + name),
+           (IE_SUPPORTED_TAS, CRIT_REJECT, tas),
+           (IE_DEFAULT_PAGING_DRX, CRIT_IGNORE, b"\x40")]
+    return _pdu(INITIATING, PROC_S1_SETUP, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_s1_setup_request(ies: dict[int, bytes]) -> dict:
+    r = AReader(ies[IE_GLOBAL_ENB_ID])
+    r.get(2)
+    plmn = r.get_bytes(3)
+    r.get(2)
+    r.align()
+    enb_id = r.get(20)
+    name_b = ies.get(IE_ENB_NAME, b"\x00")
+    mcc, mnc = _plmn_parse(plmn)
+    return {"mcc": mcc, "mnc": mnc, "enb_id": enb_id,
+            "enb_name": name_b[1 : 1 + name_b[0]].decode()}
+
+
+def pack_s1_setup_response(mme_name: str, mcc: str, mnc: str,
+                           mme_group: int, mme_code: int,
+                           capacity: int = 50) -> bytes:
+    name = mme_name.encode()
+    w = AWriter()        # ServedGUMMEIs ::= SEQ(1..8) OF item
+    w.put(0, 3)          # count-1
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0, 8)          # served PLMNs count-1
+    w.put_bytes(_plmn_bytes(mcc, mnc))
+    w.put(0, 16)         # groups count-1 (16 bits per SEQ(1..65535)?)
+    w.put_bytes(mme_group.to_bytes(2, "big"))
+    w.put(0, 8)          # codes count-1
+    w.put_bytes(bytes([mme_code]))
+    gummeis = w.to_bytes()
+    ies = [(IE_MME_NAME, CRIT_IGNORE, bytes([len(name)]) + name),
+           (IE_SERVED_GUMMEIS, CRIT_REJECT, gummeis),
+           (IE_RELATIVE_MME_CAPACITY, CRIT_IGNORE, bytes([capacity]))]
+    return _pdu(SUCCESSFUL, PROC_S1_SETUP, CRIT_REJECT, _enc_ies(ies))
+
+
+def pack_initial_ue_message(enb_ue_id: int, nas_pdu: bytes, mcc: str,
+                            mnc: str, tac: int, cell_id: int,
+                            cause: int = 3) -> bytes:
+    ies = [(IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_NAS_PDU, CRIT_REJECT, _enc_nas(nas_pdu)),
+           (IE_TAI, CRIT_REJECT, enc_tai(mcc, mnc, tac)),
+           (IE_EUTRAN_CGI, CRIT_IGNORE, enc_cgi(mcc, mnc, cell_id)),
+           (IE_RRC_ESTABLISHMENT_CAUSE, CRIT_IGNORE, bytes([cause << 5]))]
+    return _pdu(INITIATING, PROC_INITIAL_UE_MESSAGE, CRIT_IGNORE,
+                _enc_ies(ies))
+
+
+def pack_ul_nas_transport(mme_ue_id: int, enb_ue_id: int, nas_pdu: bytes,
+                          mcc: str, mnc: str, tac: int,
+                          cell_id: int) -> bytes:
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_NAS_PDU, CRIT_REJECT, _enc_nas(nas_pdu)),
+           (IE_EUTRAN_CGI, CRIT_IGNORE, enc_cgi(mcc, mnc, cell_id)),
+           (IE_TAI, CRIT_IGNORE, enc_tai(mcc, mnc, tac))]
+    return _pdu(INITIATING, PROC_UPLINK_NAS, CRIT_IGNORE, _enc_ies(ies))
+
+
+def pack_dl_nas_transport(mme_ue_id: int, enb_ue_id: int,
+                          nas_pdu: bytes) -> bytes:
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_NAS_PDU, CRIT_REJECT, _enc_nas(nas_pdu))]
+    return _pdu(INITIATING, PROC_DOWNLINK_NAS, CRIT_IGNORE, _enc_ies(ies))
+
+
+def pack_initial_context_setup_request(mme_ue_id: int, enb_ue_id: int,
+                                       erab_id: int, teid: int,
+                                       gtp_addr: bytes,
+                                       security_key: bytes,
+                                       nas_pdu: bytes | None = None
+                                       ) -> bytes:
+    # UEAggregateMaximumBitrate ::= SEQ {dl BitRate, ul BitRate, ext}
+    w = AWriter()
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put_big_int(10_000_000)
+    w.put_big_int(10_000_000)
+    ambr = w.to_bytes()
+    # E-RABToBeSetupListCtxtSUReq ::= SEQ(1..256) OF ProtocolIE
+    # (each item is itself an IE-framed open type — liblte layout)
+    wi = AWriter()
+    wi.put(0, 1)                           # item ext
+    wi.put(1 if nas_pdu else 0, 1)         # nas-PDU present
+    wi.put(0, 1)                           # iE-Extensions absent
+    wi.put(erab_id, 4)                     # E-RAB-ID (0..15)
+    wi.put(0, 1)                           # qci seq ext... (level of detail:
+    wi.align()
+    wi.put(9, 8)                           # QCI
+    wi.put(15, 4)                          # priority level
+    wi.put(0, 2)                           # pre-emption cap/vuln
+    wi.put_bytes(bytes([len(gtp_addr) * 8 - 1]) + gtp_addr)  # transport addr
+    wi.put_bytes(teid.to_bytes(4, "big"))
+    if nas_pdu:
+        wi.put_length(len(nas_pdu))
+        wi.put_bytes(nas_pdu)
+    item = wi.to_bytes()
+    wl = AWriter()
+    wl.put(0, 8)                           # count-1
+    wl.put(IE_ERAB_TO_SETUP_ITEM_CTXT, 16)
+    wl.put(CRIT_REJECT, 2)
+    wl.align()
+    wl.put_open(item)
+    erabs = wl.to_bytes()
+    # UESecurityCapabilities: 16-bit EEA + 16-bit EIA bitmaps
+    sec = b"\x00" + b"\x60\x00" + b"\x60\x00"
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_UE_AMBR, CRIT_REJECT, ambr),
+           (IE_ERAB_TO_SETUP_LIST_CTXT, CRIT_REJECT, erabs),
+           (IE_UE_SECURITY_CAPABILITIES, CRIT_REJECT, sec),
+           (IE_SECURITY_KEY, CRIT_REJECT, security_key)]
+    return _pdu(INITIATING, PROC_INITIAL_CONTEXT_SETUP, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_erab_setup_item(ies: dict[int, bytes],
+                           with_nas: bool) -> dict:
+    r = AReader(ies[IE_ERAB_TO_SETUP_LIST_CTXT])
+    r.get(8)            # count-1
+    r.get(16)
+    r.get(2)
+    item = r.get_open()
+    ri = AReader(item)
+    ri.get(1)
+    nas_present = ri.get(1)
+    ri.get(1)
+    erab_id = ri.get(4)
+    ri.get(1)
+    ri.align()
+    qci = ri.get(8)
+    ri.get(4)
+    ri.get(2)
+    addr_len_bits = ri.get_bytes(1)[0] + 1
+    addr = ri.get_bytes(addr_len_bits // 8)
+    teid = int.from_bytes(ri.get_bytes(4), "big")
+    nas = None
+    if nas_present:
+        nas = ri.get_bytes(ri.get_length())
+    return {"erab_id": erab_id, "qci": qci, "addr": addr, "teid": teid,
+            "nas_pdu": nas}
+
+
+def pack_initial_context_setup_response(mme_ue_id: int, enb_ue_id: int,
+                                        erab_id: int, teid: int,
+                                        gtp_addr: bytes) -> bytes:
+    wi = AWriter()
+    wi.put(0, 1)
+    wi.put(0, 1)
+    wi.put(erab_id, 4)
+    wi.put_bytes(bytes([len(gtp_addr) * 8 - 1]) + gtp_addr)
+    wi.put_bytes(teid.to_bytes(4, "big"))
+    item = wi.to_bytes()
+    wl = AWriter()
+    wl.put(0, 8)
+    wl.put(IE_ERAB_SETUP_ITEM_CTXT, 16)
+    wl.put(CRIT_IGNORE, 2)
+    wl.align()
+    wl.put_open(item)
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)),
+           (IE_ERAB_SETUP_LIST_CTXT, CRIT_IGNORE, wl.to_bytes())]
+    return _pdu(SUCCESSFUL, PROC_INITIAL_CONTEXT_SETUP, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def pack_ue_context_release_command(mme_ue_id: int, enb_ue_id: int,
+                                    cause: int = 0) -> bytes:
+    # UE-S1AP-IDs ::= CHOICE {uE-S1AP-ID-pair, mME-UE-S1AP-ID}
+    w = AWriter()
+    w.put(0, 1)          # choice ext
+    w.put(0, 1)          # pair
+    w.put(0, 1)          # pair seq ext
+    w.put(0, 1)          # iE-ext absent
+    w.put_big_int(mme_ue_id)
+    w.put_big_int(enb_ue_id)
+    ids = w.to_bytes()
+    # Cause ::= CHOICE {radioNetwork ENUM, transport, nas, protocol, misc}
+    wc = AWriter()
+    wc.put(0, 1)
+    wc.put(2, 3)         # nas
+    wc.put(cause, 2)     # normal-release etc. (4 values + ext)
+    ies = [(IE_UE_S1AP_IDS, CRIT_REJECT, ids),
+           (IE_CAUSE, CRIT_IGNORE, wc.to_bytes())]
+    return _pdu(INITIATING, PROC_UE_CONTEXT_RELEASE, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def pack_ue_context_release_complete(mme_ue_id: int,
+                                     enb_ue_id: int) -> bytes:
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id))]
+    return _pdu(SUCCESSFUL, PROC_UE_CONTEXT_RELEASE, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def pack_paging(ue_paging_id_mtmsi: int, mmec: int, mcc: str, mnc: str,
+                tac: int) -> bytes:
+    # UEPagingID ::= CHOICE {s-TMSI, iMSI}
+    w = AWriter()
+    w.put(0, 1)          # choice ext
+    w.put(0, 1)          # s-TMSI
+    w.put(0, 1)          # s-TMSI seq ext
+    w.put(0, 1)          # iE-ext absent
+    w.put_bytes(bytes([mmec]))
+    w.put_bytes(b"\x03" + ue_paging_id_mtmsi.to_bytes(4, "big"))
+    pid = w.to_bytes()
+    wt = AWriter()       # TAIList ::= SEQ(1..256) OF TAIItem (IE-framed)
+    wt.put(0, 8)
+    wt.put(IE_TAI, 16)
+    wt.put(CRIT_IGNORE, 2)
+    wt.align()
+    wt.put_open(enc_tai(mcc, mnc, tac))
+    ies = [(IE_UE_PAGING_ID, CRIT_IGNORE, pid),
+           (IE_CN_DOMAIN, CRIT_IGNORE, b"\x00"),   # ps
+           (IE_TAI_LIST, CRIT_IGNORE, wt.to_bytes())]
+    return _pdu(INITIATING, PROC_PAGING, CRIT_IGNORE, _enc_ies(ies))
+
+
+# helper getters over the generic IE dict
+
+def get_nas(ies: dict[int, bytes]) -> bytes:
+    return _dec_nas(ies[IE_NAS_PDU])
+
+
+def get_ue_ids(ies: dict[int, bytes]) -> tuple[int | None, int | None]:
+    mme = _dec_big(ies[IE_MME_UE_S1AP_ID]) \
+        if IE_MME_UE_S1AP_ID in ies else None
+    enb = _dec_big(ies[IE_ENB_UE_S1AP_ID]) \
+        if IE_ENB_UE_S1AP_ID in ies else None
+    return mme, enb

@@ -1,0 +1,157 @@
+"""S1AP codec + procedure tests (36.413; srsenb/srsepc s1ap parity).
+
+Covers the codecs' round-trips, the MME/eNB endpoints, and the full
+UE->eNB->S1AP(socket)->MME attach — the reference's
+srsepc/src/mme/s1ap_nas_transport + s1ap_ctx_mngmt_proc flow.
+"""
+
+import numpy as np
+import pytest
+
+from empower_srslte_tpu.s1ap import messages as S
+
+
+class TestCodecs:
+    def test_initial_ue_message_roundtrip(self):
+        pdu = S.pack_initial_ue_message(11, b"\x07\x41\x01", "001", "01",
+                                        7, 0x1A2D001)
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert kind == S.INITIATING and proc == S.PROC_INITIAL_UE_MESSAGE
+        assert S.get_nas(ies) == b"\x07\x41\x01"
+        assert S.get_ue_ids(ies) == (None, 11)
+        assert S.dec_tai(ies[S.IE_TAI]) == ("001", "01", 7)
+        assert S.dec_cgi(ies[S.IE_EUTRAN_CGI]) == ("001", "01", 0x1A2D001)
+
+    def test_plmn_three_digit_mnc(self):
+        pdu = S.pack_initial_ue_message(1, b"\x00", "310", "410", 5, 9)
+        _, _, ies = S.unpack_pdu(pdu)
+        assert S.dec_tai(ies[S.IE_TAI]) == ("310", "410", 5)
+
+    def test_s1_setup_roundtrip(self):
+        pdu = S.pack_s1_setup_request("001", "01", 0x19B, "tpu-enb", 7)
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert proc == S.PROC_S1_SETUP
+        req = S.unpack_s1_setup_request(ies)
+        assert req == {"mcc": "001", "mnc": "01", "enb_id": 0x19B,
+                       "enb_name": "tpu-enb"}
+
+    def test_initial_context_setup_roundtrip(self):
+        k_enb = bytes(range(32))
+        pdu = S.pack_initial_context_setup_request(
+            5, 11, erab_id=5, teid=0xABCD,
+            gtp_addr=bytes([172, 16, 0, 1]), security_key=k_enb,
+            nas_pdu=b"\x27NAS")
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert proc == S.PROC_INITIAL_CONTEXT_SETUP
+        assert S.get_ue_ids(ies) == (5, 11)
+        assert ies[S.IE_SECURITY_KEY] == k_enb
+        item = S.unpack_erab_setup_item(ies, with_nas=True)
+        assert item["erab_id"] == 5 and item["qci"] == 9
+        assert item["teid"] == 0xABCD
+        assert item["addr"] == bytes([172, 16, 0, 1])
+        assert item["nas_pdu"] == b"\x27NAS"
+
+    def test_big_int_encoding(self):
+        from empower_srslte_tpu.s1ap.per import AReader, AWriter
+
+        for v in (0, 1, 255, 256, 65535, 16777215, 0xFFFFFFFF):
+            w = AWriter()
+            w.put_big_int(v)
+            assert AReader(w.to_bytes()).get_big_int() == v
+
+    def test_malformed_pdu(self):
+        with pytest.raises(ValueError):
+            S.unpack_pdu(b"\xFF\xFF")
+        with pytest.raises((ValueError, KeyError, IndexError)):
+            S.unpack_pdu(bytes(3))
+
+
+def _epc():
+    from empower_srslte_tpu.epc import Hss, Subscriber
+    from empower_srslte_tpu.epc.mme import Mme, UeNas
+    from empower_srslte_tpu.upper import security
+
+    k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+    opc = security.milenage_opc(
+        k, bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318"))
+    imsi = "001010123456789"
+    hss = Hss()
+    hss.add_subscriber(Subscriber(name="t", auth_algo="mil", imsi=imsi,
+                                  key=k, opc=opc))
+    return Mme(hss), UeNas(imsi=imsi, key=k, opc=opc)
+
+
+def _attach(ue, enb):
+    srb, pdu = ue.connect()
+    ul, dl, rnti = [(srb, pdu)], [], None
+    for _ in range(30):
+        if not ul and not dl:
+            break
+        while ul:
+            s, p = ul.pop(0)
+            for mr, ms, mp in enb.handle_ul(rnti if s != 0 else 0, s, p):
+                rnti = mr
+                dl.append((ms, mp))
+        while dl:
+            s, p = dl.pop(0)
+            ul.extend(ue.handle_dl(s, p))
+    return rnti
+
+
+class TestProcedures:
+    def test_attach_over_inmemory_s1ap(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+
+        mme, ue_nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        enb_s1 = EnbS1ap(send=mme_s1.handle)
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=enb_s1)
+        _attach(ue, enb)
+        assert ue.nas.attached and ue.drbs == [1]
+        assert "initial_ctx_setup_request" in mme_s1.events
+        assert "initial_ctx_setup_complete" in mme_s1.events
+        assert "s1_setup_tpu-enb" in mme_s1.events
+
+    def test_attach_over_socket_s1ap(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+        from empower_srslte_tpu.s1ap.transport import S1Client, S1Server
+
+        mme, ue_nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        server = S1Server(mme_s1.handle)
+        client = S1Client("127.0.0.1", server.port)
+        try:
+            enb_s1 = EnbS1ap(send=client)
+            assert enb_s1.s1_setup()
+            ue = UeRrc(nas=ue_nas)
+            enb = EnbRrc(mme=enb_s1)
+            _attach(ue, enb)
+            assert ue.nas.attached
+            assert ue.nas.ue_ip.startswith("172.16.0.")
+        finally:
+            client.close()
+            server.close()
+
+    def test_ue_context_release(self):
+        from empower_srslte_tpu.s1ap.procedures import MmeS1ap
+
+        mme, _ = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        cmd = S.pack_ue_context_release_command(5, 11)
+        kind, proc, ies = S.unpack_pdu(cmd)
+        assert proc == S.PROC_UE_CONTEXT_RELEASE and S.IE_CAUSE in ies
+        mme_s1.handle(S.pack_ue_context_release_complete(5, 11))
+        assert "ue_context_released" in mme_s1.events
+
+    def test_paging_pack(self):
+        from empower_srslte_tpu.s1ap.procedures import MmeS1ap
+
+        mme, _ = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        pdu = mme_s1.page(0xDEADBEEF, 0x1A, tac=7)
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert proc == S.PROC_PAGING
+        assert S.IE_UE_PAGING_ID in ies and S.IE_TAI_LIST in ies
