@@ -308,6 +308,11 @@ class TurboDecoder:
     #: "pallas" = VMEM-resident TPU kernel (turbo_decoder_pallas.py);
     #: "pallas_interpret" for CPU debugging.
     impl: str = "auto"
+    #: Metric dtype: "auto" = bfloat16 on the pallas path (1.6x faster,
+    #: ~0.05 dB BLER penalty — the same trade the reference makes with its
+    #: i16/i8 SIMD paths, demod_soft.c:39-45), float32 otherwise;
+    #: "float32"/"bfloat16" to force.
+    dtype: str = "auto"
 
     def _split_streams(self, d_llr):
         """d_llr[..., 3, K+4] -> per-constituent (sys1, par1, sys2t, par2).
@@ -352,6 +357,19 @@ class TurboDecoder:
         pi = jnp.asarray(qpp_interleaver(k))
         pinv = jnp.asarray(qpp_deinterleaver(k))
 
+        impl = self.impl
+        if impl == "auto":
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        use_pallas = impl.startswith("pallas") and self.window is not None
+        if self.dtype == "auto":
+            dt = jnp.bfloat16 if use_pallas else jnp.float32
+        else:
+            dt = jnp.dtype(self.dtype)
+        if d_llr.dtype != dt:
+            d_llr = d_llr.astype(dt)
+
         sys1, par1, sys2_tail, par2 = self._split_streams(d_llr)
         lead = sys1.shape[:-1]
         b = int(np.prod(lead)) if lead else 1
@@ -371,12 +389,6 @@ class TurboDecoder:
         init_a = jnp.asarray(init_a, sys1_tm.dtype)
         init_b = jnp.asarray(init_b, sys1_tm.dtype)
 
-        impl = self.impl
-        if impl == "auto":
-            import jax
-
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        use_pallas = impl.startswith("pallas") and self.window is not None
         if use_pallas:
             from .turbo_decoder_pallas import (
                 fold_lanes, map_decode_fused, pad_trellis_rows, unfold_lanes)

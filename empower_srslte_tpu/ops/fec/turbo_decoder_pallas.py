@@ -59,7 +59,8 @@ def _wiring():
     return (t.next_state, t.parity, t.prev_state, t.prev_parity)
 
 
-def _half_iter_kernel(l: int, o: int, lanes: int, group: int = GROUP):
+def _half_iter_kernel(l: int, o: int, lanes: int, group: int = GROUP,
+                      dtype=jnp.float32):
     """Kernel body for one constituent decode over grid (W, B_folded/lanes).
 
     Refs: lsa_hbm/lp_hbm [rows, 8, Bf] (ANY); llr block out [L, 8, lanes];
@@ -104,9 +105,11 @@ def _half_iter_kernel(l: int, o: int, lanes: int, group: int = GROUP):
         # Exact boundary metric {state0: 0, others: NEG} for window 0's
         # alpha / last window's beta; uniform 0 for interior windows.
         def inits(is_boundary):
-            neg = jnp.where(is_boundary, NEG, 0.0).astype(jnp.float32)
+            # bf16 boundary metric: use a large-but-safe negative
+            neg_v = NEG if dtype == jnp.float32 else -1e30
+            neg = jnp.where(is_boundary, neg_v, 0.0).astype(dtype)
             full = jnp.broadcast_to(neg, (8, lanes))
-            zero = jnp.zeros((8, lanes), jnp.float32)
+            zero = jnp.zeros((8, lanes), dtype)
             return [zero] + [full] * 7
 
         a0 = inits(w == 0)
@@ -193,6 +196,7 @@ def _half_iter_kernel(l: int, o: int, lanes: int, group: int = GROUP):
 def map_decode_fused(lsa_pd, lp_pd, k: int, l: int, o: int, *,
                      lanes: int = DEFAULT_LANES, group: int = GROUP,
                      interpret: bool = False):
+    dtype = lsa_pd.dtype
     """One constituent MAP decode over pre-halved padded LLR arrays.
 
     lsa_pd/lp_pd: [rows, 8, Bf] f32 — O PAD rows, the K+3 payload+tail
@@ -206,10 +210,10 @@ def map_decode_fused(lsa_pd, lp_pd, k: int, l: int, o: int, *,
     w = k // l
     grid = (w, bf // lanes)
 
-    kernel = _half_iter_kernel(l, o, lanes, group)
+    kernel = _half_iter_kernel(l, o, lanes, group, dtype=dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((k, 8, bf), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, 8, bf), dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -218,9 +222,9 @@ def map_decode_fused(lsa_pd, lp_pd, k: int, l: int, o: int, *,
         out_specs=pl.BlockSpec((l, 8, lanes), lambda w, b: (w, 0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((l + 2 * o, 8, lanes), jnp.float32),
-            pltpu.VMEM((l + 2 * o, 8, lanes), jnp.float32),
-            pltpu.VMEM((l, 8, 8, lanes), jnp.float32),
+            pltpu.VMEM((l + 2 * o, 8, lanes), dtype),
+            pltpu.VMEM((l + 2 * o, 8, lanes), dtype),
+            pltpu.VMEM((l, 8, 8, lanes), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
