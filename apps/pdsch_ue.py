@@ -61,7 +61,9 @@ def main():
     for i in range(nof):
         sf_idx = i % 10
         log.step(i)
-        for r in ue_dl_decode(np.asarray(res.subframes[i]), cell, sf_idx,
+        # res.subframes stays on device: complex readback is unsupported
+        # on the axon backend and unnecessary here
+        for r in ue_dl_decode(res.subframes[i], cell, sf_idx,
                               args.rnti):
             if r.dci is None:
                 continue

@@ -124,7 +124,8 @@ class DciHit:
 
 def pdcch_blind_decode(grid, h, cell: Cell, cfi: int, sf_idx: int,
                        rnti: int, dci_sizes: tuple[int, ...],
-                       noise_est=0.0, ng: float = 1.0) -> list[DciHit]:
+                       noise_est=0.0, ng: float = 1.0,
+                       llr=None) -> list[DciHit]:
     """Blind search for one RNTI over its search space.
 
     grid/h [nsymb, nre] (single subframe, single rx antenna). All
@@ -132,7 +133,8 @@ def pdcch_blind_decode(grid, h, cell: Cell, cfi: int, sf_idx: int,
     Returns every CRC-passing candidate.
     """
     n_cce = pdcch_nof_cces(cell, cfi, ng)
-    llr = pdcch_extract_llr(grid, h, cell, cfi, sf_idx, noise_est, ng)
+    if llr is None:
+        llr = pdcch_extract_llr(grid, h, cell, cfi, sf_idx, noise_est, ng)
     cands = ue_search_candidates(rnti, sf_idx, n_cce)
     mask = uint_to_bits(rnti & 0xFFFF, 16)
     hits: list[DciHit] = []

@@ -50,6 +50,44 @@ def estimate_channel(grid, cell: Cell, sf_idx: int):
     return h, n0
 
 
+#: jitted pipeline stages, cached per static configuration. Eager
+#: execution would re-trace per call AND hit the axon backend's missing
+#: eager complex support (docs/BENCHMARKS.md); compiled graphs embed the
+#: complex constants and run everywhere.
+_front_cache: dict = {}
+_pdsch_cache: dict = {}
+_pdcch_llr_cache: dict = {}
+
+
+def _front_fn(cell: Cell, sf_idx: int):
+    key = (repr(cell), sf_idx)
+    if key not in _front_cache:
+        import jax
+
+        def f(samples):
+            grid = ofdm_rx_sf(samples[None], cell)[0]
+            h, n0 = estimate_channel(grid[None], cell, sf_idx)
+            cfi_arr, _ = pcfich_decode(grid[None], h[0][..., 0, :, :],
+                                       cell, sf_idx, noise_est=n0[0])
+            return grid, h[0], n0[0], cfi_arr[0]
+
+        _front_cache[key] = jax.jit(f)
+    return _front_cache[key]
+
+
+def _pdsch_fn(cfg: PdschConfig, plan):
+    key = (repr(cfg), repr(plan))
+    if key not in _pdsch_cache:
+        import jax
+
+        def f(grid, h, noise):
+            return pdsch_decode(grid[None, None], h[None, None], cfg, plan,
+                                noise_est=noise)
+
+        _pdsch_cache[key] = jax.jit(f)
+    return _pdsch_cache[key]
+
+
 def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                  mimo: MimoType = MimoType.SINGLE,
                  max_iterations: int = 5) -> list[UeDlResult]:
@@ -57,14 +95,11 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
 
     samples [sf_sample_len] complex64 -> list of per-grant results.
     """
-    grid = ofdm_rx_sf(jnp.asarray(samples)[None], cell)[0]  # [nsymb, nre]
-    h, n0 = estimate_channel(grid[None], cell, sf_idx)
-    h = h[0]
-    noise = float(np.asarray(n0[0]))
+    from ..utils import device_complex
 
-    cfi_arr, _ = pcfich_decode(grid[None], h[..., 0, :, :], cell, sf_idx,
-                               noise_est=noise)
-    cfi = int(np.asarray(cfi_arr[0]))
+    grid, h, n0, cfi_arr = _front_fn(cell, sf_idx)(device_complex(samples))
+    noise = float(np.asarray(n0))
+    cfi = int(np.asarray(cfi_arr))
 
     # common search space RNTIs additionally monitor format 1C
     # (ue_dl.c: SI/P/RA-RNTI -> formats 1A+1C)
@@ -73,9 +108,20 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
              dci_mod.format1_size(cell.nof_prb))
     if common_ss:
         sizes = sizes + (dci_mod.format1c_size(cell.nof_prb),)
-    hits = pdcch_blind_decode(grid, h[0, 0] if h.ndim == 4 else h[0],
-                              cell, cfi, sf_idx, rnti, sizes,
-                              noise_est=noise)
+    from .pdcch import pdcch_extract_llr
+
+    key = (repr(cell), cfi, sf_idx)
+    if key not in _pdcch_llr_cache:
+        import jax
+
+        def _ex(grid, h, noise, _cfi=cfi):
+            return pdcch_extract_llr(grid, h, cell, _cfi, sf_idx, noise)
+
+        _pdcch_llr_cache[key] = jax.jit(_ex)
+    h1 = h[0, 0] if h.ndim == 4 else h[0]
+    llr = np.asarray(_pdcch_llr_cache[key](grid, h1, noise))
+    hits = pdcch_blind_decode(grid, h1, cell, cfi, sf_idx, rnti, sizes,
+                              noise_est=noise, llr=llr)
 
     results: list[UeDlResult] = []
     for hit in hits:
@@ -94,9 +140,7 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                               prb_mask=d1c.prb_mask,
                               prb_mask_slot1=d1c.prb_mask_slot1)
             plan = cfg.plan(tbs, rv=0, max_iterations=max_iterations)
-            bits, ok, _ = pdsch_decode(
-                grid[None, None], h[None, None], cfg, plan,
-                noise_est=noise)
+            bits, ok, _ = _pdsch_fn(cfg, plan)(grid, h, noise)
             results.append(UeDlResult(
                 cfi=cfi, dci=d1c, tb_bits=np.asarray(bits)[0],
                 crc_ok=bool(np.asarray(ok)[0]), noise_est=noise))
@@ -107,8 +151,7 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
         cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
                           mod=mod, mimo=mimo, prb_mask=d.prb_mask)
         plan = cfg.plan(tbs, rv=d.rv, max_iterations=max_iterations)
-        bits, ok, _ = pdsch_decode(
-            grid[None, None], h[None, None], cfg, plan, noise_est=noise)
+        bits, ok, _ = _pdsch_fn(cfg, plan)(grid, h, noise)
         results.append(UeDlResult(
             cfi=cfi, dci=d,
             tb_bits=np.asarray(bits)[0],
@@ -123,7 +166,9 @@ def ue_mib_decode(samples, cell_id: int) -> dict | None:
     """MIB acquisition from a subframe-0 capture at 1.92 Msps
     (ue_mib.c analog): chest on the 6-PRB grid, blind PBCH decode."""
     cell = Cell(nof_prb=6, id=cell_id, nof_ports=1)
-    grid = ofdm_rx_sf(jnp.asarray(samples)[None], cell)[0]
+    from ..utils import device_complex
+
+    grid = ofdm_rx_sf(device_complex(samples)[None], cell)[0]
     h, n0 = estimate_channel(grid[None], cell, 0)
     from .pbch import mib_unpack
 

@@ -29,6 +29,18 @@ from ..ops.sync import (
 )
 from ..utils.cell import Cell
 
+#: jitted stage cache (axon has no eager complex support; compiled graphs
+#: embed the PSS/SSS complex constants — docs/BENCHMARKS.md)
+_jit_cache: dict = {}
+
+
+def _jit(key, make):
+    if key not in _jit_cache:
+        import jax
+
+        _jit_cache[key] = jax.jit(make())
+    return _jit_cache[key]
+
 
 @dataclass
 class SyncResult:
@@ -64,14 +76,23 @@ def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
     frame = 10 * sf_len
     assert samples.shape[-1] >= frame + sf_len, "need > 1 frame of samples"
 
-    window = jnp.asarray(samples[: frame + fft])
-    mag, peak, psr = pss_find(window[None], fft)        # [1, 3, N]
+    from ..utils import device_complex
+
+    samples = device_complex(samples)
+    window = samples[: frame + fft]
+    find = _jit(("pss_find", fft, int(window.shape[-1])),
+                lambda: lambda w: pss_find(w[None], fft))
+    mag, peak, psr = find(window)                        # [1, 3, N]
     n_id_2 = int(np.asarray(jnp.argmax(psr[0])))
     peak_start = int(np.asarray(peak[0, n_id_2]))
 
-    cfo = float(np.asarray(
-        pss_cfo_estimate(window[None], jnp.asarray([peak_start]), n_id_2, fft)[0]))
-    corrected = cfo_correct(jnp.asarray(samples), cfo, fft)
+    est = _jit(("pss_cfo", fft, n_id_2, int(window.shape[-1])),
+               lambda: lambda w, p: pss_cfo_estimate(w[None], p, n_id_2,
+                                                     fft)[0])
+    cfo = float(np.asarray(est(window, jnp.asarray([peak_start]))))
+    corr = _jit(("cfo_corr", fft, int(samples.shape[-1])),
+                lambda: lambda s, c: cfo_correct(s, c, fft))
+    corrected = corr(samples, cfo)
 
     # tentative subframe start (could be sf 0 or sf 5)
     start = pss_start_to_sf_start(peak_start, cell_probe)
@@ -79,17 +100,25 @@ def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
         start += sf_len * 5
     # demodulate that subframe, read the SSS symbol
     sf = corrected[start : start + sf_len]
-    grid = ofdm_rx_sf(sf[None], cell_probe)[0]          # [nsymb, nre]
-    k = jnp.asarray(sync_re_indices(cell_probe))
-    nsym = cell_probe.nsymb_slot
-    # equalize SSS against PSS-derived channel: both share the 62 REs;
-    # coherent detection using the PSS as phase reference
-    from ..ops.sync import pss_freq
 
-    pss_re = grid[nsym - 1, k]
-    h = pss_re * jnp.conj(jnp.asarray(pss_freq(n_id_2)))
-    sss_re = grid[nsym - 2, k] * jnp.conj(h) / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
-    n_id_1, is_sf5, metric = sss_detect(sss_re[None], n_id_2)
+    def _make_sss():
+        from ..ops.sync import pss_freq
+
+        def f(sf):
+            grid = ofdm_rx_sf(sf[None], cell_probe)[0]
+            k = jnp.asarray(sync_re_indices(cell_probe))
+            nsym = cell_probe.nsymb_slot
+            # equalize SSS against the PSS-derived channel: both share
+            # the 62 REs; coherent detection with PSS as phase reference
+            pss_re = grid[nsym - 1, k]
+            h = pss_re * jnp.conj(jnp.asarray(pss_freq(n_id_2)))
+            sss_re = grid[nsym - 2, k] * jnp.conj(h)                 / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
+            return sss_detect(sss_re[None], n_id_2)
+
+        return f
+
+    n_id_1, is_sf5, metric = _jit(
+        ("sss", repr(cell_probe), n_id_2), _make_sss)(sf)
     n_id_1 = int(np.asarray(n_id_1[0]))
     sf0 = start + (5 * sf_len if bool(np.asarray(is_sf5[0])) else 0)
     sf0 = sf0 % frame

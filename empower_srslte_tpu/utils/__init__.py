@@ -27,3 +27,25 @@ __all__ = [
     "CRC8",
     "bits",
 ]
+
+
+def device_complex(x):
+    """Host complex array -> device complex64 via two float32 transfers.
+
+    The axon TPU backend cannot device_put complex64 directly
+    (docs/BENCHMARKS.md); transferring re/im separately and recombining
+    with lax.complex on device works on every backend.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(x, jax.Array):
+        return x            # already on device; avoid a host round-trip
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    re = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return jax.lax.complex(re, im)
