@@ -120,9 +120,9 @@ class PdschConfig:
         if self.mimo is MimoType.SINGLE:
             return self.nof_re
         if self.mimo is MimoType.DIVERSITY:
-            # 2 layers carry 2 symbols over 2 REs -> same count, but the
-            # pairwise SFBC map needs an even RE count
-            return self.nof_re - (self.nof_re % 2)
+            # SFBC needs RE pairs (2-port) or quads (4-port SFBC-FSTD)
+            group = 4 if self.cell.nof_ports == 4 else 2
+            return self.nof_re - (self.nof_re % group)
         # spatial multiplexing: every RE carries nof_layers symbols,
         # split across nof_codewords codewords
         return self.nof_re * self.nof_layers // self.nof_codewords
@@ -162,8 +162,14 @@ def pdsch_encode(tb_bits, cfg: PdschConfig, plan: DlschPlan, tb_bits2=None,
     if cfg.mimo is MimoType.SINGLE:
         ports = cws[0][..., None, :]                       # [..., 1, M]
     elif cfg.mimo is MimoType.DIVERSITY:
-        layers = layermap(cws, 2)
-        ports = precode_sfbc(layers)                       # [..., 2, M_re]
+        if cfg.cell.nof_ports == 4:
+            from ..ops.equalizer import precode_sfbc_fstd
+
+            layers = layermap(cws, 4)
+            ports = precode_sfbc_fstd(layers)              # [..., 4, M_re]
+        else:
+            layers = layermap(cws, 2)
+            ports = precode_sfbc(layers)                   # [..., 2, M_re]
     elif cfg.mimo is MimoType.SPATIAL_MUX:
         layers = layermap(cws, cfg.nof_layers, cfg.nof_codewords)
         ports = precode_mux_2x2(layers, cfg.pmi)
@@ -211,9 +217,16 @@ def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
         cw_syms = [x[..., :m]]
         csis = [csi[..., :m]]
     elif cfg.mimo is MimoType.DIVERSITY:
-        h0 = pdsch_extract(h[..., :, 0, :, :], cfg)
-        h1 = pdsch_extract(h[..., :, 1, :, :], cfg)
-        x, csi = eq_sfbc(y[..., :m], h0[..., :m], h1[..., :m])
+        if cfg.cell.nof_ports == 4:
+            from ..ops.equalizer import eq_sfbc_fstd
+
+            hp = [pdsch_extract(h[..., :, p, :, :], cfg)[..., :m]
+                  for p in range(4)]
+            x, csi = eq_sfbc_fstd(y[..., :m], *hp)
+        else:
+            h0 = pdsch_extract(h[..., :, 0, :, :], cfg)
+            h1 = pdsch_extract(h[..., :, 1, :, :], cfg)
+            x, csi = eq_sfbc(y[..., :m], h0[..., :m], h1[..., :m])
         cw_syms = [x]
         csis = [csi]
     elif cfg.mimo in (MimoType.SPATIAL_MUX, MimoType.CDD):

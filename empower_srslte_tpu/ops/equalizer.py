@@ -116,6 +116,10 @@ def layermap(cw_symbols, nof_layers: int, nof_codewords: int = 1):
         return jnp.stack([x[..., 0::2], x[..., 1::2]], axis=-2)
     if nof_codewords == 2 and nof_layers == 2:
         return jnp.stack(cw_symbols, axis=-2)
+    if nof_codewords == 1 and nof_layers == 4:
+        # 4-layer diversity: x^(l)(i) = d(4i + l) (36.211 Table 6.3.3.3-1)
+        x = cw_symbols[0]
+        return jnp.stack([x[..., l::4] for l in range(4)], axis=-2)
     raise NotImplementedError((nof_codewords, nof_layers))
 
 
@@ -129,6 +133,9 @@ def layerdemap(layers, nof_codewords: int = 1):
         return [x.reshape(*layers.shape[:-2], -1)]
     if nof_codewords == 2 and n_layers == 2:
         return [layers[..., 0, :], layers[..., 1, :]]
+    if nof_codewords == 1 and n_layers == 4:
+        x = jnp.stack([layers[..., l, :] for l in range(4)], axis=-1)
+        return [x.reshape(*layers.shape[:-2], -1)]
     raise NotImplementedError((nof_codewords, n_layers))
 
 
@@ -147,6 +154,55 @@ def precode_sfbc(layers):
     p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(
         *x0.shape[:-1], -1) * s
     return jnp.stack([p0, p1], axis=-2)
+
+
+def precode_sfbc_fstd(layers):
+    """4-port SFBC-FSTD (36.211 6.3.4.3; precoding.c:1863-1889): groups
+    of 4 REs carry the Alamouti pair (x0, x1) on ports {0, 2} over REs
+    (4i, 4i+1) and (x2, x3) on ports {1, 3} over REs (4i+2, 4i+3).
+
+    layers [..., 4, M] -> ports [..., 4, 4M]."""
+    x0 = layers[..., 0, :]
+    x1 = layers[..., 1, :]
+    x2 = layers[..., 2, :]
+    x3 = layers[..., 3, :]
+    z = jnp.zeros_like(x0)
+    s = 1.0 / jnp.sqrt(2.0)
+
+    def inter4(a, b, c, d):
+        return jnp.stack([a, b, c, d], axis=-1).reshape(
+            *a.shape[:-1], -1)
+
+    p0 = inter4(x0, x1, z, z) * s
+    p1 = inter4(z, z, x2, x3) * s
+    p2 = inter4(-jnp.conj(x1), jnp.conj(x0), z, z) * s
+    p3 = inter4(z, z, -jnp.conj(x3), jnp.conj(x2)) * s
+    return jnp.stack([p0, p1, p2, p3], axis=-2)
+
+
+def eq_sfbc_fstd(y, h0, h1, h2, h3):
+    """4-port SFBC-FSTD combining (predecoding_diversity 4-port,
+    precoding.c:356-686): Alamouti-combine REs (4i, 4i+1) with ports
+    (0, 2) and REs (4i+2, 4i+3) with ports (1, 3).
+
+    y [..., A, n] (n % 4 == 0); h0..h3 [..., A, n] per-port channels.
+    Returns (x [..., n], csi [..., n])."""
+    n = y.shape[-1]
+    assert n % 4 == 0
+
+    def pick(a, lo):
+        q = a.reshape(*a.shape[:-1], n // 4, 4)
+        return q[..., lo : lo + 2].reshape(*a.shape[:-1], n // 2)
+
+    x_a, csi_a = eq_sfbc(pick(y, 0), pick(h0, 0), pick(h2, 0))
+    x_b, csi_b = eq_sfbc(pick(y, 2), pick(h1, 2), pick(h3, 2))
+
+    def weave(a, b):
+        qa = a.reshape(*a.shape[:-1], n // 4, 2)
+        qb = b.reshape(*b.shape[:-1], n // 4, 2)
+        return jnp.concatenate([qa, qb], axis=-1).reshape(*a.shape[:-1], n)
+
+    return weave(x_a, x_b), weave(csi_a, csi_b)
 
 
 #: 36.211 Table 6.3.4.2.3-1 codebook for 2 antenna ports, 2 layers (TM4).

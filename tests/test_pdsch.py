@@ -182,3 +182,43 @@ class TestPdschCdd:
                                        noise_est=n0)
             assert bool(np.asarray(ok)[0])
             assert np.array_equal(np.asarray(bits)[0], tb[0])
+
+
+class TestFourPortDiversity:
+    def test_sfbc_fstd_4port_flat_channel(self, rng):
+        """4-port SFBC-FSTD (TM2 with 4 CRS ports; precoding.c:1863-1889)
+        through the full PDSCH encode/decode with per-port flat channels."""
+        cell = Cell(nof_prb=25, nof_ports=4, id=1)
+        cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=Mod.QAM16,
+                          mimo=MimoType.DIVERSITY, nof_layers=4)
+        tbs = 4392
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(1, tbs)).astype(np.int8)
+        ports = pdsch_encode(jnp.asarray(tb), cfg, plan)   # [1, 4, 14, 300]
+        assert ports.shape[1] == 4
+        n = cell.nof_re
+        hs = [np.full((14, n), rng.normal() + 1j * rng.normal(),
+                      np.complex64) for _ in range(4)]
+        y = sum(np.asarray(ports[:, p]) * hs[p] for p in range(4))
+        noisy, n0 = _awgn(y, 15.0, rng)
+        h = jnp.stack([jnp.asarray(x) for x in hs], axis=0)[None, None]
+        bits, ok, _ = pdsch_decode(jnp.asarray(noisy)[:, None], h, cfg,
+                                   plan, noise_est=n0)
+        assert bool(np.asarray(ok)[0])
+        assert np.array_equal(np.asarray(bits)[0], tb[0])
+
+    def test_ports_occupy_disjoint_re_groups(self, rng):
+        """FSTD structure: ports 0/2 are silent on REs (4i+2, 4i+3) and
+        ports 1/3 on REs (4i, 4i+1)."""
+        from empower_srslte_tpu.ops.equalizer import (layermap,
+                                                      precode_sfbc_fstd)
+
+        x = jnp.asarray((rng.normal(size=32)
+                         + 1j * rng.normal(size=32)).astype(np.complex64))
+        ports = np.asarray(precode_sfbc_fstd(layermap([x], 4)))
+        quads = ports.reshape(4, -1, 4)
+        assert np.allclose(quads[0][:, 2:], 0) and np.allclose(quads[2][:, 2:], 0)
+        assert np.allclose(quads[1][:, :2], 0) and np.allclose(quads[3][:, :2], 0)
+        # total TX power preserved (1/sqrt2 pairs, 2 active ports per RE)
+        assert np.isclose(np.sum(np.abs(ports) ** 2),
+                          np.sum(np.abs(np.asarray(x)) ** 2), rtol=1e-5)
