@@ -25,6 +25,70 @@ from .refsignal_ul import chest_ul_pusch, pusch_dmrs, pusch_dmrs_symbols
 from .sch import DlschPlan, dlsch_decode, dlsch_encode
 
 
+# --- frequency hopping (36.211 5.3.4 / 36.213 8.4; pusch.c:55-137) ----------
+
+
+def pusch_hop_type1(nof_prb: int, n_rb_ho: int, n_prb_1: int,
+                    hop: str) -> tuple[int, int]:
+    """Type-1 hopping: fixed offset between slots from the DCI0 hopping
+    bits (ra.c:145-177). hop: "quart" | "quart_neg" | "half"."""
+    if n_rb_ho % 2:
+        n_rb_ho += 1
+    n_rb_pusch = nof_prb - n_rb_ho - (nof_prb % 2)
+    if hop == "quart":
+        n1 = (n_rb_pusch // 4 + n_prb_1) % n_rb_pusch
+    elif hop == "quart_neg":
+        n1 = (n_prb_1 - n_rb_pusch // 4) if n_prb_1 >= n_rb_pusch // 4             else (n_rb_pusch + n_prb_1 - n_rb_pusch // 4)
+    elif hop == "half":
+        n1 = (n_rb_pusch // 2 + n_prb_1) % n_rb_pusch
+    else:
+        raise ValueError(hop)
+    return n_prb_1, n1
+
+
+def pusch_hop_type2(cell: Cell, n_sb: int, hopping_offset: int,
+                    inter_sf: bool, n_vrb: int, sf_idx: int,
+                    current_tx_nb: int = 0) -> tuple[int, int]:
+    """Type-2 (pseudo-random subband) hopping with mirroring
+    (36.211 5.3.4; pusch.c:55-137). The hopping pattern c(i) is the
+    Gold sequence seeded with the cell id (pusch.c:332)."""
+    from ..utils.sequence import gold_sequence
+
+    c = gold_sequence(cell.id, 210)
+
+    def f_hop_sum(i):
+        return sum(int(c[k]) << (k - (i * 10 + 1))
+                   for k in range(i * 10 + 1, i * 10 + 9))
+
+    def f_hop(i):
+        if i == -1 or n_sb == 1:
+            return 0
+        if n_sb == 2:
+            return (f_hop(i - 1) + f_hop_sum(i)) % 2
+        return (f_hop(i - 1) + f_hop_sum(i) % (n_sb - 1) + 1) % n_sb
+
+    def f_m(i):
+        if n_sb == 1:
+            return current_tx_nb % 2 if inter_sf else i % 2
+        return int(c[i * 10])
+
+    out = []
+    for slot in range(2):
+        n_vrb_t = n_vrb
+        if n_sb > 1:
+            n_vrb_t -= (hopping_offset - 1) // 2 + 1
+        i = sf_idx if inter_sf else 2 * sf_idx + slot
+        n_rb_sb = cell.nof_prb
+        if n_sb > 1:
+            n_rb_sb = (n_rb_sb - hopping_offset - hopping_offset % 2)                 // n_sb
+        n_prb_t = (n_vrb_t + f_hop(i) * n_rb_sb
+                   + (n_rb_sb - 1 - 2 * (n_vrb_t % n_rb_sb)) * f_m(i))             % (n_rb_sb * n_sb)
+        if n_sb > 1:
+            n_prb_t += (hopping_offset - 1) // 2 + 1
+        out.append(n_prb_t)
+    return out[0], out[1]
+
+
 @dataclass(frozen=True)
 class PuschConfig:
     """Static PUSCH grant configuration."""
@@ -36,6 +100,9 @@ class PuschConfig:
     prb_start: int = 0
     n_prb: int = 6
     cyclic_shift: int = 0
+    #: second-slot PRB start when frequency hopping (36.211 5.3.4);
+    #: None = no hop
+    prb_start_slot1: int | None = None
 
     def __post_init__(self):
         assert valid_prb(self.n_prb), f"n_prb={self.n_prb} not 2^a 3^b 5^c"
@@ -61,6 +128,11 @@ class PuschConfig:
     def cinit(self) -> int:
         return cinit_pdsch(self.rnti, 0, 2 * self.sf_idx, self.cell.id)
 
+    def slot_starts(self) -> tuple[int, int]:
+        s1 = self.prb_start if self.prb_start_slot1 is None \
+            else self.prb_start_slot1
+        return self.prb_start, s1
+
     @functools.cached_property
     def data_symbol_indices(self) -> np.ndarray:
         l0, l1 = pusch_dmrs_symbols(self.cell)
@@ -81,15 +153,22 @@ def pusch_encode(tb_bits, cfg: PuschConfig, plan: DlschPlan):
     from ..utils.scatter import place
 
     cell = cfg.cell
-    k0 = 12 * cfg.prb_start
+    st0, st1 = cfg.slot_starts()
+    half = cell.nsymb_slot
+
+    def k0_of(sym: int) -> int:
+        # per-slot start implements frequency hopping (pusch_cp
+        # pusch.c:141-180 uses grant->n_prb_tilde[slot])
+        return 12 * (st0 if sym < half else st1)
+
     l0, l1 = pusch_dmrs_symbols(cell)
     dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift)
-    # one static placement of data + DMRS values into the flat grid
     data_idx = np.concatenate(
-        [s * cell.nof_re + k0 + np.arange(cfg.m_sc)
+        [s * cell.nof_re + k0_of(s) + np.arange(cfg.m_sc)
          for s in cfg.data_symbol_indices])
     dmrs_idx = np.concatenate(
-        [l * cell.nof_re + k0 + np.arange(cfg.m_sc) for l in (l0, l1)])
+        [l * cell.nof_re + k0_of(l) + np.arange(cfg.m_sc)
+         for l in (l0, l1)])
     vals = jnp.concatenate(
         [spread.reshape(*lead, -1),
          jnp.broadcast_to(jnp.asarray(dmrs.reshape(-1)),
@@ -107,10 +186,17 @@ def pusch_decode(grid, cfg: PuschConfig, plan: DlschPlan, noise_est=0.0,
     weighted LLRs, UL-SCH decode (srslte_enb_ul chain, enb_ul.c:256-386).
     """
     cell = cfg.cell
-    k0 = 12 * cfg.prb_start
+    st0, st1 = cfg.slot_starts()
     h = chest_ul_pusch(grid, cell, cfg.prb_start, cfg.n_prb,
-                       cfg.cyclic_shift)                  # [..., nsymb, Msc]
-    alloc = grid[..., k0 : k0 + cfg.m_sc]
+                       cfg.cyclic_shift,
+                       prb_start_slot1=cfg.prb_start_slot1)
+    if st0 == st1:
+        alloc = grid[..., 12 * st0 : 12 * st0 + cfg.m_sc]
+    else:
+        half = cell.nsymb_slot
+        alloc = jnp.concatenate(
+            [grid[..., :half, 12 * st0 : 12 * st0 + cfg.m_sc],
+             grid[..., half:, 12 * st1 : 12 * st1 + cfg.m_sc]], axis=-2)
     data_syms = jnp.asarray(cfg.data_symbol_indices)
     y = alloc[..., data_syms, :]
     hh = h[..., data_syms, :]
@@ -284,14 +370,22 @@ def pusch_encode_uci(tb_bits, cfg: PuschConfig, plan: UciPlan):
     spread = dft_precode(blocks)
 
     cell = cfg.cell
-    k0 = 12 * cfg.prb_start
+    st0, st1 = cfg.slot_starts()
+    half = cell.nsymb_slot
+
+    def k0_of(sym: int) -> int:
+        # per-slot start implements frequency hopping (pusch_cp
+        # pusch.c:141-180 uses grant->n_prb_tilde[slot])
+        return 12 * (st0 if sym < half else st1)
+
     l0, l1 = pusch_dmrs_symbols(cell)
     dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift)
     data_idx = np.concatenate(
-        [s * cell.nof_re + k0 + np.arange(cfg.m_sc)
+        [s * cell.nof_re + k0_of(s) + np.arange(cfg.m_sc)
          for s in cfg.data_symbol_indices])
     dmrs_idx = np.concatenate(
-        [l * cell.nof_re + k0 + np.arange(cfg.m_sc) for l in (l0, l1)])
+        [l * cell.nof_re + k0_of(l) + np.arange(cfg.m_sc)
+         for l in (l0, l1)])
     vals = jnp.concatenate(
         [spread.reshape(*lead, -1),
          jnp.broadcast_to(jnp.asarray(dmrs.reshape(-1)),
@@ -348,10 +442,17 @@ def pusch_decode_uci(grid, cfg: PuschConfig, plan: UciPlan, noise_est=0.0,
     from . import uci as uci_mod
 
     cell = cfg.cell
-    k0 = 12 * cfg.prb_start
+    st0, st1 = cfg.slot_starts()
     h = chest_ul_pusch(grid, cell, cfg.prb_start, cfg.n_prb,
-                       cfg.cyclic_shift)
-    alloc = grid[..., k0 : k0 + cfg.m_sc]
+                       cfg.cyclic_shift,
+                       prb_start_slot1=cfg.prb_start_slot1)
+    if st0 == st1:
+        alloc = grid[..., 12 * st0 : 12 * st0 + cfg.m_sc]
+    else:
+        half = cell.nsymb_slot
+        alloc = jnp.concatenate(
+            [grid[..., :half, 12 * st0 : 12 * st0 + cfg.m_sc],
+             grid[..., half:, 12 * st1 : 12 * st1 + cfg.m_sc]], axis=-2)
     data_syms = jnp.asarray(cfg.data_symbol_indices)
     y = alloc[..., data_syms, :]
     hh = h[..., data_syms, :]

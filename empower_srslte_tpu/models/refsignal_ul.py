@@ -81,18 +81,23 @@ def pusch_dmrs(cell: Cell, n_prb: int, cyclic_shift: int = 0,
 
 
 def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
-                   cyclic_shift: int = 0):
+                   cyclic_shift: int = 0,
+                   prb_start_slot1: int | None = None):
     """LS channel estimate over the PUSCH allocation from the two DMRS
     symbols, time-interpolated to all symbols (chest_ul.c analog).
 
     grid [..., nsymb, nre] -> h [..., nsymb, 12*n_prb] (allocation only).
+    With frequency hopping (``prb_start_slot1``) each slot's DMRS sits on
+    its own allocation, so estimates are held constant per slot instead
+    of interpolated across the hop.
     """
     m_sc = 12 * n_prb
     k0 = 12 * prb_start
+    k1 = 12 * (prb_start if prb_start_slot1 is None else prb_start_slot1)
     dmrs = jnp.asarray(pusch_dmrs(cell, n_prb, cyclic_shift))
     l0, l1 = pusch_dmrs_symbols(cell)
     y0 = grid[..., l0, k0 : k0 + m_sc]
-    y1 = grid[..., l1, k0 : k0 + m_sc]
+    y1 = grid[..., l1, k1 : k1 + m_sc]
     h0 = y0 * jnp.conj(dmrs[0])
     h1 = y1 * jnp.conj(dmrs[1])
     # 3-tap freq smoothing
@@ -101,8 +106,14 @@ def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
         return (pad[..., :-2] + pad[..., 1:-1] + pad[..., 2:]) / 3.0
 
     h0, h1 = smooth(h0), smooth(h1)
-    # linear time interpolation/extrapolation between the two DMRS symbols
     nsymb = cell.nsymb_sf
+    if prb_start_slot1 is not None and prb_start_slot1 != prb_start:
+        # hopped: hold each slot's estimate (no cross-hop interpolation)
+        half = cell.nsymb_slot
+        sel = jnp.asarray((np.arange(nsymb) >= half).astype(np.float32))
+        t = sel[..., :, None]
+        return h0[..., None, :] * (1 - t) + h1[..., None, :] * t
+    # linear time interpolation/extrapolation between the two DMRS symbols
     t = (np.arange(nsymb) - l0) / float(l1 - l0)
     t = jnp.asarray(t.astype(np.float32))[..., :, None]
     return h0[..., None, :] * (1 - t) + h1[..., None, :] * t

@@ -246,3 +246,69 @@ class TestUciOnPusch:
         assert bool(np.asarray(out["crc_ok"]).all())
         assert np.array_equal(np.asarray(out["tb"]).ravel()[:tbs], tb)
         assert out["ack"] == (1,)
+
+
+class TestFrequencyHopping:
+    """PUSCH frequency hopping (36.211 5.3.4, 36.213 8.4;
+    pusch.c:55-180, ra.c:145-177)."""
+
+    def test_type1_offsets(self):
+        from empower_srslte_tpu.models.pusch import pusch_hop_type1
+
+        # 25 PRB, no PUSCH hopping band: n_rb_pusch = 24
+        assert pusch_hop_type1(25, 0, 2, "quart") == (2, 8)
+        assert pusch_hop_type1(25, 0, 2, "half") == (2, 14)
+        assert pusch_hop_type1(25, 0, 2, "quart_neg") == (2, 20)
+        assert pusch_hop_type1(25, 0, 10, "quart_neg") == (10, 4)
+
+    def test_type2_deterministic_and_in_range(self):
+        from empower_srslte_tpu.models.pusch import pusch_hop_type2
+
+        cell = Cell(nof_prb=50, id=7)
+        for sf in range(10):
+            s0, s1 = pusch_hop_type2(cell, n_sb=4, hopping_offset=4,
+                                     inter_sf=False, n_vrb=6, sf_idx=sf)
+            assert 0 <= s0 < 50 and 0 <= s1 < 50
+            # deterministic
+            assert (s0, s1) == pusch_hop_type2(cell, 4, 4, False, 6, sf)
+
+    def test_hopped_roundtrip(self, rng):
+        from empower_srslte_tpu.models.pusch import pusch_hop_type1
+
+        cell = Cell(nof_prb=25, id=3)
+        s0, s1 = pusch_hop_type1(25, 0, 2, "quart")
+        cfg = PuschConfig(cell=cell, n_prb=4, prb_start=s0,
+                          prb_start_slot1=s1, mod=Mod.QAM16, rnti=0x52)
+        tbs = 1000
+        tb = rng.integers(0, 2, tbs).astype(np.int8)
+        plan = cfg.plan(tbs)
+        grid = np.asarray(pusch_encode(jnp.asarray(tb), cfg, plan))
+        half = cell.nsymb_slot
+        # slot 1 energy sits at the hop target, none at the slot-0 PRBs
+        assert np.abs(grid[half:, 12 * s1 : 12 * s1 + 48]).sum() > 1
+        assert np.abs(grid[half:, 12 * s0 : 12 * s0 + 48]).sum() < 1e-6
+        noisy = grid + 0.02 * (rng.normal(size=grid.shape)
+                               + 1j * rng.normal(size=grid.shape))
+        bits, ok, _ = pusch_decode(jnp.asarray(noisy.astype(np.complex64)),
+                                   cfg, plan, noise_est=4e-4)
+        assert bool(np.asarray(ok).all())
+        assert np.array_equal(np.asarray(bits).ravel()[:tbs], tb)
+
+    def test_hopping_with_uci_mux(self, rng):
+        from empower_srslte_tpu.models.pusch import (
+            UciData, UciPlan, pusch_decode_uci, pusch_encode_uci,
+            pusch_hop_type1)
+
+        cell = Cell(nof_prb=25, id=3)
+        s0, s1 = pusch_hop_type1(25, 0, 2, "half")
+        cfg = PuschConfig(cell=cell, n_prb=4, prb_start=s0,
+                          prb_start_slot1=s1, mod=Mod.QAM16, rnti=0x52)
+        tbs = 1000
+        tb = rng.integers(0, 2, tbs).astype(np.int8)
+        uci = UciData(cqi_bits=(1, 0, 1, 1), ri=1, ack=(1,))
+        plan = UciPlan(cfg, tbs, uci)
+        grid = pusch_encode_uci(jnp.asarray(tb), cfg, plan)
+        out = pusch_decode_uci(grid, cfg, plan, noise_est=1e-4)
+        assert bool(np.asarray(out["crc_ok"]).all())
+        assert out["ri"] == 1 and out["ack"] == (1,)
+        assert np.array_equal(out["cqi_bits"].ravel(), [1, 0, 1, 1])
