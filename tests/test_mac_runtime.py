@@ -236,3 +236,63 @@ class TestMacPdu:
         assert by_lcid[LCID_PHR].payload[0] == 33
         assert int.from_bytes(by_lcid[LCID_CRNTI].payload, "big") == 0x5a5a
         assert by_lcid[3].payload == b"data"
+
+
+class TestSibPagingScheduler:
+    """SIB windows + paging occasions (scheduler.cc:487-570,
+    rrc.cc:429-470; 36.304 7.1-7.2)."""
+
+    def test_sib1_every_other_frame_rv_cycle(self):
+        from empower_srslte_tpu.mac.bcch import SibConfig, SibScheduler
+
+        s = SibScheduler(sibs=[SibConfig(payload_len=18)])
+        got = []
+        for tti in range(0, 10240):
+            for g in s.new_tti(tti):
+                got.append((tti, g.rv))
+        # one TX per even SFN at sf 5
+        ttis = [t for t, _ in got]
+        assert all(t % 20 == 5 for t in ttis)
+        assert len(got) == 512
+        # RV cycling 0,2,3,1 over the 80ms period
+        assert [rv for _, rv in got[:4]] == [0, 2, 3, 1]
+
+    def test_si_message_window(self):
+        from empower_srslte_tpu.mac.bcch import SibConfig, SibScheduler
+
+        s = SibScheduler(sibs=[SibConfig(18), SibConfig(32, period_rf=16)],
+                         si_window_ms=20)
+        got = [ (tti, g.sib_index, g.rv)
+                for tti in range(0, 3200) for g in s.new_tti(tti)
+                if g.sib_index == 1 ]
+        assert got, "SI message never scheduled"
+        # 2 transmissions per window (20ms window), window every 160ms
+        per_window = {}
+        for tti, _, rv in got:
+            per_window.setdefault(tti // 160, []).append(rv)
+        assert all(len(v) == 2 for v in per_window.values())
+        assert all(v[0] == 0 and v[1] == 2 for v in per_window.values())
+
+    def test_paging_occasion_formula(self):
+        from empower_srslte_tpu.mac.bcch import paging_occasion
+
+        # T=128, nB=T: N=128, Ns=1 -> PO=9, PF=(T/N)*(ue%N)=ue%128
+        pf, po = paging_occasion(77, 128, 1.0)
+        assert (pf, po) == (77, 9)
+        # nB=2T: Ns=2 -> PO in {4, 9}
+        pf2, po2 = paging_occasion(77, 128, 2.0)
+        assert po2 in (4, 9)
+
+    def test_paging_scheduler_drains_at_occasion(self):
+        from empower_srslte_tpu.mac.bcch import PagingScheduler, paging_occasion
+
+        ps = PagingScheduler(t=32, nb_factor=1.0)
+        ue_id = ps.add("001010123456789", payload=b"page!")
+        pf, po = paging_occasion(ue_id, 32, 1.0)
+        hit = []
+        for tti in range(0, 3200):
+            for p in ps.opportunity(tti):
+                hit.append(tti)
+        assert len(hit) == 1
+        assert hit[0] % 10 == po and (hit[0] // 10) % 32 == pf
+        assert not ps.pending

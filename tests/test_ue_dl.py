@@ -131,3 +131,63 @@ class TestFormat1CDownlink:
         r = res[0]
         assert type(r.dci).__name__ == "DciDl1C" and r.crc_ok
         assert np.array_equal(np.asarray(r.tb_bits).ravel()[:tbs], tb)
+
+
+class TestBroadcastChain:
+    def test_sib1_mac_rrc_phy_chain(self, rng):
+        """MAC SIB scheduler -> RRC-encoded SIB1 -> 1C grant at SI-RNTI ->
+        PHY -> UE blind decode -> RRC unpack (the srsenb bcch pipeline)."""
+        from empower_srslte_tpu.mac.bcch import SibConfig, SibScheduler
+        from empower_srslte_tpu.models.enb_dl import (
+            enb_dl_base_grid, enb_dl_gen_signal, put_sync_signals)
+        from empower_srslte_tpu.models.pcfich import pcfich_put
+        from empower_srslte_tpu.rrc import messages as M
+
+        cell = Cell(nof_prb=25, id=1)
+        si_rnti = 0xFFFF
+        sib1 = {"cell_access_related_info": {
+                    "plmn_identity_list": [{
+                        "plmn_identity": {"mcc": [0, 0, 1], "mnc": [0, 1]},
+                        "cell_reserved_for_operator_use": "notReserved"}],
+                    "tracking_area_code": 7, "cell_identity": 0x1A2D001,
+                    "cell_barred": "notBarred",
+                    "intra_freq_reselection": "allowed",
+                    "csg_indication": False},
+                "cell_selection_info": {"q_rx_lev_min": -65},
+                "freq_band_indicator": 7,
+                "scheduling_info_list": [{"si_periodicity": 1,
+                                          "sib_mapping_info": [0]}],
+                "si_window_length": 5, "system_info_value_tag": 11}
+        payload = M.pack_bcch_dlsch("systemInformationBlockType1", sib1)
+        sched = SibScheduler(sibs=[SibConfig(payload_len=len(payload))])
+        grants = [(t, g) for t in range(10) for g in sched.new_tti(t)]
+        assert grants and grants[0][0] == 5 and grants[0][1].rv == 0
+
+        tbs_tab = ra.tbs_format1c_table()
+        i_tbs = int(np.argmax(tbs_tab >= 8 * len(payload)))
+        tbs = int(tbs_tab[i_tbs])
+        step = ra.type2_n_rb_step(cell.nof_prb)
+        tb_bits = np.concatenate([
+            np.unpackbits(np.frombuffer(payload, np.uint8)),
+            np.zeros(tbs - 8 * len(payload), np.uint8)]).astype(np.int8)
+        dci_bits = dci_mod.pack_format1c(cell.nof_prb, 0, 4 * step, i_tbs)
+        d1c = dci_mod.unpack_format1c(dci_bits, cell.nof_prb)
+        cfg = PdschConfig(cell=cell, sf_idx=5, cfi=2, rnti=si_rnti,
+                          mod=Mod.QPSK, prb_mask=d1c.prb_mask,
+                          prb_mask_slot1=d1c.prb_mask_slot1)
+        plan = cfg.plan(tbs)
+        grid = enb_dl_base_grid(cell, 5, ())
+        grid = put_sync_signals(grid, cell, 5)
+        grid = pcfich_put(grid, 2, cell, 5)
+        grid = grid + pdcch_encode(jnp.asarray(dci_bits), si_rnti, 0, 4,
+                                   cell, 2, 5)
+        grid = grid + pdsch_encode(jnp.asarray(tb_bits)[None], cfg, plan)[0]
+        s = np.asarray(enb_dl_gen_signal(grid, cell)[0]).astype(np.complex64)
+        res = ue_dl_decode(s, cell, 5, si_rnti)
+        assert len(res) == 1 and res[0].crc_ok
+        rx = np.packbits(np.asarray(res[0].tb_bits).ravel()
+                         [: 8 * len(payload)]).tobytes()
+        name, v = M.unpack_bcch_dlsch(rx)
+        assert name == "systemInformationBlockType1"
+        assert v["system_info_value_tag"] == 11
+        assert v["cell_access_related_info"]["cell_identity"] == 0x1A2D001
