@@ -1053,3 +1053,51 @@ def pack_pcch(value) -> bytes:
 
 def unpack_pcch(data: bytes):
     return _unpack(PCCH_Message, data)[1][1]
+
+
+# --- MCCH (eMBMS control; 36.331 6.2.1 MCCH-Message, liblte mcch) -------------
+
+TMGI = Seq(
+    f("plmn_id", Choice([("plmn_index", Int(1, 6)),
+                         ("explicitValue", PLMN_Identity)])),
+    f("service_id", OctetString(3)),
+)
+
+MBMS_SessionInfo = Seq(
+    f("tmgi", TMGI),
+    f("session_id", OctetString(1), optional=True),
+    f("logical_channel_identity", Int(0, 28)),
+    ext=True,
+)
+
+PMCH_Config = Seq(
+    f("sf_alloc_end", Int(0, 1535)),
+    f("data_mcs", Int(0, 28)),
+    f("mch_scheduling_period", Enum(8)),    # rf8..rf1024
+    ext=True,
+)
+
+PMCH_Info = Seq(
+    f("pmch_config", PMCH_Config),
+    f("mbms_session_info_list", SeqOf(MBMS_SessionInfo, 0, 29)),
+    ext=True,
+)
+
+MBSFNAreaConfiguration = Seq(
+    f("commonsf_alloc", SeqOf(MBSFN_SubframeConfig, 1, 8)),
+    f("commonsf_alloc_period", Enum(7)),    # rf4..rf256
+    f("pmch_info_list", SeqOf(PMCH_Info, 0, 15)),
+    f("non_critical_extension", Seq(), optional=True),
+)
+
+MCCH_Message = Choice([("c1", Choice([("mbsfnAreaConfiguration",
+                                       MBSFNAreaConfiguration)])),
+                       ("messageClassExtension", Seq())])
+
+
+def pack_mcch(value) -> bytes:
+    return _pack(MCCH_Message, ("c1", ("mbsfnAreaConfiguration", value)))
+
+
+def unpack_mcch(data: bytes):
+    return _unpack(MCCH_Message, data)[1][1]

@@ -488,3 +488,52 @@ class TestRrcProcedures:
         enb.handle_ul(rnti, srb, mr)
         assert enb.handle_ul(rnti, srb, mr) == []   # replayed bytes
         assert enb.ues[rnti]["pdcp_rx"].replays_discarded == 1
+
+
+class TestMcch:
+    """MCCH / MBSFNAreaConfiguration (eMBMS control plane), bit-exact
+    against the reference's srslte_asn1_rrc_mcch_test.cc golden."""
+
+    GOLDEN = bytes([
+        0x0d, 0x8f, 0xdf, 0xff, 0xff, 0xff, 0xe2, 0x2f, 0xfc, 0x38, 0x5e,
+        0x61, 0xec, 0xa8, 0x00, 0x00, 0x02, 0x02, 0x10, 0x00, 0x20, 0x05,
+        0xe6, 0x1e, 0xca, 0x80, 0x00, 0x00, 0x40, 0x42])
+
+    MSG = {
+        "commonsf_alloc": [
+            {"radioframe_allocation_period": 5,
+             "radioframe_allocation_offset": 4,
+             "subframe_allocation": ("oneFrame", 0x3F)},
+            {"radioframe_allocation_period": 3,
+             "radioframe_allocation_offset": 7,
+             "subframe_allocation": ("fourFrames", 0xFFFFFF)}],
+        "commonsf_alloc_period": 6,
+        "pmch_info_list": [
+            {"pmch_config": {"sf_alloc_end": 1535, "data_mcs": 16,
+                             "mch_scheduling_period": 7},
+             "mbms_session_info_list": [
+                 {"tmgi": {"plmn_id": ("explicitValue",
+                                       {"mcc": [9, 8, 7], "mnc": [6, 5, 4]}),
+                           "service_id": b"\x00\x00\x01"},
+                  "session_id": b"\x01", "logical_channel_identity": 1}]},
+            {"pmch_config": {"sf_alloc_end": 0, "data_mcs": 8,
+                             "mch_scheduling_period": 0},
+             "mbms_session_info_list": [
+                 {"tmgi": {"plmn_id": ("explicitValue",
+                                       {"mcc": [9, 8, 7], "mnc": [6, 5, 4]}),
+                           "service_id": b"\x00\x00\x02"},
+                  "session_id": b"\x02", "logical_channel_identity": 2}]}]}
+
+    def test_pack_bit_exact(self):
+        assert M.pack_mcch(self.MSG) == self.GOLDEN
+
+    def test_unpack(self):
+        v = M.unpack_mcch(self.GOLDEN)
+        assert len(v["commonsf_alloc"]) == 2
+        assert v["commonsf_alloc"][1]["subframe_allocation"] == \
+            ("fourFrames", 0xFFFFFF)
+        pi = v["pmch_info_list"]
+        assert pi[0]["pmch_config"]["sf_alloc_end"] == 1535
+        assert pi[0]["mbms_session_info_list"][0]["tmgi"]["service_id"] \
+            == b"\x00\x00\x01"
+        assert pi[1]["pmch_config"]["data_mcs"] == 8
