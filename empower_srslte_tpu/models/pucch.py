@@ -1,4 +1,4 @@
-"""PUCCH formats 1/1a/1b and 2: uplink control channel (36.211 5.4).
+"""PUCCH formats 1/1a/1b and 2/2a/2b: uplink control channel (36.211 5.4).
 
 Capability parity with lib/src/phy/phch/pucch.c (941 LoC): cyclic-shifted
 base sequences with the cell-specific shift-hopping pattern, orthogonal
@@ -59,13 +59,13 @@ class PucchConfig:
     cell: Cell
     sf_idx: int
     n_pucch: int = 0
-    format: str = "1a"        # "1", "1a", "1b", "2"
+    format: str = "1a"        # "1", "1a", "1b", "2", "2a", "2b"
     delta_shift: int = 1
     n_rb_2: int = 0           # PRBs reserved for format 2
 
     def prb(self, slot: int) -> int:
         """Band-edge PRB with slot hopping (36.211 5.4.3)."""
-        if self.format == "2":
+        if self.format in ("2", "2a", "2b"):
             m = self.n_pucch // 12
         else:
             c = 3  # normal CP
@@ -164,10 +164,23 @@ def pucch_f1_bits(d: complex, fmt: str) -> tuple[int, ...]:
     return (1 if abs(d) > 0.5 else 0,)  # SR presence
 
 
-def pucch_f2_encode(cfg: PucchConfig, payload_bits: np.ndarray):
-    """Format 2: RM(20,O)-coded payload, QPSK, 5 data symbols/slot."""
+def _f2_ack_symbol(ack_bits: tuple) -> complex:
+    """d(10) for formats 2a/2b (36.211 5.4.2/Table 5.4.2-1): BPSK for one
+    ACK bit, QPSK for two."""
+    if len(ack_bits) == 1:
+        return 1.0 - 2.0 * ack_bits[0]
+    b0, b1 = ack_bits
+    return ((1 - 2 * b0) + 1j * (1 - 2 * b1)) / np.sqrt(2)
+
+
+def pucch_f2_encode(cfg: PucchConfig, payload_bits: np.ndarray,
+                    ack_bits: tuple = ()):
+    """Format 2/2a/2b: RM(20,O)-coded payload, QPSK, 5 data symbols/slot.
+    For 2a/2b the second DMRS symbol of each slot is modulated by the
+    ACK symbol d(10) (pucch.c formats 2a/2b)."""
     coded = rm_encode(payload_bits[None], 20)[0]
     d = ((1 - 2 * coded[0::2]) + 1j * (1 - 2 * coded[1::2])) / np.sqrt(2)
+    d_ack = _f2_ack_symbol(tuple(ack_bits)) if ack_bits else 1.0
     cell = cfg.cell
     grid = np.zeros((cell.nsymb_sf, cell.nof_re), np.complex64)
     nsym = cell.nsymb_slot
@@ -179,25 +192,33 @@ def pucch_f2_encode(cfg: PucchConfig, payload_bits: np.ndarray):
             seq = _alpha_seq(cfg, slot, l, shift)
             grid[slot * nsym + l, k0 : k0 + 12] += d[di] * seq
             di += 1
-        for l in F2_DMRS_SYMS:
+        for j, l in enumerate(F2_DMRS_SYMS):
             seq = _alpha_seq(cfg, slot, l, shift)
-            grid[slot * nsym + l, k0 : k0 + 12] += seq
+            mod = d_ack if j == 1 else 1.0
+            grid[slot * nsym + l, k0 : k0 + 12] += mod * seq
     return jnp.asarray(grid)
 
 
-def pucch_f2_decode(grid, cfg: PucchConfig, nof_bits: int):
-    """Format 2 decode -> payload bits [nof_bits]."""
+def pucch_f2_decode(grid, cfg: PucchConfig, nof_bits: int,
+                    nof_ack: int = 0):
+    """Format 2/2a/2b decode -> payload bits [nof_bits] (and ack bits
+    tuple when nof_ack > 0). The first DMRS symbol per slot gives the
+    channel reference; the second carries d(10) for 2a/2b."""
     cell = cfg.cell
     nsym = cell.nsymb_slot
     g = np.asarray(grid)
     shift = cfg.n_pucch % 12
     llrs = []
+    d_ack_acc = 0.0 + 0.0j
     for slot in range(2):
         k0 = 12 * cfg.prb(slot)
         z_dmrs = [np.sum(g[slot * nsym + l, k0 : k0 + 12]
                          * np.conj(_alpha_seq(cfg, slot, l, shift))) / 12.0
                   for l in F2_DMRS_SYMS]
-        h = np.mean(z_dmrs)
+        # with 2a/2b the second RS is ACK-modulated: the channel reference
+        # is the first RS only
+        h = z_dmrs[0] if nof_ack else np.mean(z_dmrs)
+        d_ack_acc += z_dmrs[1] * np.conj(h) / max(abs(h) ** 2, 1e-12)
         for l in F2_DATA_SYMS:
             seq = _alpha_seq(cfg, slot, l, shift)
             z = np.sum(g[slot * nsym + l, k0 : k0 + 12] * np.conj(seq)) / 12.0
@@ -205,4 +226,11 @@ def pucch_f2_decode(grid, cfg: PucchConfig, nof_bits: int):
             llrs.extend([d.real, d.imag])
     bits = rm_decode(jnp.asarray(np.asarray(llrs, np.float32))[None], 20,
                      nof_bits)
-    return np.asarray(bits)[0]
+    if not nof_ack:
+        return np.asarray(bits)[0]
+    if nof_ack == 1:
+        ack = (0 if d_ack_acc.real > 0 else 1,)
+    else:
+        ack = (0 if d_ack_acc.real > 0 else 1,
+               0 if d_ack_acc.imag > 0 else 1)
+    return np.asarray(bits)[0], ack

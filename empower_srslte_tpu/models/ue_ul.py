@@ -45,9 +45,11 @@ def ue_ul_generate(cell: Cell, *, pusch: tuple | None = None,
     if grid is None:
         grid = jnp.zeros((cell.nsymb_sf, cell.nof_re), jnp.complex64)
     if pucch is not None:
-        pcfg, payload = pucch
-        if pcfg.format == "2":
-            grid = grid + pucch_f2_encode(pcfg, np.asarray(payload, np.int8))
+        pcfg, payload, *rest = pucch
+        if pcfg.format in ("2", "2a", "2b"):
+            ack = tuple(rest[0]) if rest else ()
+            grid = grid + pucch_f2_encode(pcfg, np.asarray(payload, np.int8),
+                                          ack)
         else:
             grid = grid + pucch_f1_encode(pcfg, tuple(payload))
     if srs is not None:

@@ -72,3 +72,30 @@ class TestPucchF2:
         rx += 0.08 * (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape))
         out = pucch_f2_decode(rx.astype(np.complex64), cfg, nof_bits)
         assert np.array_equal(out, payload)
+
+
+class TestPucchFormat2ab:
+    """Formats 2a/2b: ACK modulated onto the second DMRS symbol per slot
+    (36.211 5.4.2; pucch.c formats 2a/2b)."""
+
+    @pytest.mark.parametrize("fmt,ack", [("2a", (0,)), ("2a", (1,)),
+                                         ("2b", (0, 0)), ("2b", (1, 0)),
+                                         ("2b", (0, 1)), ("2b", (1, 1))])
+    def test_roundtrip_with_noise(self, fmt, ack, rng):
+        cell = Cell(nof_prb=25, id=1)
+        cfg = PucchConfig(cell=cell, sf_idx=2, format=fmt, n_pucch=3)
+        payload = rng.integers(0, 2, 8).astype(np.int8)
+        g = np.asarray(pucch_f2_encode(cfg, payload, ack))
+        g = g + 0.05 * (rng.normal(size=g.shape)
+                        + 1j * rng.normal(size=g.shape))
+        bits, got_ack = pucch_f2_decode(g, cfg, 8, nof_ack=len(ack))
+        assert np.array_equal(bits, payload)
+        assert got_ack == ack
+
+    def test_plain_format2_unchanged(self, rng):
+        cell = Cell(nof_prb=25, id=1)
+        cfg = PucchConfig(cell=cell, sf_idx=2, format="2", n_pucch=3)
+        payload = rng.integers(0, 2, 11).astype(np.int8)
+        g = np.asarray(pucch_f2_encode(cfg, payload))
+        bits = pucch_f2_decode(g, cfg, 11)
+        assert np.array_equal(bits, payload)
