@@ -813,6 +813,15 @@ RRCConnectionSetup = Seq(
             f("non_critical_extension", Seq(), optional=True)))),
 )
 
+RRCConnectionReestablishment = Seq(
+    f("rrc_transaction_identifier", Int(0, 3)),
+    f("critical_extensions", crit_ext_c1(
+        Seq(f("radio_resource_config_dedicated",
+              RadioResourceConfigDedicated),
+            f("next_hop_chaining_count", Int(0, 7)),
+            f("non_critical_extension", Seq(), optional=True)))),
+)
+
 RRCConnectionReject = Seq(
     f("critical_extensions", crit_ext_c1(
         Seq(f("wait_time", Int(1, 16)),
@@ -821,7 +830,7 @@ RRCConnectionReject = Seq(
 )
 
 DL_CCCH_Message = Choice([("c1", Choice([
-    ("rrcConnectionReestablishment", Null()),
+    ("rrcConnectionReestablishment", RRCConnectionReestablishment),
     ("rrcConnectionReestablishmentReject", Null()),
     ("rrcConnectionReject", RRCConnectionReject),
     ("rrcConnectionSetup", RRCConnectionSetup)])),

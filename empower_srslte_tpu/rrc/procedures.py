@@ -22,6 +22,21 @@ from . import messages as M
 
 SRB0, SRB1, SRB2 = 0, 1, 2
 
+
+def short_mac_i(k_rrc_int: bytes, cell_identity: int, pci: int,
+                c_rnti: int) -> int:
+    """VarShortMAC-Input MAC (36.331 5.3.7.4): EIA2 over the UPER-packed
+    (cellIdentity, physCellId, c-RNTI) with COUNT/BEARER/DIRECTION all
+    ones; 16 LSBs."""
+    from .per import BitWriter
+
+    w = BitWriter()
+    w.put(cell_identity, 28)
+    w.put(pci, 9)
+    w.put(c_rnti, 16)
+    mac = security.eia2(k_rrc_int, 0xFFFFFFFF, 0x1F, 1, w.to_bytes())
+    return int.from_bytes(mac[2:4], "big")
+
 _DEFAULT_SRB1 = {
     "srb_identity": 1,
     "rlc_config": ("explicitValue", ("am", {
@@ -90,6 +105,25 @@ class UeRrc:
 
     # --- connection establishment -------------------------------------------
 
+    def reestablish(self, cell_identity: int = 0,
+                    cause: str = "otherFailure") -> tuple[int, bytes]:
+        """Radio-link-failure recovery (36.331 5.3.7; srsue rrc.cc
+        reestablishment): -> (SRB0, RRCConnectionReestablishmentRequest)
+        carrying (C-RNTI, PCI, shortMAC-I)."""
+        causes = {"reconfigurationFailure": 0, "handoverFailure": 1,
+                  "otherFailure": 2, "spare1": 3}
+        _, k_rrc_int = security.generate_k_rrc(self.k_enb, 0, 2)
+        mac = short_mac_i(k_rrc_int, cell_identity, self.serving_pci,
+                          self.c_rnti)
+        msg = {"critical_extensions": ("r8", {
+            "ue_identity": {"c_rnti": self.c_rnti,
+                            "phys_cell_id": self.serving_pci,
+                            "short_mac_i": mac},
+            "reestablishment_cause": causes[cause], "spare": 0})}
+        self.state = "reestablishing"
+        return SRB0, M.pack_ul_ccch("rrcConnectionReestablishmentRequest",
+                                    msg)
+
     def connect(self, cause: str = "mo_Signalling") -> tuple[int, bytes]:
         """-> (SRB0, RRCConnectionRequest)."""
         import os
@@ -114,6 +148,25 @@ class UeRrc:
 
     def _handle_dl_ccch(self, pdu: bytes) -> list[tuple[int, bytes]]:
         name, v = M.unpack_dl_ccch(pdu)
+        if name == "rrcConnectionReestablishment" \
+                and self.state == "reestablishing":
+            r8 = v["critical_extensions"][1][1]
+            ncc = r8["next_hop_chaining_count"]
+            # vertical key derivation on reestablishment (33.401 7.2.8):
+            # K_eNB* from the current K_eNB and the serving cell
+            self.k_enb = security.generate_k_enb_star(
+                self.k_enb, self.serving_pci, 3400)
+            k_rrc_enc, k_rrc_int = security.generate_k_rrc(self.k_enb, 0, 2)
+            self.srb1_pdcp_tx = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+            self.srb1_pdcp_rx = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+            self.state = "connected"
+            self.security_activated = True
+            self.events.append(f"reestablished_ncc{ncc}")
+            msg = {"rrc_transaction_identifier":
+                   v["rrc_transaction_identifier"],
+                   "critical_extensions": ("r8", {})}
+            return [self._ul(SRB1, M.pack_ul_dcch(
+                "rrcConnectionReestablishmentComplete", msg))]
         if name == "rrcConnectionSetup" and self.state == "connecting":
             self.state = "connected"
             self.events.append("connection_setup")
@@ -248,6 +301,8 @@ class EnbRrc:
 
     def _handle_ul_ccch(self, pdu: bytes):
         name, v = M.unpack_ul_ccch(pdu)
+        if name == "rrcConnectionReestablishmentRequest":
+            return self._handle_reestablishment(v)
         if name != "rrcConnectionRequest":
             return []
         rnti = self.next_c_rnti
@@ -299,6 +354,36 @@ class EnbRrc:
                                 ue, cell["phys_cell_id"]))))
                         break
         return out
+
+    def _handle_reestablishment(self, v):
+        """srsenb rrc.cc reestablishment: validate shortMAC-I against the
+        stored context, re-key, answer with SRB1 config + NCC."""
+        r8 = v["critical_extensions"][1]
+        ident = r8["ue_identity"]
+        rnti = ident["c_rnti"]
+        ue = self.ues.get(rnti)
+        if ue is None or "k_enb" not in ue:
+            self.events.append("reestablishment_unknown_ue")
+            return []   # srsenb sends a reject; we drop
+        _, k_rrc_int = security.generate_k_rrc(ue["k_enb"], 0, 2)
+        expected = short_mac_i(k_rrc_int, 0, ident["phys_cell_id"], rnti)
+        if ident["short_mac_i"] != expected:
+            self.events.append("reestablishment_bad_mac")
+            return []
+        ue["k_enb"] = security.generate_k_enb_star(
+            ue["k_enb"], ident["phys_cell_id"], 3400)
+        k_rrc_enc, k_rrc_int = security.generate_k_rrc(ue["k_enb"], 0, 2)
+        ue["pdcp_tx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+        ue["pdcp_rx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
+        ue["security_activated"] = True
+        self.events.append("reestablishment_ok")
+        msg = {"rrc_transaction_identifier": 0,
+               "critical_extensions": ("c1", ("r8", {
+                   "radio_resource_config_dedicated": {
+                       "srb_to_add_mod_list": [_DEFAULT_SRB1]},
+                   "next_hop_chaining_count": 1}))}
+        return [(rnti, SRB0,
+                 M.pack_dl_ccch("rrcConnectionReestablishment", msg))]
 
     # --- message builders -----------------------------------------------------
 

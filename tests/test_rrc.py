@@ -537,3 +537,62 @@ class TestMcch:
         assert pi[0]["mbms_session_info_list"][0]["tmgi"]["service_id"] \
             == b"\x00\x00\x01"
         assert pi[1]["pmch_config"]["data_mcs"] == 8
+
+    def test_reestablishment_after_rlf(self):
+        """RLF recovery (36.331 5.3.7): shortMAC-I validated, both sides
+        re-key with K_eNB*, signalling continues under the new keys."""
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        assert ue.security_activated
+        ue.c_rnti = rnti
+        ue.serving_pci = 0
+
+        # RLF -> reestablishment over SRB0
+        srb, req = ue.reestablish()
+        dl = enb.handle_ul(0, srb, req)
+        assert "reestablishment_ok" in enb.events
+        for _, m_srb, m_pdu in dl:
+            for u_srb, u_pdu in ue.handle_dl(m_srb, m_pdu):
+                enb.handle_ul(rnti, u_srb, u_pdu)
+        assert any(e.startswith("reestablished_ncc") for e in ue.events)
+        assert ue.state == "connected"
+
+        # new keys work both ways, old replay state reset
+        srb, mr = ue.send_measurement_report(50, 20, [])
+        enb.handle_ul(rnti, srb, mr)
+        assert "integrity_failure" not in enb.events
+
+    def test_reestablishment_forged_mac_rejected(self):
+        from empower_srslte_tpu.rrc import messages as M2
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        bad = {"critical_extensions": ("r8", {
+            "ue_identity": {"c_rnti": rnti, "phys_cell_id": 0,
+                            "short_mac_i": 0x1234},
+            "reestablishment_cause": 2, "spare": 0})}
+        out = enb.handle_ul(0, 0, M2.pack_ul_ccch(
+            "rrcConnectionReestablishmentRequest", bad))
+        assert out == []
+        assert "reestablishment_bad_mac" in enb.events
+
+    def test_reestablishment_unknown_rnti_dropped(self):
+        from empower_srslte_tpu.rrc import messages as M2
+        from empower_srslte_tpu.rrc.procedures import EnbRrc
+
+        mme, *_ = _make_epc()
+        enb = EnbRrc(mme=mme)
+        msg = {"critical_extensions": ("r8", {
+            "ue_identity": {"c_rnti": 0x99, "phys_cell_id": 3,
+                            "short_mac_i": 0},
+            "reestablishment_cause": 2, "spare": 0})}
+        assert enb.handle_ul(0, 0, M2.pack_ul_ccch(
+            "rrcConnectionReestablishmentRequest", msg)) == []
+        assert "reestablishment_unknown_ue" in enb.events
