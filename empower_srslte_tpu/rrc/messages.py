@@ -744,6 +744,81 @@ ULInformationTransfer = Seq(
         n_spare=3)),
 )
 
+# UE capability transfer (36.331 5.6.3; srsue rrc.cc send_ue_cap_info)
+
+PhyLayerParameters = Seq(
+    f("ue_tx_antenna_selection_supported", Bool()),
+    f("ue_specific_ref_sigs_supported", Bool()),
+)
+
+_rohc_profiles = Seq(*[f(p, Bool()) for p in (
+    "profile0x0001", "profile0x0002", "profile0x0003", "profile0x0004",
+    "profile0x0006", "profile0x0101", "profile0x0102", "profile0x0103",
+    "profile0x0104")])
+
+PDCP_Parameters = Seq(
+    f("supported_rohc_profiles", _rohc_profiles),
+    f("max_number_rohc_context_sessions", Enum(16), optional=True),
+    ext=True,
+)
+
+SupportedBandEUTRA = Seq(f("band_eutra", Int(1, 64)),
+                         f("half_duplex", Bool()))
+
+RF_Parameters = Seq(f("supported_band_list_eutra",
+                      SeqOf(SupportedBandEUTRA, 1, 64)))
+
+MeasParameters = Seq(f("band_list_eutra", SeqOf(
+    Seq(f("inter_freq_band_list",
+          SeqOf(Seq(f("inter_freq_need_for_gaps", Bool())), 1, 64))),
+    1, 64)))
+
+InterRAT_Parameters = Seq(
+    f("utra_fdd", Null(), optional=True),
+    f("utra_tdd128", Null(), optional=True),
+    f("utra_tdd384", Null(), optional=True),
+    f("utra_tdd768", Null(), optional=True),
+    f("geran", Null(), optional=True),
+    f("cdma2000_hrpd", Null(), optional=True),
+    f("cdma2000_1xrtt", Null(), optional=True),
+)
+
+UE_EUTRA_Capability = Seq(
+    f("access_stratum_release", Enum(8, ext=True)),
+    f("ue_category", Int(1, 5)),
+    f("pdcp_parameters", PDCP_Parameters),
+    f("phy_layer_parameters", PhyLayerParameters),
+    f("rf_parameters", RF_Parameters),
+    f("meas_parameters", MeasParameters),
+    f("feature_group_indicators", BitString(32), optional=True),
+    f("inter_rat_parameters", InterRAT_Parameters),
+    f("non_critical_extension", Seq(), optional=True),
+)
+
+UE_CapabilityRAT_Container = Seq(
+    f("rat_type", Enum(["eutra", "utra", "geran_cs", "geran_ps",
+                        "cdma2000_1xrtt", "spare3", "spare2", "spare1"],
+                       ext=True)),
+    f("ue_capability_rat_container", OctetString()),
+)
+
+UECapabilityInformation = Seq(
+    f("rrc_transaction_identifier", Int(0, 3)),
+    f("critical_extensions", crit_ext_c1(
+        Seq(f("ue_capability_rat_container_list",
+              SeqOf(UE_CapabilityRAT_Container, 0, 8)),
+            f("non_critical_extension", Seq(), optional=True)))),
+)
+
+
+def pack_eutra_capability(value) -> bytes:
+    return _pack(UE_EUTRA_Capability, value)
+
+
+def unpack_eutra_capability(data: bytes):
+    return _unpack(UE_EUTRA_Capability, data)
+
+
 UL_DCCH_C1 = [
     ("csfbParametersRequestCDMA2000", Null()),
     ("measurementReport", MeasurementReport),
@@ -754,7 +829,7 @@ UL_DCCH_C1 = [
     ("rrcConnectionSetupComplete", RRCConnectionSetupComplete),
     ("securityModeComplete", SecurityModeComplete),
     ("securityModeFailure", SecurityModeFailure),
-    ("ueCapabilityInformation", Null()),
+    ("ueCapabilityInformation", UECapabilityInformation),
     ("ulHandoverPreparationTransfer", Null()),
     ("ulInformationTransfer", ULInformationTransfer),
     ("counterCheckResponse", Null()),

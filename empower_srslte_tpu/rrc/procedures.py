@@ -246,6 +246,34 @@ class UeRrc:
                    "critical_extensions": ("r8", {})}
             out.append(self._ul(SRB1, M.pack_ul_dcch(
                 "rrcConnectionReconfigurationComplete", msg)))
+        elif name == "ueCapabilityEnquiry":
+            caps = M.pack_eutra_capability({
+                "access_stratum_release": 0,        # rel8
+                "ue_category": 4,
+                "pdcp_parameters": {"supported_rohc_profiles": {
+                    p: False for p in (
+                        "profile0x0001", "profile0x0002", "profile0x0003",
+                        "profile0x0004", "profile0x0006", "profile0x0101",
+                        "profile0x0102", "profile0x0103",
+                        "profile0x0104")}},
+                "phy_layer_parameters": {
+                    "ue_tx_antenna_selection_supported": False,
+                    "ue_specific_ref_sigs_supported": False},
+                "rf_parameters": {"supported_band_list_eutra": [
+                    {"band_eutra": 7, "half_duplex": False}]},
+                "meas_parameters": {"band_list_eutra": [
+                    {"inter_freq_band_list": [
+                        {"inter_freq_need_for_gaps": True}]}]},
+                "inter_rat_parameters": {}})
+            msg = {"rrc_transaction_identifier":
+                   v["rrc_transaction_identifier"],
+                   "critical_extensions": ("c1", ("r8", {
+                       "ue_capability_rat_container_list": [
+                           {"rat_type": "eutra",
+                            "ue_capability_rat_container": caps}]}))}
+            out.append(self._ul(SRB1, M.pack_ul_dcch(
+                "ueCapabilityInformation", msg)))
+            self.events.append("capability_sent")
         elif name == "rrcConnectionRelease":
             self.state = "idle"
             self.security_activated = False
@@ -339,6 +367,15 @@ class EnbRrc:
         elif name == "rrcConnectionReconfigurationComplete":
             ue["state"] = "reconfigured"
             self.events.append("reconfig_complete")
+        elif name == "ueCapabilityInformation":
+            conts = v["critical_extensions"][1][1][
+                "ue_capability_rat_container_list"]
+            for c in conts:
+                if c["rat_type"] == "eutra":
+                    ue["eutra_capability"] = M.unpack_eutra_capability(
+                        c["ue_capability_rat_container"])
+                    self.events.append(
+                        f"ue_cat{ue['eutra_capability']['ue_category']}")
         elif name == "measurementReport":
             mr = v["critical_extensions"][1][1]["meas_results"]
             serving = mr["meas_result_pcell"]["rsrp_result"]
@@ -437,6 +474,17 @@ class EnbRrc:
                        "ciphering_algorithm": "eea0",
                        "integrity_prot_algorithm": "eia2"}}}))}
         return M.pack_dl_dcch("securityModeCommand", msg)
+
+    def send_capability_enquiry(self, rnti: int) -> tuple[int, int, bytes]:
+        """-> (rnti, srb, pdu) UECapabilityEnquiry for EUTRA."""
+        ue = self.ues[rnti]
+        msg = {"rrc_transaction_identifier": 3,
+               "critical_extensions": ("c1", ("r8", {
+                   "ue_capability_request": [0]}))}   # 0 = eutra
+        raw = M.pack_dl_dcch("ueCapabilityEnquiry", msg)
+        if ue["security_activated"]:
+            raw = self._protect(ue, raw)
+        return rnti, SRB1, raw
 
     def _reconfig(self, ue) -> bytes:
         nas_list = [ue.pop("pending_nas")] if ue.get("pending_nas") else None

@@ -596,3 +596,23 @@ class TestMcch:
         assert enb.handle_ul(0, 0, M2.pack_ul_ccch(
             "rrcConnectionReestablishmentRequest", msg)) == []
         assert "reestablishment_unknown_ue" in enb.events
+
+    def test_ue_capability_transfer(self):
+        """5.6.3 capability transfer: protected enquiry -> information
+        with a nested UPER-encoded UE-EUTRA-Capability container."""
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+
+        mme, ue_nas, *_ = _make_epc()
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=mme)
+        rnti = _pump(ue, enb)
+        r, srb, pdu = enb.send_capability_enquiry(rnti)
+        for u_srb, u_pdu in ue.handle_dl(srb, pdu):
+            enb.handle_ul(rnti, u_srb, u_pdu)
+        assert "capability_sent" in ue.events
+        cap = enb.ues[rnti]["eutra_capability"]
+        assert cap["ue_category"] == 4
+        assert cap["rf_parameters"]["supported_band_list_eutra"][0][
+            "band_eutra"] == 7
+        assert cap["meas_parameters"]["band_list_eutra"][0][
+            "inter_freq_band_list"][0]["inter_freq_need_for_gaps"] is True
