@@ -19,6 +19,7 @@ LCID_TRUNC_BSR = 28
 LCID_SHORT_BSR = 29
 LCID_LONG_BSR = 30
 # DL-SCH CEs
+LCID_CON_RES = 28          # UE Contention Resolution Identity (6 bytes)
 LCID_TA_CMD = 29
 LCID_DRX_CMD = 30
 
@@ -53,6 +54,12 @@ class MacPdu:
 
     def add_ta_cmd(self, ta: int) -> None:
         self.subpdus.append(MacSubPdu(LCID_TA_CMD, bytes([ta & 0x3F])))
+
+    def add_con_res(self, ident: bytes) -> None:
+        """DL contention-resolution CE: first 48 bits of the msg3 CCCH SDU
+        (36.321 6.1.3.4)."""
+        self.subpdus.append(MacSubPdu(LCID_CON_RES, ident[:6].ljust(6,
+                                                                    b"\0")))
 
     def pack(self, pdu_len: int) -> bytes:
         """Serialize into exactly pdu_len bytes (padding as needed)."""
@@ -106,9 +113,11 @@ class MacPdu:
         return out + b"\x00" * (pdu_len - len(out))
 
 
-CE_SIZES = {LCID_PHR: 1, LCID_CRNTI: 2, LCID_TRUNC_BSR: 1,
-            LCID_SHORT_BSR: 1, LCID_LONG_BSR: 3, LCID_TA_CMD: 1,
-            LCID_DRX_CMD: 0}
+#: CE payload sizes differ per direction: UL lcid 28 is the truncated BSR
+#: (1 byte) but DL lcid 28 is the contention-resolution identity (6 bytes)
+CE_SIZES_UL = {LCID_PHR: 1, LCID_CRNTI: 2, LCID_TRUNC_BSR: 1,
+               LCID_SHORT_BSR: 1, LCID_LONG_BSR: 3}
+CE_SIZES_DL = {LCID_CON_RES: 6, LCID_TA_CMD: 1, LCID_DRX_CMD: 0}
 
 
 def unpack_pdu(data: bytes, ul: bool = True) -> MacPdu:
@@ -141,7 +150,46 @@ def unpack_pdu(data: bytes, ul: bool = True) -> MacPdu:
             pdu.subpdus.append(MacSubPdu(lcid, data[pos : pos + n]))
             pos += n
         else:
-            n = CE_SIZES.get(lcid, 0)
+            sizes = CE_SIZES_UL if ul else CE_SIZES_DL
+            n = sizes.get(lcid, 0)
             pdu.subpdus.append(MacSubPdu(lcid, data[pos : pos + n]))
             pos += n
     return pdu
+
+
+# --- Random Access Response (36.321 6.1.5; srsenb mac.cc RAR build) ----------
+
+
+def pack_rar_pdu(rapid: int, ta: int, rb_start: int, n_prb: int, mcs: int,
+                 t_crnti: int, nof_prb_ul: int) -> bytes:
+    """One-RAR MAC PDU: E/T/RAPID subheader + 6-byte RAR body.
+
+    UL grant (20 bits, 36.213 6.2): hop(1) | RB assignment (10, RIV) |
+    trunc. MCS (4) | TPC (3) | UL delay (1) | CQI req (1).
+    """
+    from ..models import ra
+
+    riv = ra.riv_encode(nof_prb_ul, rb_start, n_prb)
+    grant = (0 << 19) | ((riv & 0x3FF) << 9) | ((mcs & 0xF) << 5) \
+        | (0b001 << 2) | (0 << 1) | 0
+    body = ((ta & 0x7FF) << 36) | ((grant & 0xFFFFF) << 16) \
+        | (t_crnti & 0xFFFF)
+    hdr = bytes([0x40 | (rapid & 0x3F)])    # E=0, T=1, RAPID
+    return hdr + body.to_bytes(6, "big")
+
+
+def unpack_rar_pdu(data: bytes, nof_prb_ul: int) -> dict:
+    """-> {rapid, ta, rb_start, n_prb, mcs, t_crnti}."""
+    from ..models import ra
+
+    assert data[0] & 0x40, "not a RAR subheader"
+    rapid = data[0] & 0x3F
+    body = int.from_bytes(data[1:7], "big")
+    ta = (body >> 36) & 0x7FF
+    grant = (body >> 16) & 0xFFFFF
+    t_crnti = body & 0xFFFF
+    riv = (grant >> 9) & 0x3FF
+    mcs = (grant >> 5) & 0xF
+    rb_start, n_prb = ra.riv_decode(riv, nof_prb_ul)
+    return {"rapid": rapid, "ta": ta, "rb_start": rb_start,
+            "n_prb": n_prb, "mcs": mcs, "t_crnti": t_crnti}

@@ -128,6 +128,13 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
         d = None
         if len(hit.payload) == sizes[0]:
             d = dci_mod.unpack_format1a(hit.payload, cell.nof_prb)
+            if d is None:
+                # flag bit 0: format 0 = an uplink grant for this RNTI
+                d_ul = dci_mod.unpack_format0(hit.payload, cell.nof_prb)
+                if d_ul is not None:
+                    results.append(UeDlResult(cfi=cfi, dci=d_ul,
+                                              noise_est=noise))
+                continue
         elif len(hit.payload) == sizes[1]:
             d = dci_mod.unpack_format1(hit.payload, cell.nof_prb)
         elif common_ss and len(hit.payload) == sizes[2]:

@@ -1,0 +1,36 @@
+"""In-memory subframe-synchronous radio link (the file/UDP-IQ test mode
+of the reference: ue_sync.c:675-707 file mode, io/netsource.c streaming —
+here a lossless duplex channel with optional gain/phase/AWGN)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Air:
+    def __init__(self, sf_len: int, snr_db: float | None = None,
+                 h_dl: complex = 1.0, h_ul: complex = 1.0, seed: int = 0):
+        self.sf_len = sf_len
+        self.snr_db = snr_db
+        self.h_dl = h_dl
+        self.h_ul = h_ul
+        self.rng = np.random.default_rng(seed)
+
+    def _impair(self, iq, h):
+        if iq is None:
+            iq = np.zeros(self.sf_len, np.complex64)
+        out = np.asarray(iq).astype(np.complex64) * h
+        if self.snr_db is not None:
+            p = np.mean(np.abs(out) ** 2)
+            if p > 0:
+                n0 = p / 10 ** (self.snr_db / 10)
+                out = out + (self.rng.normal(size=out.shape)
+                             + 1j * self.rng.normal(size=out.shape)
+                             ).astype(np.complex64) * np.sqrt(n0 / 2)
+        return out
+
+    def dl(self, iq):
+        return self._impair(iq, self.h_dl)
+
+    def ul(self, iq):
+        return self._impair(iq, self.h_ul)

@@ -1,0 +1,200 @@
+"""eNB node: PRACH detection, RAR, MAC mux, RRC, per-TTI DL composition.
+
+Capability parity with the srsenb integration (txrx.cc TTI loop +
+phch_worker + mac.cc + rrc.cc): each tti() consumes one UL IQ subframe
+and produces one DL IQ subframe. Timing model: an uplink grant issued in
+subframe n is transmitted by the UE in n+4 (HARQ_DELAY_MS, common.h:49);
+the RAR UL grant follows the same +4 rule (the spec's +6 collapses to the
+framework's single pipeline delay, documented divergence).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..mac.pdu import MacPdu, pack_rar_pdu, unpack_pdu
+from ..models import dci as dci_mod
+from ..models import ra
+from ..models.enb_dl import (enb_dl_base_grid, enb_dl_gen_signal,
+                             put_sync_signals)
+from ..models.pcfich import pcfich_put
+from ..models.pdcch import pdcch_encode
+from ..models.pdsch import PdschConfig, pdsch_encode
+from ..models.prach import prach_detect, prach_seq_len
+from ..models.pusch import PuschConfig, pusch_decode
+from ..ops.modem import Mod
+from ..rrc.procedures import EnbRrc
+from ..utils.cell import Cell
+
+PRACH_SF = 1            # prach-ConfigIndex 3: subframe 1 of every frame
+MSG3_PRB = (2, 4)       # (start, n_prb) of the RAR grant
+MSG3_MCS = 4
+UL_MCS = 4
+DL_MCS = 5
+
+
+def _dl_grant_for(nof_prb: int, payload_len: int, mcs: int = DL_MCS):
+    """Smallest contiguous allocation whose TBS fits payload_len bytes."""
+    for n in range(2, nof_prb + 1):
+        mod, tbs = ra.mcs_to_tbs(mcs, n)
+        if tbs >= 8 * payload_len:
+            return n, mod, tbs
+    raise ValueError(f"payload {payload_len}B exceeds cell capacity")
+
+
+@dataclass
+class _PendingUl:
+    rnti: int
+    cfg: object
+    tbs: int
+
+
+class EnbStack:
+    def __init__(self, cell: Cell, mme, rsi: int = 128,
+                 cfi: int = 2):
+        self.cell = cell
+        self.cfi = cfi
+        self.rsi = rsi
+        self.rrc = EnbRrc(mme=mme)
+        self.dl_queue: list = []      # (rnti, MacPdu, payload_len)
+        self.ul_pending: dict = {}    # tti -> [_PendingUl]
+        self.active_ues: dict = {}    # rnti -> {"want_ul": bool}
+        self.events: list = []
+
+    # --- per-TTI processing ---------------------------------------------------
+
+    def tti(self, tti: int, ul_iq) -> np.ndarray:
+        """ul_iq is the UE's transmission OF SUBFRAME tti-1 (one-subframe
+        transport delay, like rx_now delivering the previous subframe in
+        txrx.cc): process it under its own subframe index."""
+        if ul_iq is not None:
+            self._process_ul(tti - 1, ul_iq)
+        return self._compose_dl(tti)
+
+    def _process_ul(self, tti: int, ul_iq):
+        sf_idx = tti % 10
+        # PRACH detection on the PRACH subframe
+        if sf_idx == PRACH_SF:
+            seq_len = prach_seq_len(self.cell)
+            win = np.asarray(ul_iq)
+            cp = len(win) - seq_len if len(win) > seq_len else 0
+            det, offs, metric = prach_detect(
+                jnp.asarray(win[None, cp : cp + seq_len]), self.cell,
+                self.rsi)
+            det = np.asarray(det)[0]
+            if det.any():
+                rapid = int(np.argmax(det))
+                self._on_prach(tti, rapid)
+        # scheduled PUSCH receptions
+        for p in self.ul_pending.pop(tti, []):
+            grid = self._ul_grid(ul_iq)
+            plan = p.cfg.plan(p.tbs)
+            bits, ok, _ = pusch_decode(grid, p.cfg, plan, noise_est=1e-3)
+            if not bool(np.asarray(ok).all()):
+                self.events.append(f"pusch_crc_fail_tti{tti}")
+                continue
+            data = np.packbits(np.asarray(bits).ravel()[: p.tbs])
+            self._on_mac_pdu(p.rnti, bytes(data.tobytes()))
+
+    def _ul_grid(self, ul_iq):
+        from ..models.ue_ul import enb_ul_receive_grid
+
+        return enb_ul_receive_grid(
+            jnp.asarray(np.asarray(ul_iq).astype(np.complex64)), self.cell)
+
+    def _on_prach(self, tti: int, rapid: int):
+        t_crnti = self.rrc.next_c_rnti      # RRC will allocate this rnti
+        self.events.append(f"prach_rapid{rapid}")
+        ra_rnti = 1 + (tti % 10)
+        rar = pack_rar_pdu(rapid, ta=0, rb_start=MSG3_PRB[0],
+                           n_prb=MSG3_PRB[1], mcs=MSG3_MCS,
+                           t_crnti=t_crnti, nof_prb_ul=self.cell.nof_prb)
+        self.dl_queue.append((ra_rnti, rar, None))
+        # msg3 reception at tti+1(dl tx)+4
+        msg3_tti = tti + 1 + 4
+        mod, tbs = ra.mcs_to_tbs(MSG3_MCS, MSG3_PRB[1], dl=False)
+        cfg = PuschConfig(cell=self.cell, sf_idx=msg3_tti % 10,
+                          rnti=t_crnti, mod=mod, prb_start=MSG3_PRB[0],
+                          n_prb=MSG3_PRB[1])
+        self.ul_pending.setdefault(msg3_tti, []).append(
+            _PendingUl(t_crnti, cfg, tbs))
+
+    def _on_mac_pdu(self, rnti: int, data: bytes):
+        pdu = unpack_pdu(data, ul=True)
+        for sp in pdu.subpdus:
+            if not sp.is_sdu or not sp.payload:
+                continue
+            srb = 0 if sp.lcid == 0 else 1
+            if srb == 0 and rnti not in self.rrc.ues:
+                # msg3: contention resolution identity = first 6 bytes
+                self.active_ues[rnti] = {"con_res": sp.payload[:6]}
+            responses = self.rrc.handle_ul(
+                rnti if rnti in self.rrc.ues else 0, srb, sp.payload)
+            for m_rnti, m_srb, m_pdu in responses:
+                self.send_dl(m_rnti, m_srb, m_pdu)
+
+    # --- DL path ----------------------------------------------------------------
+
+    def send_dl(self, rnti: int, srb: int, pdu: bytes):
+        mac = MacPdu()
+        ue = self.active_ues.get(rnti)
+        if ue is not None and ue.get("con_res") is not None and srb == 0:
+            mac.add_con_res(ue.pop("con_res"))
+        mac.add_sdu(0 if srb == 0 else 1, pdu)
+        self.dl_queue.append((rnti, mac, None))
+        # any DL signalling implies the UE may need to answer: open a
+        # standing UL grant window
+        if rnti in self.rrc.ues:
+            self.active_ues.setdefault(rnti, {})["want_ul"] = True
+
+    def _compose_dl(self, tti: int) -> np.ndarray:
+        sf_idx = tti % 10
+        grid = enb_dl_base_grid(self.cell, sf_idx, ())
+        grid = put_sync_signals(grid, self.cell, sf_idx)
+        grid = pcfich_put(grid, self.cfi, self.cell, sf_idx)
+
+        used_prb = 0
+        if self.dl_queue:
+            rnti, payload, _ = self.dl_queue.pop(0)
+            if isinstance(payload, MacPdu):
+                raw_len = sum(len(sp.payload) + 2 for sp in payload.subpdus) + 2
+            else:
+                raw_len = len(payload)
+            n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb, raw_len)
+            mac_bytes = payload.pack(tbs // 8) if isinstance(payload, MacPdu) \
+                else payload + b"\x00" * (tbs // 8 - len(payload))
+            tb_bits = np.unpackbits(np.frombuffer(mac_bytes, np.uint8))
+            dci_bits = dci_mod.pack_format1a(self.cell.nof_prb, 0, n_prb,
+                                             DL_MCS)
+            cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
+                              rnti=rnti, mod=mod,
+                              prb_mask=ra.prb_mask_type2(
+                                  self.cell.nof_prb, 0, n_prb))
+            plan = cfg.plan(tbs)
+            grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti, 0, 4,
+                                       self.cell, self.cfi, sf_idx)
+            grid = grid + pdsch_encode(
+                jnp.asarray(tb_bits.astype(np.int8))[None], cfg, plan)[0]
+            used_prb = n_prb
+
+        # standing UL grants (DCI0) for UEs with pending uplink
+        for rnti, st in list(self.active_ues.items()):
+            if not st.get("want_ul") or tti + 4 in self.ul_pending:
+                continue
+            start, n_prb = 8, 4
+            mod, tbs = ra.mcs_to_tbs(UL_MCS, n_prb, dl=False)
+            dci0 = dci_mod.pack_format0(self.cell.nof_prb, start, n_prb,
+                                        UL_MCS)
+            grid = grid + pdcch_encode(jnp.asarray(dci0), rnti, 1, 4,
+                                       self.cell, self.cfi, sf_idx)
+            cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
+                              rnti=rnti, mod=mod, prb_start=start,
+                              n_prb=n_prb)
+            self.ul_pending.setdefault(tti + 4, []).append(
+                _PendingUl(rnti, cfg, tbs))
+
+        return np.asarray(enb_dl_gen_signal(grid, self.cell)[0])

@@ -1,0 +1,147 @@
+"""UE node: random access, MAC demux, RRC+NAS, per-TTI UL generation.
+
+Capability parity with the srsue integration (phch_recv/phch_worker +
+mac proc_ra.cc + rrc.cc + nas.cc): tti() consumes one DL IQ subframe and
+returns the UL IQ subframe to transmit (PRACH, msg3, or granted PUSCH
+carrying MAC-muxed RRC signalling)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..mac.pdu import (LCID_CON_RES, MacPdu, unpack_pdu, unpack_rar_pdu)
+from ..models import ra
+from ..models.prach import prach_gen
+from ..models.pusch import PuschConfig
+from ..models.ue_dl import ue_dl_decode
+from ..models.ue_ul import ue_ul_generate
+from ..ops.modem import Mod
+from ..rrc.procedures import UeRrc
+from ..utils.cell import Cell
+
+PRACH_SF = 1
+PREAMBLE = 7
+
+
+class UeStack:
+    def __init__(self, cell: Cell, nas, rsi: int = 128):
+        self.cell = cell
+        self.rsi = rsi
+        self.rrc = UeRrc(nas=nas)
+        self.state = "idle"           # idle -> ra -> connected
+        self.c_rnti = 0
+        self.ra_rnti = 0
+        self.msg3: bytes | None = None
+        self.ul_queue: list = []      # (srb, pdu) awaiting a grant
+        self.tx_plan: dict = {}       # tti -> callable -> ul_iq
+        self.events: list = []
+
+    def tti(self, tti: int, dl_iq) -> np.ndarray | None:
+        sf_idx = tti % 10
+        self._process_dl(tti, dl_iq)
+        if self.state == "idle" and sf_idx == PRACH_SF:
+            self.state = "ra"
+            self.ra_rnti = 1 + sf_idx
+            self.events.append("prach_tx")
+            pre = prach_gen(self.cell, self.rsi, PREAMBLE)
+            out = np.zeros(self.cell.sf_sample_len, np.complex64)
+            n = min(len(pre), len(out))
+            out[-n:] = pre[:n]        # sequence aligned to subframe end
+            return out
+        fn = self.tx_plan.pop(tti, None)
+        return fn() if fn is not None else None
+
+    # --- DL processing ----------------------------------------------------------
+
+    def _process_dl(self, tti: int, dl_iq):
+        if dl_iq is None:
+            return
+        sf_idx = tti % 10
+        rntis = []
+        if self.state == "ra" and self.msg3 is None:
+            rntis.append(("ra", self.ra_rnti))
+        if self.c_rnti:
+            rntis.append(("c", self.c_rnti))
+        samples = np.asarray(dl_iq).astype(np.complex64)
+        for kind, rnti in rntis:
+            for r in ue_dl_decode(samples, self.cell, sf_idx, rnti):
+                if r.dci is None:
+                    continue
+                if hasattr(r.dci, "riv_start"):        # DCI0: UL grant
+                    self._on_ul_grant(tti, r.dci)
+                elif r.crc_ok and r.tb_bits is not None:
+                    data = np.packbits(
+                        np.asarray(r.tb_bits).ravel()).tobytes()
+                    if kind == "ra":
+                        self._on_rar(tti, data)
+                    else:
+                        self._on_mac_pdu(data)
+
+    def _on_rar(self, tti: int, data: bytes):
+        rar = unpack_rar_pdu(data, self.cell.nof_prb)
+        if rar["rapid"] != PREAMBLE:
+            return
+        self.c_rnti = rar["t_crnti"]
+        self.rrc.c_rnti = self.c_rnti
+        self.events.append(f"rar_tcrnti{self.c_rnti:#x}")
+        srb, req = self.rrc.connect()
+        mac = MacPdu()
+        mac.add_sdu(0, req)
+        self.msg3 = req
+        mod, tbs = ra.mcs_to_tbs(rar["mcs"], rar["n_prb"], dl=False)
+        cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
+                          rnti=self.c_rnti, mod=mod,
+                          prb_start=rar["rb_start"], n_prb=rar["n_prb"])
+        self.tx_plan[tti + 4] = lambda: self._pusch(mac, cfg, tbs)
+
+    def _on_mac_pdu(self, data: bytes):
+        pdu = unpack_pdu(data, ul=False)
+        con_res_ok = True
+        for sp in pdu.subpdus:
+            if sp.lcid == LCID_CON_RES:
+                con_res_ok = sp.payload[:6] == self.msg3[:6].ljust(6, b"\0")
+                if con_res_ok:
+                    self.state = "connected"
+                    self.events.append("contention_resolved")
+                else:
+                    self.events.append("contention_lost")
+                    self.state = "idle"
+                    self.c_rnti = 0
+                    return
+        for sp in pdu.subpdus:
+            if not sp.is_sdu or not sp.payload:
+                continue
+            srb = 0 if sp.lcid == 0 else 1
+            for u_srb, u_pdu in self.rrc.handle_dl(srb, sp.payload):
+                self.ul_queue.append((u_srb, u_pdu))
+
+    def _on_ul_grant(self, tti: int, grant):
+        if not self.ul_queue:
+            return
+        mod, tbs = ra.mcs_to_tbs(grant.mcs, grant.riv_len, dl=False)
+        mac = MacPdu()
+        room = tbs // 8 - 4
+        while self.ul_queue:
+            srb, pdu = self.ul_queue[0]
+            if len(pdu) + 3 > room:
+                break
+            self.ul_queue.pop(0)
+            mac.add_sdu(0 if srb == 0 else 1, pdu)
+            room -= len(pdu) + 3
+        if not mac.subpdus:
+            return
+        cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
+                          rnti=self.c_rnti, mod=mod,
+                          prb_start=grant.riv_start, n_prb=grant.riv_len)
+        self.tx_plan[tti + 4] = lambda: self._pusch(mac, cfg, tbs)
+
+    def _pusch(self, mac: MacPdu, cfg: PuschConfig, tbs: int):
+        data = mac.pack(tbs // 8)
+        bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.int8)
+        plan = cfg.plan(tbs)
+        return np.asarray(ue_ul_generate(
+            self.cell, pusch=(jnp.asarray(bits), cfg, plan)))
