@@ -81,10 +81,25 @@ def main():
         show("UE-RRC", ue.rrc.events)
         show("ENB", enb.events)
         show("MME", mme_s1.events)
-        if ue.rrc.nas.attached and ue.rrc.drbs:
+        if ue.rrc.nas.attached and ue.rrc.drbs and not ue.rx_ip \
+                and not enb.ul_gtpu and "ping_sent" not in seen:
+            seen.add("ping_sent")
             log.info("ATTACH COMPLETE at tti %d (%.1fs wall): IP %s, "
                      "DRBs %s", tti, time.time() - t0, ue.rrc.nas.ue_ip,
                      ue.rrc.drbs)
+            ue.send_ip(b"\x45\x00" + bytes(18) + b"PING-FROM-UE-01")
+            pong = (b"\x45\x00" + bytes(14)
+                    + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                    + b"PONG-TO-THE-UE!")
+            fwd = mme.spgw.downlink(pong)
+            if fwd is not None:
+                enb.deliver_gtpu(fwd[1])
+        if enb.ul_gtpu and ue.rx_ip:
+            from empower_srslte_tpu.upper.gtpu import gtpu_unpack
+
+            log.info("USER PLANE: UL %r at SP-GW, DL %r at UE",
+                     gtpu_unpack(enb.ul_gtpu[0])[1][-15:],
+                     ue.rx_ip[0][-15:])
             break
     else:
         log.error("attach did not complete in %d ttis", args.max_tti)

@@ -28,6 +28,9 @@ from ..models.prach import prach_detect, prach_seq_len
 from ..models.pusch import PuschConfig, pusch_decode
 from ..ops.modem import Mod
 from ..rrc.procedures import EnbRrc
+from ..upper.gtpu import gtpu_pack, gtpu_unpack
+from ..upper.pdcp import PdcpConfig, PdcpEntity
+from ..upper.rlc import RlcUm
 from ..utils.cell import Cell
 
 PRACH_SF = 1            # prach-ConfigIndex 3: subframe 1 of every frame
@@ -64,6 +67,18 @@ class EnbStack:
         self.ul_pending: dict = {}    # tti -> [_PendingUl]
         self.active_ues: dict = {}    # rnti -> {"want_ul": bool}
         self.events: list = []
+        # DRB1 user plane towards the SP-GW (gtpu.cc analog)
+        self.drb_pdcp_rx = PdcpEntity(PdcpConfig(bearer_id=5))
+        self.drb_pdcp_tx = PdcpEntity(PdcpConfig(bearer_id=5))
+        self.drb_rlc_rx = RlcUm()
+        self.drb_rlc_tx = RlcUm()
+        self.spgw_teid = 1            # TEID towards the SP-GW session
+        self.ul_gtpu: list = []       # GTP-U PDUs towards the core
+
+    def deliver_gtpu(self, gtpu_pdu: bytes) -> None:
+        """Downlink user plane from the SP-GW: unwrap and queue on DRB1."""
+        _, ip = gtpu_unpack(gtpu_pdu)
+        self.drb_rlc_tx.write_sdu(self.drb_pdcp_tx.write_sdu(ip))
 
     # --- per-TTI processing ---------------------------------------------------
 
@@ -128,6 +143,14 @@ class EnbStack:
         for sp in pdu.subpdus:
             if not sp.is_sdu or not sp.payload:
                 continue
+            if sp.lcid == 3:          # DRB1 -> GTP-U towards the SP-GW
+                self.drb_rlc_rx.write_pdu(sp.payload)
+                while self.drb_rlc_rx.rx_sdus:
+                    ip = self.drb_pdcp_rx.write_pdu(
+                        self.drb_rlc_rx.rx_sdus.pop(0))
+                    if ip is not None:
+                        self.ul_gtpu.append(gtpu_pack(self.spgw_teid, ip))
+                continue
             srb = 0 if sp.lcid == 0 else 1
             if srb == 0 and rnti not in self.rrc.ues:
                 # msg3: contention resolution identity = first 6 bytes
@@ -158,6 +181,14 @@ class EnbStack:
         grid = pcfich_put(grid, self.cfi, self.cell, sf_idx)
 
         used_prb = 0
+        if not self.dl_queue and self.active_ues:
+            # opportunistic DRB drain towards connected UEs
+            rlc_pdu = self.drb_rlc_tx.read_pdu(200)
+            if rlc_pdu is not None:
+                mac = MacPdu()
+                mac.add_sdu(3, rlc_pdu)
+                rnti = next(iter(self.active_ues))
+                self.dl_queue.append((rnti, mac, None))
         if self.dl_queue:
             rnti, payload, _ = self.dl_queue.pop(0)
             if isinstance(payload, MacPdu):

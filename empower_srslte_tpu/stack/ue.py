@@ -21,6 +21,8 @@ from ..models.ue_dl import ue_dl_decode
 from ..models.ue_ul import ue_ul_generate
 from ..ops.modem import Mod
 from ..rrc.procedures import UeRrc
+from ..upper.pdcp import PdcpConfig, PdcpEntity
+from ..upper.rlc import RlcUm
 from ..utils.cell import Cell
 
 PRACH_SF = 1
@@ -39,6 +41,16 @@ class UeStack:
         self.ul_queue: list = []      # (srb, pdu) awaiting a grant
         self.tx_plan: dict = {}       # tti -> callable -> ul_iq
         self.events: list = []
+        # DRB user plane (gw.cc analog): PDCP DRB + RLC UM behind lcid 3
+        self.drb_pdcp_tx = PdcpEntity(PdcpConfig(bearer_id=5))
+        self.drb_pdcp_rx = PdcpEntity(PdcpConfig(bearer_id=5))
+        self.drb_rlc_tx = RlcUm()
+        self.drb_rlc_rx = RlcUm()
+        self.rx_ip: list = []         # delivered downlink IP packets
+
+    def send_ip(self, packet: bytes) -> None:
+        """Queue an uplink IP packet on DRB1 (srsue gw.cc write)."""
+        self.drb_rlc_tx.write_sdu(self.drb_pdcp_tx.write_sdu(packet))
 
     def tti(self, tti: int, dl_iq) -> np.ndarray | None:
         sf_idx = tti % 10
@@ -115,12 +127,20 @@ class UeStack:
         for sp in pdu.subpdus:
             if not sp.is_sdu or not sp.payload:
                 continue
+            if sp.lcid == 3:          # DRB1 user plane
+                self.drb_rlc_rx.write_pdu(sp.payload)
+                while self.drb_rlc_rx.rx_sdus:
+                    ip = self.drb_pdcp_rx.write_pdu(
+                        self.drb_rlc_rx.rx_sdus.pop(0))
+                    if ip is not None:
+                        self.rx_ip.append(ip)
+                continue
             srb = 0 if sp.lcid == 0 else 1
             for u_srb, u_pdu in self.rrc.handle_dl(srb, sp.payload):
                 self.ul_queue.append((u_srb, u_pdu))
 
     def _on_ul_grant(self, tti: int, grant):
-        if not self.ul_queue:
+        if not self.ul_queue and not self.drb_rlc_tx._tx_q:
             return
         mod, tbs = ra.mcs_to_tbs(grant.mcs, grant.riv_len, dl=False)
         mac = MacPdu()
@@ -132,6 +152,13 @@ class UeStack:
             self.ul_queue.pop(0)
             mac.add_sdu(0 if srb == 0 else 1, pdu)
             room -= len(pdu) + 3
+        # fill remaining room with DRB data
+        while room > 8:
+            rlc_pdu = self.drb_rlc_tx.read_pdu(room - 3)
+            if rlc_pdu is None:
+                break
+            mac.add_sdu(3, rlc_pdu)
+            room -= len(rlc_pdu) + 3
         if not mac.subpdus:
             return
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,

@@ -67,3 +67,37 @@ class TestFullStackAttach:
         assert tti > 0
         assert ue.rrc.nas.attached and ue.rrc.drbs == [1]
         assert "initial_ctx_setup_complete" in mme_s1.events
+
+    def test_user_plane_ping_both_directions(self):
+        """IP packets over DRB1: UE -> PDCP/RLC-UM/MAC -> PUSCH -> eNB ->
+        GTP-U -> SP-GW, and internet -> SP-GW -> GTP-U -> eNB -> PDSCH ->
+        UE (the gw.cc TUN path, minus the kernel interface)."""
+        from empower_srslte_tpu.upper.gtpu import gtpu_unpack
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        air = Air(cell.sf_sample_len)
+        ping = b"\x45\x00" + bytes(18) + b"PING-FROM-UE-01"
+        ul_iq, attached_at = None, None
+        for tti in range(100):
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+                ue.send_ip(ping)
+                pong = (b"\x45\x00" + bytes(14)
+                        + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                        + b"PONG-TO-THE-UE!")
+                fwd = mme.spgw.downlink(pong)
+                assert fwd is not None
+                enb.deliver_gtpu(fwd[1])
+            if enb.ul_gtpu and ue.rx_ip:
+                break
+        assert enb.ul_gtpu and ue.rx_ip, "user plane did not flow"
+        assert gtpu_unpack(enb.ul_gtpu[0])[1].endswith(b"PING-FROM-UE-01")
+        assert ue.rx_ip[0].endswith(b"PONG-TO-THE-UE!")
+        # SP-GW forwards the uplink out its SGi side
+        assert mme.spgw.uplink(enb.ul_gtpu[0]).endswith(b"PING-FROM-UE-01")
