@@ -13,3 +13,4 @@ from .hss import Hss, Subscriber
 from .spgw import SpGw
 
 __all__ = ["Hss", "Subscriber", "SpGw"]
+from .mbms_gw import MbmsGw, m1_ingest  # noqa: F401,E402

@@ -126,3 +126,87 @@ def unprotect(pdu: bytes, k_nas_int: bytes, count: int,
     exp = security.eia2(k_nas_int, (count & ~0xFF) | seq, 0, direction,
                         bytes([seq]) + inner)
     return inner if mac == exp else None
+
+
+# --- full attach-accept decode (24.301 8.2.1; liblte_mme.cc parity for the
+# --- captured message in srsue/test/upper/rrc_reconfig_test.cc nas_test) ----
+
+
+def unpack_attach_accept_full(inner: bytes) -> dict:
+    """Decode a standards-formatted ATTACH ACCEPT (the real-network layout,
+    as opposed to this framework's compact pack_attach_accept): mandatory
+    attach result, T3412, TAI list and ESM container, then optional TLVs
+    (GUTI 0x50, T3402 0x17, T3423 0x59, equivalent PLMNs 0x4A, ...).
+    """
+    out: dict = {}
+    pos = 2                                   # PD/SH + message type
+    out["attach_result"] = inner[pos] & 0x0F
+    pos += 1
+    out["t3412"] = inner[pos]
+    pos += 1
+    # TAI list (length-prefixed)
+    n = inner[pos]
+    tai = inner[pos + 1 : pos + 1 + n]
+    pos += 1 + n
+    out["tai_list"] = {
+        "type": (tai[0] >> 5) & 3,
+        "plmn": tai[1:4].hex(),
+        "tac": int.from_bytes(tai[4:6], "big"),
+    }
+    # ESM message container (2-byte length)
+    esm_len = int.from_bytes(inner[pos : pos + 2], "big")
+    esm = inner[pos + 2 : pos + 2 + esm_len]
+    pos += 2 + esm_len
+    out["esm"] = unpack_activate_default_bearer(esm)
+    # optional TLVs
+    while pos < len(inner):
+        iei = inner[pos]
+        if iei == 0x50:                       # GUTI
+            n = inner[pos + 1]
+            g = inner[pos + 2 : pos + 2 + n]
+            out["guti"] = {
+                "plmn": g[1:4].hex(),
+                "mme_group": int.from_bytes(g[4:6], "big"),
+                "mme_code": g[6],
+                "m_tmsi": int.from_bytes(g[7:11], "big"),
+            }
+            pos += 2 + n
+        elif iei in (0x17, 0x59):             # GPRS timers (TV, 1 byte)
+            out[{0x17: "t3402", 0x59: "t3423"}[iei]] = inner[pos + 1]
+            pos += 2
+        else:                                 # unknown TLV: skip by length
+            n = inner[pos + 1] if pos + 1 < len(inner) else 0
+            pos += 2 + n
+    return out
+
+
+def unpack_activate_default_bearer(esm: bytes) -> dict:
+    """ACTIVATE DEFAULT EPS BEARER CONTEXT REQUEST (24.301 8.3.6)."""
+    out = {
+        "eps_bearer_id": (esm[0] >> 4) & 0x0F,
+        "proc_transaction_id": esm[1],
+        "msg_type": esm[2],
+    }
+    pos = 3
+    # EPS QoS (length-prefixed)
+    n = esm[pos]
+    out["qci"] = esm[pos + 1]
+    pos += 1 + n
+    # APN (length-prefixed, DNS label encoding)
+    n = esm[pos]
+    apn = esm[pos + 1 : pos + 1 + n]
+    labels = []
+    i = 0
+    while i < len(apn):
+        ln = apn[i]
+        labels.append(apn[i + 1 : i + 1 + ln].decode())
+        i += 1 + ln
+    out["apn"] = ".".join(labels)
+    pos += 1 + n
+    # PDN address (length-prefixed: type + address)
+    n = esm[pos]
+    out["pdn_type"] = esm[pos + 1] & 0x07
+    out["pdn_address"] = ".".join(str(b)
+                                  for b in esm[pos + 2 : pos + 1 + n])
+    pos += 1 + n
+    return out

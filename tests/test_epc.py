@@ -150,3 +150,48 @@ class TestAttachFlow:
         bad = nas.pack_auth_response(b"\x00" * 8)
         assert mme.handle_ul_nas(bad) is None
         assert mme.context(imsi).state == "idle"
+
+
+class TestMbmsGw:
+    def test_forward_and_m1_ingest(self):
+        from empower_srslte_tpu.epc import MbmsGw, m1_ingest
+
+        got = []
+        gw = MbmsGw()
+        gw.add_enb(got.append)
+        gw.forward(b"\x45\x00MULTICAST")
+        assert gw.stats_tx == 1
+        assert m1_ingest(got[0]) == b"\x45\x00MULTICAST"
+        # wrong TEID rejected (mbms-gw.cc uses the fixed 0xAAAA)
+        assert m1_ingest(got[0], expected_teid=0x1234) is None
+
+
+class TestNasFullDecode:
+    """Standards-format ATTACH ACCEPT decode, validated against the
+    73-byte live capture in srsue/test/upper/rrc_reconfig_test.cc
+    nas_test (the same PDU that rides inside the captured
+    RRCConnectionReconfiguration)."""
+
+    GOLDEN = bytes([
+        0x27, 0x4f, 0xab, 0xef, 0x59, 0x01, 0x07, 0x42, 0x01, 0x49, 0x06,
+        0x40, 0x00, 0xf1, 0x10, 0x31, 0x32, 0x00, 0x22, 0x52, 0x01, 0xc1,
+        0x05, 0x07, 0xff, 0xff, 0xff, 0xff, 0x0c, 0x0b, 0x76, 0x7a, 0x77,
+        0x69, 0x6e, 0x74, 0x65, 0x72, 0x6e, 0x65, 0x74, 0x05, 0x01, 0x0e,
+        0x0e, 0x0e, 0x01, 0x5e, 0x04, 0xfe, 0xfe, 0x81, 0x4e, 0x50, 0x0b,
+        0xf6, 0x00, 0xf1, 0x10, 0x00, 0x02, 0x01, 0x01, 0x00, 0x00, 0x62,
+        0x17, 0x2c, 0x59, 0x49, 0x64, 0x01, 0x03])
+
+    def test_decode_live_capture(self):
+        from empower_srslte_tpu.epc import nas
+
+        inner = self.GOLDEN[6:]       # strip sec header + MAC + seq
+        v = nas.unpack_attach_accept_full(inner)
+        assert v["attach_result"] == 1          # EPS only
+        assert v["tai_list"]["plmn"] == "00f110"
+        esm = v["esm"]
+        assert esm["eps_bearer_id"] == 5
+        assert esm["msg_type"] == 0xC1          # activate default bearer
+        assert esm["apn"] == "vzwinternet"
+        assert esm["pdn_address"] == "14.14.14.1"
+        assert v["guti"]["plmn"] == "00f110"
+        assert v["guti"]["mme_code"] == 1
