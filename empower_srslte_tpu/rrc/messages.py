@@ -1078,13 +1078,270 @@ SystemInformationBlockType3 = Seq(
     ext=True,
 )
 
+# --- SIB4-13 (36.331 6.3.1) --------------------------------------------------
+# The reference codes exactly SIB1-9 + SIB13 (liblte_rrc.h:5640-5964,
+# liblte_rrc.cc pack/unpack_sys_info_block_type_{4..9,13}_ie); SIB10-12
+# (ETWS/CMAS) are added here for completeness of the SI container.
+
+PhysCellIdRange = Seq(
+    f("start", PhysCellId),
+    f("range", Enum(16), optional=True),   # n4..n504 + spares
+)
+
+SpeedStateScaleFactors = Seq(f("sf_medium", Enum(4)), f("sf_high", Enum(4)))
+
+IntraFreqNeighCellInfo = Seq(
+    f("phys_cell_id", PhysCellId),
+    f("q_offset_cell", Q_OffsetRange),
+    ext=True,
+)
+
+SystemInformationBlockType4 = Seq(
+    f("intra_freq_neigh_cell_list", SeqOf(IntraFreqNeighCellInfo, 1, 16),
+      optional=True),
+    f("intra_freq_black_cell_list", SeqOf(PhysCellIdRange, 1, 16),
+      optional=True),
+    f("csg_phys_cell_id_range", PhysCellIdRange, optional=True),
+    ext=True,
+)
+
+InterFreqNeighCellInfo = Seq(
+    f("phys_cell_id", PhysCellId),
+    f("q_offset_cell", Q_OffsetRange),
+)
+
+InterFreqCarrierFreqInfo = Seq(
+    f("dl_carrier_freq", ARFCN_ValueEUTRA),
+    f("q_rx_lev_min", Int(-70, -22)),
+    f("p_max", Int(-30, 33), optional=True),
+    f("t_reselection_eutra", Int(0, 7)),
+    f("t_reselection_eutra_sf", SpeedStateScaleFactors, optional=True),
+    f("thresh_x_high", Int(0, 31)),
+    f("thresh_x_low", Int(0, 31)),
+    f("allowed_meas_bandwidth", Enum(6)),
+    f("presence_antenna_port1", Bool()),
+    f("cell_reselection_priority", Int(0, 7), optional=True),
+    f("neigh_cell_config", BitString(2)),
+    # spec says DEFAULT dB0 (presence bit + omit-when-default); the
+    # reference encodes it unconditionally with no presence bit
+    # (liblte_rrc.cc pack_sys_info_block_type_5_ie) — match its wire format
+    f("q_offset_freq", Q_OffsetRange, default=15),
+    f("inter_freq_neigh_cell_list", SeqOf(InterFreqNeighCellInfo, 1, 16),
+      optional=True),
+    f("inter_freq_black_cell_list", SeqOf(PhysCellIdRange, 1, 16),
+      optional=True),
+    ext=True,
+)
+
+SystemInformationBlockType5 = Seq(
+    f("inter_freq_carrier_freq_list", SeqOf(InterFreqCarrierFreqInfo, 1, 8)),
+    ext=True,
+)
+
+CarrierFreqUTRA_FDD = Seq(
+    f("carrier_freq", Int(0, 16383)),
+    f("cell_reselection_priority", Int(0, 7), optional=True),
+    f("thresh_x_high", Int(0, 31)),
+    f("thresh_x_low", Int(0, 31)),
+    f("q_rx_lev_min", Int(-60, -13)),
+    f("p_max_utra", Int(-50, 33)),
+    f("q_qual_min", Int(-24, 0)),
+    ext=True,
+)
+
+CarrierFreqUTRA_TDD = Seq(
+    f("carrier_freq", Int(0, 16383)),
+    f("cell_reselection_priority", Int(0, 7), optional=True),
+    f("thresh_x_high", Int(0, 31)),
+    f("thresh_x_low", Int(0, 31)),
+    f("q_rx_lev_min", Int(-60, -13)),
+    f("p_max_utra", Int(-50, 33)),
+    ext=True,
+)
+
+SystemInformationBlockType6 = Seq(
+    f("carrier_freq_list_utra_fdd", SeqOf(CarrierFreqUTRA_FDD, 1, 16),
+      optional=True),
+    f("carrier_freq_list_utra_tdd", SeqOf(CarrierFreqUTRA_TDD, 1, 16),
+      optional=True),
+    f("t_reselection_utra", Int(0, 7)),
+    f("t_reselection_utra_sf", SpeedStateScaleFactors, optional=True),
+    ext=True,
+)
+
+CarrierFreqsGERAN = Seq(
+    f("starting_arfcn", Int(0, 1023)),
+    f("band_indicator", Enum(["dcs1800", "pcs1900"])),
+    f("following_arfcns", Choice([
+        ("explicitListOfARFCNs", SeqOf(Int(0, 1023), 0, 31)),
+        ("equallySpacedARFCNs", Seq(
+            f("arfcn_spacing", Int(1, 8)),
+            f("number_of_following_arfcns", Int(0, 31)))),
+        ("variableBitMapOfARFCNs", OctetString(lo=1, hi=16))])),
+)
+
+CarrierFreqsInfoGERAN = Seq(
+    f("carrier_freqs", CarrierFreqsGERAN),
+    f("common_info", Seq(
+        f("cell_reselection_priority", Int(0, 7), optional=True),
+        f("ncc_permitted", BitString(8)),
+        f("q_rx_lev_min", Int(0, 45)),
+        f("p_max_geran", Int(0, 39), optional=True),
+        f("thresh_x_high", Int(0, 31)),
+        f("thresh_x_low", Int(0, 31)))),
+    ext=True,
+)
+
+SystemInformationBlockType7 = Seq(
+    f("t_reselection_geran", Int(0, 7)),
+    f("t_reselection_geran_sf", SpeedStateScaleFactors, optional=True),
+    f("carrier_freqs_info_list", SeqOf(CarrierFreqsInfoGERAN, 1, 16),
+      optional=True),
+    ext=True,
+)
+
+BandclassCDMA2000 = Enum(32, ext=True)
+
+BandClassInfoCDMA2000 = Seq(
+    f("band_class", BandclassCDMA2000),
+    f("cell_reselection_priority", Int(0, 7), optional=True),
+    f("thresh_x_high", Int(0, 63)),
+    f("thresh_x_low", Int(0, 63)),
+    ext=True,
+)
+
+NeighCellsPerBandclassCDMA2000 = Seq(
+    f("arfcn", Int(0, 2047)),
+    f("phys_cell_id_list", SeqOf(Int(0, 511), 1, 16)),
+)
+
+NeighCellCDMA2000 = Seq(
+    f("band_class", BandclassCDMA2000),
+    f("neigh_cells_per_freq_list",
+      SeqOf(NeighCellsPerBandclassCDMA2000, 1, 16)),
+)
+
+CellReselectionParametersCDMA2000 = Seq(
+    f("band_class_list", SeqOf(BandClassInfoCDMA2000, 1, 32)),
+    f("neigh_cell_list", SeqOf(NeighCellCDMA2000, 1, 16)),
+    f("t_reselection_cdma2000", Int(0, 7)),
+    f("t_reselection_cdma2000_sf", SpeedStateScaleFactors, optional=True),
+)
+
+CSFB_RegistrationParam1XRTT = Seq(
+    f("sid", BitString(15)), f("nid", BitString(16)),
+    f("multiple_sid", Bool()), f("multiple_nid", Bool()),
+    f("home_reg", Bool()), f("foreign_sid_reg", Bool()),
+    f("foreign_nid_reg", Bool()), f("parameter_reg", Bool()),
+    f("power_up_reg", Bool()), f("registration_period", BitString(7)),
+    f("registration_zone", BitString(12)), f("total_zone", BitString(3)),
+    f("zone_timer", BitString(3)),
+)
+
+SystemTimeInfoCDMA2000 = Seq(
+    f("cdma_eutra_synchronisation", Bool()),
+    f("cdma_system_time", Choice([
+        ("synchronousSystemTime", BitString(39)),
+        ("asynchronousSystemTime", BitString(49))])),
+)
+
+PreRegistrationInfoHRPD = Seq(
+    f("pre_registration_allowed", Bool()),
+    f("pre_registration_zone_id", Int(0, 255), optional=True),
+    f("secondary_pre_registration_zone_id_list", SeqOf(Int(0, 255), 1, 2),
+      optional=True),
+)
+
+SystemInformationBlockType8 = Seq(
+    f("system_time_info", SystemTimeInfoCDMA2000, optional=True),
+    f("search_window_size", Int(0, 15), optional=True),
+    f("parameters_hrpd", Seq(
+        f("pre_registration_info_hrpd", PreRegistrationInfoHRPD),
+        f("cell_reselection_parameters_hrpd",
+          CellReselectionParametersCDMA2000, optional=True)), optional=True),
+    f("parameters_1xrtt", Seq(
+        f("csfb_registration_param_1xrtt", CSFB_RegistrationParam1XRTT,
+          optional=True),
+        f("long_code_state_1xrtt", BitString(42), optional=True),
+        f("cell_reselection_parameters_1xrtt",
+          CellReselectionParametersCDMA2000, optional=True)), optional=True),
+    ext=True,
+)
+
+SystemInformationBlockType9 = Seq(
+    f("hnb_name", OctetString(lo=1, hi=48), optional=True),
+    ext=True,
+)
+
+SystemInformationBlockType10 = Seq(
+    f("message_identifier", BitString(16)),
+    f("serial_number", BitString(16)),
+    f("warning_type", OctetString(2)),
+    f("warning_security_info", OctetString(50), optional=True),
+    ext=True,
+)
+
+SystemInformationBlockType11 = Seq(
+    f("message_identifier", BitString(16)),
+    f("serial_number", BitString(16)),
+    f("warning_message_segment_type",
+      Enum(["notLastSegment", "lastSegment"])),
+    f("warning_message_segment_number", Int(0, 63)),
+    f("warning_message_segment", OctetString()),
+    f("data_coding_scheme", OctetString(1), optional=True),
+    ext=True,
+)
+
+SystemInformationBlockType12_r9 = Seq(
+    f("message_identifier", BitString(16)),
+    f("serial_number", BitString(16)),
+    f("warning_message_segment_type",
+      Enum(["notLastSegment", "lastSegment"])),
+    f("warning_message_segment_number", Int(0, 63)),
+    f("warning_message_segment", OctetString()),
+    f("data_coding_scheme", OctetString(1), optional=True),
+    f("late_non_critical_extension", OctetString(), optional=True),
+    ext=True,
+)
+
+MBSFN_AreaInfo_r9 = Seq(
+    f("mbsfn_area_id", Int(0, 255)),
+    f("non_mbsfn_region_length", Enum(["s1", "s2"])),
+    f("notification_indicator", Int(0, 7)),
+    f("mcch_config", Seq(
+        f("mcch_repetition_period", Enum(["rf32", "rf64", "rf128", "rf256"])),
+        f("mcch_offset", Int(0, 10)),
+        f("mcch_modification_period", Enum(["rf512", "rf1024"])),
+        f("sf_alloc_info", BitString(6)),
+        f("signalling_mcs", Enum(["n2", "n7", "n13", "n19"])))),
+    ext=True,
+)
+
+SystemInformationBlockType13_r9 = Seq(
+    f("mbsfn_area_info_list", SeqOf(MBSFN_AreaInfo_r9, 1, 8)),
+    f("notification_config", Seq(
+        f("notification_repetition_coeff", Enum(["n2", "n4"])),
+        f("notification_offset", Int(0, 10)),
+        f("notification_sf_index", Int(1, 6)))),
+    f("late_non_critical_extension", OctetString(), optional=True),
+    ext=True,
+)
+
 _sib_type_and_info = Choice([
     ("sib2", SystemInformationBlockType2),
     ("sib3", SystemInformationBlockType3),
-    ("sib4", Null()), ("sib5", Null()), ("sib6", Null()),
-    ("sib7", Null()), ("sib8", Null()), ("sib9", Null()),
-    ("sib10", Null()), ("sib11", Null()),
-], ext=True)
+    ("sib4", SystemInformationBlockType4),
+    ("sib5", SystemInformationBlockType5),
+    ("sib6", SystemInformationBlockType6),
+    ("sib7", SystemInformationBlockType7),
+    ("sib8", SystemInformationBlockType8),
+    ("sib9", SystemInformationBlockType9),
+    ("sib10", SystemInformationBlockType10),
+    ("sib11", SystemInformationBlockType11),
+], ext_options=[
+    ("sib12_v920", SystemInformationBlockType12_r9),
+    ("sib13_v920", SystemInformationBlockType13_r9),
+])
 
 SystemInformation = Seq(
     f("critical_extensions", Choice([

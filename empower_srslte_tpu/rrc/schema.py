@@ -208,24 +208,56 @@ class RawTail(Type):
 
 
 class Choice(Type):
-    """Value is ("optionName", innerValue)."""
+    """Value is ("optionName", innerValue).
 
-    def __init__(self, options: list[tuple[str, Type]], ext: bool = False):
+    ``ext_options`` are extension additions (X.691 23.5/23.8): selected by
+    a normally-small index after the extension bit and wrapped as an open
+    type (octet-aligned self-contained encoding with a length determinant).
+    Unknown addition indices decode to ("_extN", raw_bytes) and re-encode
+    verbatim."""
+
+    def __init__(self, options: list[tuple[str, Type]], ext: bool = False,
+                 ext_options: list[tuple[str, Type]] = ()):  # type: ignore
         self.options = options
-        self.ext = ext
+        self.ext = ext or bool(ext_options)
+        self.ext_options = list(ext_options)
         self.w = width(0, len(options) - 1)
 
     def pack(self, w, v):
         name, inner = v
-        if self.ext:
-            w.put(0, 1)
-        idx = next(i for i, (n, _) in enumerate(self.options) if n == name)
-        w.put(idx, self.w)
-        self.options[idx][1].pack(w, inner)
+        root = next((i for i, (n, _) in enumerate(self.options) if n == name),
+                    None)
+        if root is not None:
+            if self.ext:
+                w.put(0, 1)
+            w.put(root, self.w)
+            self.options[root][1].pack(w, inner)
+            return
+        w.put(1, 1)
+        if name.startswith("_ext"):
+            idx, data = int(name[4:]), inner
+        else:
+            idx = next(i for i, (n, _) in enumerate(self.ext_options)
+                       if n == name)
+            inner_w = BitWriter()
+            self.ext_options[idx][1].pack(inner_w, inner)
+            data = inner_w.to_bytes() or b"\x00"
+        assert idx < 64, "large addition indices unsupported"
+        w.put(idx, 7)  # normally-small: 0-bit + 6-bit value
+        put_length_det(w, len(data))
+        w.put_bytes(data)
 
     def unpack(self, r):
         if self.ext and r.get(1):
-            raise ValueError("extended choice value")
+            if r.get(1):
+                raise ValueError("large choice addition index")
+            idx = r.get(6)
+            ln = get_length_det(r)
+            data = r.get_bytes(ln)
+            if idx < len(self.ext_options):
+                name, typ = self.ext_options[idx]
+                return (name, typ.unpack(BitReader(data)))
+            return (f"_ext{idx}", data)
         idx = r.get(self.w)
         if idx >= len(self.options):
             raise ValueError(f"choice index {idx} out of range")
