@@ -376,6 +376,12 @@ class EnbRrc:
                         c["ue_capability_rat_container"])
                     self.events.append(
                         f"ue_cat{ue['eutra_capability']['ue_category']}")
+                    # forward to the MME over S1 (srsenb
+                    # send_ue_capabilities, s1ap.cc)
+                    iface = self._mme_iface()
+                    if hasattr(iface, "ue_capabilities"):
+                        iface.ue_capabilities(
+                            c["ue_capability_rat_container"])
         elif name == "measurementReport":
             mr = v["critical_extensions"][1][1]["meas_results"]
             serving = mr["meas_result_pcell"]["rsrp_result"]

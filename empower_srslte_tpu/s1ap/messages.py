@@ -448,3 +448,208 @@ def get_ue_ids(ies: dict[int, bytes]) -> tuple[int | None, int | None]:
     enb = _dec_big(ies[IE_ENB_UE_S1AP_ID]) \
         if IE_ENB_UE_S1AP_ID in ies else None
     return mme, enb
+
+
+# --- additions beyond the initial subset: the remaining procedures the
+# --- reference eNB/MME exercise (srsenb/src/upper/s1ap.cc:409-443
+# --- handle_erabsetuprequest/send_erab_setup_response/send_ue_capabilities/
+# --- send_initial_ctxt_setup_failure/send_uectxtreleaserequest)
+
+PROC_ERAB_SETUP = 5
+PROC_UE_CAPABILITY_INFO_IND = 22
+
+IE_ERAB_TO_SETUP_LIST_BEARER = 16
+IE_ERAB_TO_SETUP_ITEM_BEARER = 17
+IE_ERAB_SETUP_LIST_BEARER = 28
+IE_ERAB_FAILED_SETUP_LIST_BEARER = 29
+IE_ERAB_SETUP_ITEM_BEARER = 39
+IE_ERAB_ITEM = 35
+IE_UE_RADIO_CAPABILITY = 74
+
+
+def _enc_cause(group: int, value: int) -> bytes:
+    """Cause ::= CHOICE {radioNetwork(0), transport(1), nas(2),
+    protocol(3), misc(4)} of extensible ENUMERATEDs."""
+    w = AWriter()
+    w.put(0, 1)          # choice ext
+    w.put(group, 3)
+    w.put(0, 1)          # enum ext
+    width = {0: 5, 1: 1, 2: 2, 3: 3, 4: 3}[group]
+    w.put(value, width)
+    return w.to_bytes()
+
+
+def _dec_cause(b: bytes) -> tuple[int, int]:
+    r = AReader(b)
+    r.get(1)
+    group = r.get(3)
+    r.get(1)
+    width = {0: 5, 1: 1, 2: 2, 3: 3, 4: 3}[group]
+    return group, r.get(width)
+
+
+def pack_erab_setup_request(mme_ue_id: int, enb_ue_id: int, erab_id: int,
+                            qci: int, teid: int, gtp_addr: bytes,
+                            nas_pdu: bytes) -> bytes:
+    """E-RAB SETUP REQUEST (MME->eNB, additional bearer establishment).
+
+    E-RABToBeSetupItemBearerSUReq carries a *mandatory* nAS-PDU (unlike
+    the Ctxt variant) — srsenb handle_erabsetuprequest forwards it on the
+    new DRB.
+    """
+    wi = AWriter()
+    wi.put(0, 1)                           # item ext
+    wi.put(0, 1)                           # iE-Extensions absent
+    wi.put(erab_id, 4)
+    wi.put(0, 1)                           # qos seq ext
+    wi.align()
+    wi.put(qci, 8)
+    wi.put(15, 4)                          # allocation/retention priority
+    wi.put(0, 2)
+    wi.put_bytes(bytes([len(gtp_addr) * 8 - 1]) + gtp_addr)
+    wi.put_bytes(teid.to_bytes(4, "big"))
+    wi.put_length(len(nas_pdu))
+    wi.put_bytes(nas_pdu)
+    wl = AWriter()
+    wl.put(0, 8)                           # count-1
+    wl.put(IE_ERAB_TO_SETUP_ITEM_BEARER, 16)
+    wl.put(CRIT_REJECT, 2)
+    wl.align()
+    wl.put_open(wi.to_bytes())
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_ERAB_TO_SETUP_LIST_BEARER, CRIT_REJECT, wl.to_bytes())]
+    return _pdu(INITIATING, PROC_ERAB_SETUP, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_erab_setup_request(ies: dict[int, bytes]) -> dict:
+    r = AReader(ies[IE_ERAB_TO_SETUP_LIST_BEARER])
+    r.get(8)
+    r.get(16)
+    r.get(2)
+    ri = AReader(r.get_open())
+    ri.get(1)
+    ri.get(1)
+    erab_id = ri.get(4)
+    ri.get(1)
+    ri.align()
+    qci = ri.get(8)
+    ri.get(4)
+    ri.get(2)
+    addr_len_bits = ri.get_bytes(1)[0] + 1
+    addr = ri.get_bytes(addr_len_bits // 8)
+    teid = int.from_bytes(ri.get_bytes(4), "big")
+    nas = ri.get_bytes(ri.get_length())
+    return {"erab_id": erab_id, "qci": qci, "addr": addr, "teid": teid,
+            "nas_pdu": nas}
+
+
+def pack_erab_setup_response(mme_ue_id: int, enb_ue_id: int, erab_id: int,
+                             teid: int, gtp_addr: bytes,
+                             failed_erab_id: int | None = None,
+                             failed_cause: tuple[int, int] = (0, 13)
+                             ) -> bytes:
+    """E-RAB SETUP RESPONSE (eNB->MME; srsenb send_erab_setup_response)."""
+    wi = AWriter()
+    wi.put(0, 1)
+    wi.put(0, 1)
+    wi.put(erab_id, 4)
+    wi.put_bytes(bytes([len(gtp_addr) * 8 - 1]) + gtp_addr)
+    wi.put_bytes(teid.to_bytes(4, "big"))
+    wl = AWriter()
+    wl.put(0, 8)
+    wl.put(IE_ERAB_SETUP_ITEM_BEARER, 16)
+    wl.put(CRIT_IGNORE, 2)
+    wl.align()
+    wl.put_open(wi.to_bytes())
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)),
+           (IE_ERAB_SETUP_LIST_BEARER, CRIT_IGNORE, wl.to_bytes())]
+    if failed_erab_id is not None:
+        # E-RABList ::= SEQ(1..256) OF IE-framed E-RABItem {id, cause}
+        wf = AWriter()
+        wf.put(0, 1)
+        wf.put(0, 1)
+        wf.put(failed_erab_id, 4)
+        wf.put_bytes(_enc_cause(*failed_cause))
+        wfl = AWriter()
+        wfl.put(0, 8)
+        wfl.put(IE_ERAB_ITEM, 16)
+        wfl.put(CRIT_IGNORE, 2)
+        wfl.align()
+        wfl.put_open(wf.to_bytes())
+        ies.append((IE_ERAB_FAILED_SETUP_LIST_BEARER, CRIT_IGNORE,
+                    wfl.to_bytes()))
+    return _pdu(SUCCESSFUL, PROC_ERAB_SETUP, CRIT_REJECT, _enc_ies(ies))
+
+
+
+def unpack_erab_setup_response(ies: dict[int, bytes]) -> dict:
+    r = AReader(ies[IE_ERAB_SETUP_LIST_BEARER])
+    r.get(8)
+    r.get(16)
+    r.get(2)
+    ri = AReader(r.get_open())
+    ri.get(1)
+    ri.get(1)
+    erab_id = ri.get(4)
+    addr_len_bits = ri.get_bytes(1)[0] + 1
+    addr = ri.get_bytes(addr_len_bits // 8)
+    teid = int.from_bytes(ri.get_bytes(4), "big")
+    out = {"erab_id": erab_id, "addr": addr, "teid": teid, "failed": None}
+    if IE_ERAB_FAILED_SETUP_LIST_BEARER in ies:
+        rf = AReader(ies[IE_ERAB_FAILED_SETUP_LIST_BEARER])
+        rf.get(8)
+        rf.get(16)
+        rf.get(2)
+        rfi = AReader(rf.get_open())
+        rfi.get(1)
+        rfi.get(1)
+        out["failed"] = rfi.get(4)
+    return out
+
+
+def pack_ue_capability_info_indication(mme_ue_id: int, enb_ue_id: int,
+                                       ue_radio_cap: bytes) -> bytes:
+    """UE CAPABILITY INFO INDICATION (eNB->MME; srsenb
+    send_ue_capabilities forwards the UECapabilityInformation container).
+    UERadioCapability is an unconstrained OCTET STRING."""
+    w = AWriter()
+    w.put_length(len(ue_radio_cap))
+    w.put_bytes(ue_radio_cap)
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_UE_RADIO_CAPABILITY, CRIT_IGNORE, w.to_bytes())]
+    return _pdu(INITIATING, PROC_UE_CAPABILITY_INFO_IND, CRIT_IGNORE,
+                _enc_ies(ies))
+
+
+def get_ue_radio_capability(ies: dict[int, bytes]) -> bytes:
+    r = AReader(ies[IE_UE_RADIO_CAPABILITY])
+    return r.get_bytes(r.get_length())
+
+
+def pack_initial_context_setup_failure(mme_ue_id: int, enb_ue_id: int,
+                                       cause: tuple[int, int] = (0, 26)
+                                       ) -> bytes:
+    """INITIAL CONTEXT SETUP FAILURE (eNB->MME, unsuccessful outcome;
+    srsenb send_initial_ctxt_setup_failure). Default cause:
+    radioNetwork/failure-in-radio-interface-procedure."""
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)),
+           (IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause))]
+    return _pdu(UNSUCCESSFUL, PROC_INITIAL_CONTEXT_SETUP, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def pack_ue_context_release_request(mme_ue_id: int, enb_ue_id: int,
+                                    cause: tuple[int, int] = (0, 21)
+                                    ) -> bytes:
+    """UE CONTEXT RELEASE REQUEST (eNB-initiated; srsenb
+    send_uectxtreleaserequest). Default cause:
+    radioNetwork/radio-connection-with-ue-lost."""
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause))]
+    return _pdu(INITIATING, PROC_UE_CONTEXT_RELEASE_REQUEST, CRIT_IGNORE,
+                _enc_ies(ies))

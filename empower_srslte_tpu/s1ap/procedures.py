@@ -59,6 +59,7 @@ class MmeS1ap:
     ue_ids: dict = field(default_factory=dict)    # enb_ue_id -> mme_ue_id
     enbs: list = field(default_factory=list)
     events: list = field(default_factory=list)
+    ue_capabilities: dict = field(default_factory=dict)
 
     def handle(self, pdu: bytes) -> list[bytes]:
         kind, proc, ies = S.unpack_pdu(pdu)
@@ -80,10 +81,40 @@ class MmeS1ap:
         if proc == S.PROC_INITIAL_CONTEXT_SETUP and kind == S.SUCCESSFUL:
             self.events.append("initial_ctx_setup_complete")
             return []
+        if proc == S.PROC_INITIAL_CONTEXT_SETUP and kind == S.UNSUCCESSFUL:
+            # srsepc releases the UE on setup failure
+            mme_ue, enb_ue = S.get_ue_ids(ies)
+            self.events.append("initial_ctx_setup_failure")
+            return [S.pack_ue_context_release_command(mme_ue or 0,
+                                                      enb_ue or 0)]
         if proc == S.PROC_UE_CONTEXT_RELEASE and kind == S.SUCCESSFUL:
             self.events.append("ue_context_released")
             return []
+        if proc == S.PROC_UE_CONTEXT_RELEASE_REQUEST:
+            mme_ue, enb_ue = S.get_ue_ids(ies)
+            self.events.append("release_requested")
+            return [S.pack_ue_context_release_command(mme_ue or 0,
+                                                      enb_ue or 0)]
+        if proc == S.PROC_UE_CAPABILITY_INFO_IND:
+            mme_ue, enb_ue = S.get_ue_ids(ies)
+            self.ue_capabilities[enb_ue] = S.get_ue_radio_capability(ies)
+            self.events.append("ue_capabilities_stored")
+            return []
+        if proc == S.PROC_ERAB_SETUP and kind == S.SUCCESSFUL:
+            res = S.unpack_erab_setup_response(ies)
+            self.events.append(f"erab_setup_complete_{res['erab_id']}")
+            return []
         return []
+
+    def setup_bearer(self, enb_ue_id: int, erab_id: int, qci: int,
+                     teid: int, gtp_addr: bytes, nas_pdu: bytes) -> bytes:
+        """Build an E-RAB SETUP REQUEST for a dedicated bearer (the MME
+        GTP-C create-bearer path; srsepc scope is the default bearer, the
+        procedure itself mirrors 36.413 8.2.1)."""
+        mme_ue = self.ue_ids.get(enb_ue_id, 0)
+        self.events.append("erab_setup_request")
+        return S.pack_erab_setup_request(mme_ue, enb_ue_id, erab_id, qci,
+                                         teid, gtp_addr, nas_pdu)
 
     def _nas_response(self, enb_ue: int, nas_pdu: bytes) -> list[bytes]:
         resp = self.mme.handle_ul_nas(nas_pdu)
@@ -172,6 +203,58 @@ class EnbS1ap:
                     mme_ue, enb_ue, item["erab_id"], teid=enb_ue,
                     gtp_addr=bytes([172, 16, 255, 2])))
                 out.append(("ctx_setup", k_enb, item["nas_pdu"]))
-            elif proc == S.PROC_UE_CONTEXT_RELEASE:
+            elif proc == S.PROC_UE_CONTEXT_RELEASE \
+                    and kind == S.INITIATING:
+                # srsenb handle_uectxtreleasecommand: ack with complete
+                mme_ue, enb_ue = self._ids_from_release(ies)
+                self.send(S.pack_ue_context_release_complete(
+                    mme_ue, enb_ue))
+                self.events.append("released")
                 out.append(("release",))
+            elif proc == S.PROC_ERAB_SETUP and kind == S.INITIATING:
+                item = S.unpack_erab_setup_request(ies)
+                mme_ue, enb_ue = S.get_ue_ids(ies)
+                self.events.append(f"erab_setup_{item['erab_id']}")
+                self.send(S.pack_erab_setup_response(
+                    mme_ue, enb_ue, item["erab_id"], teid=enb_ue,
+                    gtp_addr=bytes([172, 16, 255, 2])))
+                out.append(("erab_setup", item["erab_id"], item["qci"],
+                            item["teid"], item["addr"], item["nas_pdu"]))
         return out
+
+    @staticmethod
+    def _ids_from_release(ies) -> tuple[int, int]:
+        if S.IE_UE_S1AP_IDS in ies:
+            from .per import AReader
+
+            r = AReader(ies[S.IE_UE_S1AP_IDS])
+            r.get(1)
+            if r.get(1) == 0:       # pair
+                r.get(1)
+                r.get(1)
+                return r.get_big_int(), r.get_big_int()
+            return r.get_big_int(), 0
+        return S.get_ue_ids(ies)
+
+    def ue_capabilities(self, ue_radio_cap: bytes):
+        """Forward UE radio capabilities to the MME (srsenb
+        send_ue_capabilities)."""
+        self.events.append("capabilities_forwarded")
+        return self._directives(self.send(
+            S.pack_ue_capability_info_indication(0, self._current_ue,
+                                                 ue_radio_cap)))
+
+    def initial_ctx_setup_failure(self, cause=(0, 26)):
+        """Report context-setup failure (srsenb
+        send_initial_ctxt_setup_failure); the MME answers with a release
+        command."""
+        self.events.append("ctx_setup_failed")
+        return self._directives(self.send(
+            S.pack_initial_context_setup_failure(0, self._current_ue,
+                                                 cause)))
+
+    def release_request(self, cause=(0, 21)):
+        """eNB-initiated UE release (srsenb send_uectxtreleaserequest)."""
+        self.events.append("release_requested")
+        return self._directives(self.send(
+            S.pack_ue_context_release_request(0, self._current_ue, cause)))

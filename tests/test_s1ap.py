@@ -155,3 +155,67 @@ class TestProcedures:
         kind, proc, ies = S.unpack_pdu(pdu)
         assert proc == S.PROC_PAGING
         assert S.IE_UE_PAGING_ID in ies and S.IE_TAI_LIST in ies
+
+
+class TestAddedProcedures:
+    """The remaining procedures the reference apps exercise
+    (srsenb/src/upper/s1ap.cc:409-443 and the send_* family)."""
+
+    def _attached(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+
+        mme, ue_nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        enb_s1 = EnbS1ap(send=mme_s1.handle)
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=enb_s1)
+        rnti = _attach(ue, enb)
+        assert ue.nas.attached
+        return mme_s1, enb_s1, enb, ue, rnti
+
+    def test_ue_capabilities_forwarded_over_s1(self):
+        mme_s1, enb_s1, enb, ue, rnti = self._attached()
+        srb, _, pdu = enb.send_capability_enquiry(rnti)
+        for s, p in ue.handle_dl(srb, pdu):
+            enb.handle_ul(rnti, s, p)
+        assert "capabilities_forwarded" in enb_s1.events
+        assert "ue_capabilities_stored" in mme_s1.events
+        cap = list(mme_s1.ue_capabilities.values())[0]
+        assert len(cap) > 0
+
+    def test_erab_setup_request_response(self):
+        mme_s1, enb_s1, enb, ue, rnti = self._attached()
+        enb_ue = list(mme_s1.ue_ids)[0]
+        req = mme_s1.setup_bearer(enb_ue, erab_id=6, qci=8, teid=0x77,
+                                  gtp_addr=bytes([172, 16, 255, 1]),
+                                  nas_pdu=b"\x27activate-dedicated")
+        directives = enb_s1._directives([req])
+        assert directives and directives[0][0] == "erab_setup"
+        _, erab_id, qci, teid, addr, nas = directives[0]
+        assert (erab_id, qci, teid) == (6, 8, 0x77)
+        assert nas == b"\x27activate-dedicated"
+        assert any(e.startswith("erab_setup_complete") for e in mme_s1.events)
+
+    def test_enb_initiated_release(self):
+        mme_s1, enb_s1, enb, ue, rnti = self._attached()
+        directives = enb_s1.release_request()
+        assert ("release",) in directives
+        assert "release_requested" in mme_s1.events
+        assert "released" in enb_s1.events
+        assert "ue_context_released" in mme_s1.events
+
+    def test_initial_ctx_setup_failure(self):
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+
+        mme, _ = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        enb_s1 = EnbS1ap(send=mme_s1.handle)
+        enb_s1._current_ue = 3
+        directives = enb_s1.initial_ctx_setup_failure()
+        assert "initial_ctx_setup_failure" in mme_s1.events
+        assert ("release",) in directives  # MME commands release; eNB acks
+
+    def test_cause_codec(self):
+        for group, value in [(0, 21), (1, 1), (2, 0), (3, 5), (4, 2)]:
+            assert S._dec_cause(S._enc_cause(group, value)) == (group, value)
