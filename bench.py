@@ -40,23 +40,38 @@ def main():
     llr = jnp.asarray((4 / n0 * y).astype(np.float32))
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # bfloat16 metrics on the pallas path (dtype="auto"): 1.6x over f32
-    # with zero residual errors at this operating point — the same
-    # precision trade the reference's i16/i8 SIMD decoders make.
-    dec = TurboDecoder(k=k, iterations=iters, window=128,
-                       impl="pallas" if on_tpu else "xla")
-    fn = jax.jit(dec.decode)
+    # bfloat16 metrics on the pallas path (dtype="auto") — the same
+    # precision trade the reference's i16/i8 SIMD decoders make
+    # (demod_soft.c:39-45); impl auto = the NII tile-major kernel
+    # (turbo_decoder_pallas2.py) on TPU.
+    dec = TurboDecoder(k=k, iterations=iters, window=256,
+                       impl="auto" if on_tpu else "xla")
 
-    bits, _ = fn(llr)
+    # Chain R decodes per dispatch (scalar cross-decode dependency) so the
+    # steady-state streaming throughput is measured rather than the
+    # host-tunnel's fixed per-dispatch latency — the CPU reference's loop
+    # (turbodecoder_test.c:264-281) has no equivalent dispatch cost.
+    chain = 4
+
+    @jax.jit
+    def fn(llr):
+        bits = llr_out = None
+        x = llr
+        for _ in range(chain):
+            bits, llr_out = dec.decode(x)
+            x = llr + 0.0 * llr_out[0, 0]
+        return bits
+
+    bits = fn(llr)
     errs = int(np.sum(np.asarray(bits) != u))  # also forces full sync
     _ = int(bits[0, 0])  # pre-compile the tiny sync program too
 
-    n_rep = 10
+    n_rep = 4
     t0 = time.time()
     for _ in range(n_rep):
-        bits, _ = fn(llr)
+        bits = fn(llr)
     _ = int(bits[0, 0])  # serial device stream: syncs all reps (axon-safe)
-    dt = (time.time() - t0) / n_rep
+    dt = (time.time() - t0) / (n_rep * chain)
     mbps = batch * k / dt / 1e6
 
     print(json.dumps({

@@ -342,6 +342,100 @@ class TurboDecoder:
         )
         return sys1, par1, sys2_tail, par2
 
+    def _decode_nii(self, d_llr, iterations: int | None = None, crc=None,
+                    interpret: bool = False):
+        """v2 fast path: NII windowed kernel in batch-tile-major layout
+        (turbo_decoder_pallas2.py). Same contract as ``decode``."""
+        import jax
+        import jax.numpy as jnp
+
+        from .turbo_decoder_pallas2 import (from_tiles, map_decode_nii,
+                                            to_tiles)
+
+        iters = self.iterations if iterations is None else iterations
+        k = self.k
+        l = self.window
+        pi = jnp.asarray(qpp_interleaver(k))
+        pinv = jnp.asarray(qpp_deinterleaver(k))
+        dt = jnp.bfloat16 if self.dtype == "auto" else jnp.dtype(self.dtype)
+        if d_llr.dtype != dt:
+            d_llr = d_llr.astype(dt)
+
+        sys1, par1, sys2_tail, par2 = self._split_streams(d_llr)
+        lead = sys1.shape[:-1]
+        b = int(np.prod(lead)) if lead else 1
+        tm = lambda x: jnp.moveaxis(x.reshape(b, x.shape[-1]), -1, 0)
+        sys1_tm = tm(sys1)
+        par1_tm = tm(par1)
+        par2_tm = tm(par2)
+        sys2_tail_tm = tm(sys2_tail)
+
+        lanes = 256 if b >= 2048 else 128
+        bp = (-b) % (8 * lanes)
+        cp = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp \
+            else (lambda x: x)
+        pad8 = lambda x: jnp.pad(x, ((0, 8 - x.shape[0]), (0, 0)))
+        tiles = lambda x: to_tiles(cp(x), lanes)
+
+        sys_t = tiles(sys1_tm[:k])
+        par1_t = tiles(par1_tm[:k])
+        par2_t = tiles(par2_tm[:k])
+        ut1 = tiles(pad8(sys1_tm[k:]))
+        pt1 = tiles(pad8(par1_tm[k:]))
+        ut2 = tiles(pad8(sys2_tail_tm))
+        pt2 = tiles(pad8(par2_tm[k:]))
+
+        t_tiles = sys_t.shape[0]
+        w_count = k // l
+        zst = jnp.zeros((t_tiles, w_count + 1, 8, 8, lanes), dt)
+
+        dec = lambda u, p, ut, pt, a, bb: map_decode_nii(
+            u, p, ut, pt, a, bb, l=l, lanes=lanes, interpret=interpret)
+
+        def iteration(state):
+            ext2, a1, b1, a2, b2 = state
+            u1 = sys_t + ext2
+            ext1, a1, b1 = dec(u1, par1_t, ut1, pt1, a1, b1)
+            u2 = (sys_t + ext1)[:, pi]
+            ext2i, a2, b2 = dec(u2, par2_t, ut2, pt2, a2, b2)
+            llr_nat = (u2 + ext2i)[:, pinv]
+            return (ext2i[:, pinv], a1, b1, a2, b2), llr_nat
+
+        state = (jnp.zeros_like(sys_t), zst, zst, zst, zst)
+        if crc is None:
+            llr_full = None
+            for _ in range(iters):
+                state, llr_full = iteration(state)
+        else:
+            def bits_of(llr_full):
+                llr2d = from_tiles(llr_full)[:, :b] if bp \
+                    else from_tiles(llr_full)
+                return (jnp.moveaxis(llr2d, 0, -1) < 0).astype(jnp.int8)
+
+            def check(llr_full):
+                return jnp.all(crc.jnp_check(bits_of(llr_full)))
+
+            def cond(carry):
+                it, state, llr_full, done = carry
+                return jnp.logical_and(it < iters, jnp.logical_not(done))
+
+            def body(carry):
+                it, state, _, _ = carry
+                state, llr_full = iteration(state)
+                return it + 1, state, llr_full, check(llr_full)
+
+            state, llr_1 = iteration(state)
+            _, _, llr_full, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.ones((), jnp.int32), state, llr_1, check(llr_1)))
+
+        llr2d = from_tiles(llr_full)
+        if bp:
+            llr2d = llr2d[:, :b]
+        llr_out = jnp.moveaxis(llr2d, 0, -1).reshape(*lead, k)
+        bits = (llr_out < 0).astype(jnp.int8)
+        return bits, llr_out
+
     def decode(self, d_llr, iterations: int | None = None, crc=None):
         """Decode d_llr[..., 3, K+4] -> (bits[..., K] int8, llr[..., K]).
 
@@ -361,7 +455,10 @@ class TurboDecoder:
         if impl == "auto":
             import jax
 
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
+        if impl.startswith("pallas2") and self.window is not None:
+            return self._decode_nii(d_llr, iterations=iterations, crc=crc,
+                                    interpret=impl.endswith("interpret"))
         use_pallas = impl.startswith("pallas") and self.window is not None
         if self.dtype == "auto":
             dt = jnp.bfloat16 if use_pallas else jnp.float32

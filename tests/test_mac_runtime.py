@@ -296,3 +296,68 @@ class TestSibPagingScheduler:
         assert len(hit) == 1
         assert hit[0] % 10 == po and (hit[0] // 10) % 32 == pf
         assert not ps.pending
+
+
+class TestBandTables:
+    """EARFCN/band tables vs 36.101 5.7.3-1 known points
+    (phy_common.c:393-525 parity)."""
+
+    def test_known_frequencies(self):
+        from empower_srslte_tpu.utils import band
+
+        assert band.dl_freq_hz(0) == 2110e6          # band 1 low
+        assert band.dl_freq_hz(1575) == 1842.5e6     # band 3 mid
+        assert band.dl_freq_hz(3100) == 2655e6       # band 7
+        assert band.dl_freq_hz(6300) == 806e6        # band 20
+        assert band.band_from_dl_earfcn(1575) == 3
+        assert band.band_from_dl_earfcn(6300) == 20
+        assert band.band_from_dl_earfcn(66500) == 66
+
+    def test_ul_pairing(self):
+        from empower_srslte_tpu.utils import band
+
+        # band 3: duplex 95 MHz below DL
+        ul = band.ul_earfcn_from_dl(1575)
+        assert ul == 19575
+        assert band.ul_freq_hz(ul) == 1747.5e6
+        # band 20: reversed duplex (UL above DL)
+        ul20 = band.ul_earfcn_from_dl(6300)
+        assert abs(band.ul_freq_hz(ul20) - 847e6) < 1
+
+    def test_sdl_band_rejects_ul(self):
+        import pytest as _pytest
+
+        from empower_srslte_tpu.utils import band
+
+        with _pytest.raises(ValueError):
+            band.ul_earfcn_from_dl(9700)   # band 29 SDL
+
+
+class TestPcapWriters:
+    def test_nas_s1ap_raw(self, tmp_path):
+        import struct
+
+        from empower_srslte_tpu.runtime.pcap import NasPcap, S1apPcap
+
+        for cls, dlt in ((NasPcap, 148), (S1apPcap, 150)):
+            path = tmp_path / f"t{dlt}.pcap"
+            with cls(str(path)) as pc:
+                pc.write_pdu(b"\x07\x41\x01")
+            data = path.read_bytes()
+            hdr = struct.unpack("<IHHiIII", data[:24])
+            assert hdr[0] == 0xA1B2C3D4 and hdr[6] == dlt
+            rec = struct.unpack("<IIII", data[24:40])
+            assert rec[2] == rec[3] == 3
+            assert data[40:43] == b"\x07\x41\x01"
+
+    def test_rlc_context_framing(self, tmp_path):
+        from empower_srslte_tpu.runtime.pcap import (RLC_AM_MODE, RlcPcap)
+
+        path = tmp_path / "rlc.pcap"
+        with RlcPcap(str(path), ue_id=17) as pc:
+            pc.write_rlc_pdu(b"\x88\x00payload", mode=RLC_AM_MODE,
+                             channel_id=1)
+        data = path.read_bytes()
+        assert data[20:24] == (149).to_bytes(4, "little")
+        body = data[40:]
+        assert b"rlc-lte" in body and body.endswith(b"payload")
