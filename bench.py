@@ -51,7 +51,7 @@ def main():
     # steady-state streaming throughput is measured rather than the
     # host-tunnel's fixed per-dispatch latency — the CPU reference's loop
     # (turbodecoder_test.c:264-281) has no equivalent dispatch cost.
-    chain = 4
+    chain = 8
 
     @jax.jit
     def fn(llr):
@@ -66,7 +66,7 @@ def main():
     errs = int(np.sum(np.asarray(bits) != u))  # also forces full sync
     _ = int(bits[0, 0])  # pre-compile the tiny sync program too
 
-    n_rep = 4
+    n_rep = 3
     t0 = time.time()
     for _ in range(n_rep):
         bits = fn(llr)

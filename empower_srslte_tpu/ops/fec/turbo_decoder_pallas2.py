@@ -158,7 +158,7 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype):
 
 
 def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
-                   lanes: int, group: int = 8, interpret: bool = False):
+                   lanes: int, group: int = 16, interpret: bool = False):
     """One NII constituent decode.
 
     u, p:            [T, K, 8, lanes] raw (unhalved) input / parity rows

@@ -653,3 +653,285 @@ def pack_ue_context_release_request(mme_ue_id: int, enb_ue_id: int,
            (IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause))]
     return _pdu(INITIATING, PROC_UE_CONTEXT_RELEASE_REQUEST, CRIT_IGNORE,
                 _enc_ies(ies))
+
+
+# --- S1 handover procedure family (36.413 8.4; liblte_s1ap.h proc ids
+# --- 0/1/2/24/25). The reference ships these codecs unused (its apps do
+# --- intra-eNB handover over RRC only); here they complete the S1
+# --- interface so handover can relay through the MME.
+
+PROC_HANDOVER_PREPARATION = 0
+PROC_HANDOVER_RESOURCE_ALLOC = 1
+PROC_HANDOVER_NOTIFICATION = 2
+PROC_ENB_STATUS_TRANSFER = 24
+PROC_MME_STATUS_TRANSFER = 25
+
+IE_HANDOVER_TYPE = 1
+IE_TARGET_ID = 4
+IE_ERAB_ADMITTED_LIST = 18
+IE_ERAB_ADMITTED_ITEM = 20
+IE_ERAB_TO_SETUP_ITEM_HO = 27
+IE_SECURITY_CONTEXT = 40
+IE_ERAB_TO_SETUP_LIST_HO = 53
+IE_BEARERS_STATUS_ITEM = 89
+IE_ENB_STATUS_CONTAINER = 90
+IE_SOURCE_TO_TARGET_CONTAINER = 104
+IE_TARGET_TO_SOURCE_CONTAINER = 123
+
+HANDOVER_TYPE_INTRALTE = 0
+
+
+def _enc_handover_type(ht: int = HANDOVER_TYPE_INTRALTE) -> bytes:
+    w = AWriter()
+    w.put(0, 1)          # enum ext
+    w.put(ht, 3)
+    return w.to_bytes()
+
+
+def _enc_container(data: bytes) -> bytes:
+    w = AWriter()
+    w.put_length(len(data))
+    w.put_bytes(data)
+    return w.to_bytes()
+
+
+def _dec_container(b: bytes) -> bytes:
+    r = AReader(b)
+    return r.get_bytes(r.get_length())
+
+
+def enc_target_enb_id(mcc: str, mnc: str, enb_id: int, tac: int) -> bytes:
+    """TargetID ::= CHOICE {targeteNB-ID {Global-ENB-ID (macro 20-bit),
+    selected-TAI}, ...}."""
+    w = AWriter()
+    w.put(0, 1)                      # choice ext
+    w.put(0, 2)                      # targeteNB-ID
+    w.put(0, 1)                      # seq ext
+    w.put(0, 1)                      # iE-Extensions absent
+    w.put(0, 1)                      # global-enb-id seq ext
+    w.put(0, 1)                      # its iE-Extensions absent
+    w.put_bytes(_plmn_bytes(mcc, mnc))
+    w.put(0, 1)                      # eNB-ID choice ext
+    w.put(0, 1)                      # macroENB-ID
+    w.align()
+    w.put(enb_id << 4, 24)           # 20-bit id, octet-aligned bitstring
+    w.put_bytes(enc_tai(mcc, mnc, tac))
+    return w.to_bytes()
+
+
+def dec_target_enb_id(b: bytes) -> dict:
+    r = AReader(b)
+    r.get(2 + 4)
+    plmn = r.get_bytes(3)
+    r.get(2)
+    r.align()
+    enb_id = r.get(24) >> 4
+    mcc, mnc = _plmn_parse(plmn)
+    t_mcc, t_mnc, tac = dec_tai(r.get_bytes(6))
+    return {"mcc": mcc, "mnc": mnc, "enb_id": enb_id, "tac": tac}
+
+
+def pack_handover_required(mme_ue_id: int, enb_ue_id: int, mcc: str,
+                           mnc: str, target_enb_id: int, tac: int,
+                           rrc_container: bytes,
+                           cause: tuple[int, int] = (0, 2)) -> bytes:
+    """HANDOVER REQUIRED (source eNB -> MME). Default cause:
+    radioNetwork/handover-desirable-for-radio-reason."""
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_HANDOVER_TYPE, CRIT_REJECT, _enc_handover_type()),
+           (IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause)),
+           (IE_TARGET_ID, CRIT_REJECT,
+            enc_target_enb_id(mcc, mnc, target_enb_id, tac)),
+           (IE_SOURCE_TO_TARGET_CONTAINER, CRIT_REJECT,
+            _enc_container(rrc_container))]
+    return _pdu(INITIATING, PROC_HANDOVER_PREPARATION, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def pack_handover_command(mme_ue_id: int, enb_ue_id: int,
+                          rrc_container: bytes) -> bytes:
+    """HANDOVER COMMAND (MME -> source eNB, successful outcome)."""
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_HANDOVER_TYPE, CRIT_REJECT, _enc_handover_type()),
+           (IE_TARGET_TO_SOURCE_CONTAINER, CRIT_REJECT,
+            _enc_container(rrc_container))]
+    return _pdu(SUCCESSFUL, PROC_HANDOVER_PREPARATION, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def pack_handover_request(mme_ue_id: int, erab_id: int, qci: int,
+                          teid: int, gtp_addr: bytes,
+                          rrc_container: bytes, nh: bytes, ncc: int,
+                          cause: tuple[int, int] = (0, 2)) -> bytes:
+    """HANDOVER REQUEST (MME -> target eNB): bearer context + security
+    context {NCC, NH} for K_eNB* derivation + the source RRC container."""
+    wi = AWriter()
+    wi.put(0, 1)                     # item ext
+    wi.put(0, 1)                     # iE-Extensions absent
+    wi.put(erab_id, 4)
+    wi.put_bytes(bytes([len(gtp_addr) * 8 - 1]) + gtp_addr)
+    wi.put_bytes(teid.to_bytes(4, "big"))
+    wi.put(0, 1)                     # qos seq ext
+    wi.align()
+    wi.put(qci, 8)
+    wi.put(15, 4)
+    wi.put(0, 2)
+    wl = AWriter()
+    wl.put(0, 8)
+    wl.put(IE_ERAB_TO_SETUP_ITEM_HO, 16)
+    wl.put(CRIT_REJECT, 2)
+    wl.align()
+    wl.put_open(wi.to_bytes())
+    # SecurityContext ::= SEQ {nextHopChainingCount (0..7), nextHopParameter
+    # BIT STRING(256)}
+    ws = AWriter()
+    ws.put(0, 1)
+    ws.put(0, 1)                     # iE-Extensions absent
+    ws.put(ncc, 3)
+    ws.align()
+    ws.put_bytes(nh)
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_HANDOVER_TYPE, CRIT_REJECT, _enc_handover_type()),
+           (IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause)),
+           (IE_ERAB_TO_SETUP_LIST_HO, CRIT_REJECT, wl.to_bytes()),
+           (IE_SOURCE_TO_TARGET_CONTAINER, CRIT_REJECT,
+            _enc_container(rrc_container)),
+           (IE_SECURITY_CONTEXT, CRIT_REJECT, ws.to_bytes())]
+    return _pdu(INITIATING, PROC_HANDOVER_RESOURCE_ALLOC, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_handover_request(ies: dict[int, bytes]) -> dict:
+    r = AReader(ies[IE_ERAB_TO_SETUP_LIST_HO])
+    r.get(8)
+    r.get(16)
+    r.get(2)
+    ri = AReader(r.get_open())
+    ri.get(2)
+    erab_id = ri.get(4)
+    addr_len_bits = ri.get_bytes(1)[0] + 1
+    addr = ri.get_bytes(addr_len_bits // 8)
+    teid = int.from_bytes(ri.get_bytes(4), "big")
+    ri.get(1)
+    ri.align()
+    qci = ri.get(8)
+    rs = AReader(ies[IE_SECURITY_CONTEXT])
+    rs.get(2)
+    ncc = rs.get(3)
+    rs.align()
+    nh = rs.get_bytes(32)
+    return {"erab_id": erab_id, "qci": qci, "addr": addr, "teid": teid,
+            "container": _dec_container(
+                ies[IE_SOURCE_TO_TARGET_CONTAINER]),
+            "nh": nh, "ncc": ncc}
+
+
+def pack_handover_request_ack(mme_ue_id: int, enb_ue_id: int,
+                              erab_id: int, teid: int, gtp_addr: bytes,
+                              rrc_container: bytes) -> bytes:
+    """HANDOVER REQUEST ACKNOWLEDGE (target eNB -> MME)."""
+    wi = AWriter()
+    wi.put(0, 1)
+    wi.put(0, 3)                     # dl/ul forwarding + iE-ext absent
+    wi.put(erab_id, 4)
+    wi.put_bytes(bytes([len(gtp_addr) * 8 - 1]) + gtp_addr)
+    wi.put_bytes(teid.to_bytes(4, "big"))
+    wl = AWriter()
+    wl.put(0, 8)
+    wl.put(IE_ERAB_ADMITTED_ITEM, 16)
+    wl.put(CRIT_IGNORE, 2)
+    wl.align()
+    wl.put_open(wi.to_bytes())
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)),
+           (IE_ERAB_ADMITTED_LIST, CRIT_IGNORE, wl.to_bytes()),
+           (IE_TARGET_TO_SOURCE_CONTAINER, CRIT_REJECT,
+            _enc_container(rrc_container))]
+    return _pdu(SUCCESSFUL, PROC_HANDOVER_RESOURCE_ALLOC, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_handover_request_ack(ies: dict[int, bytes]) -> dict:
+    r = AReader(ies[IE_ERAB_ADMITTED_LIST])
+    r.get(8)
+    r.get(16)
+    r.get(2)
+    ri = AReader(r.get_open())
+    ri.get(4)
+    erab_id = ri.get(4)
+    addr_len_bits = ri.get_bytes(1)[0] + 1
+    addr = ri.get_bytes(addr_len_bits // 8)
+    teid = int.from_bytes(ri.get_bytes(4), "big")
+    return {"erab_id": erab_id, "addr": addr, "teid": teid,
+            "container": _dec_container(
+                ies[IE_TARGET_TO_SOURCE_CONTAINER])}
+
+
+def pack_handover_notify(mme_ue_id: int, enb_ue_id: int, mcc: str,
+                         mnc: str, tac: int, cell_id: int) -> bytes:
+    """HANDOVER NOTIFY (target eNB -> MME after UE arrival)."""
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_EUTRAN_CGI, CRIT_IGNORE, enc_cgi(mcc, mnc, cell_id)),
+           (IE_TAI, CRIT_IGNORE, enc_tai(mcc, mnc, tac))]
+    return _pdu(INITIATING, PROC_HANDOVER_NOTIFICATION, CRIT_IGNORE,
+                _enc_ies(ies))
+
+
+def pack_status_transfer(mme_ue_id: int, enb_ue_id: int,
+                         bearers: list[tuple[int, int, int, int, int]],
+                         direction_mme: bool = False) -> bytes:
+    """eNB/MME STATUS TRANSFER: per-bearer PDCP COUNT continuity.
+
+    bearers: [(erab_id, ul_sn, ul_hfn, dl_sn, dl_hfn)].
+    """
+    wl = AWriter()
+    wl.put(len(bearers) - 1, 8)
+    for erab_id, ul_sn, ul_hfn, dl_sn, dl_hfn in bearers:
+        wi = AWriter()
+        wi.put(0, 1)                 # item ext
+        wi.put(0, 1)                 # receiveStatus absent
+        wi.put(0, 1)                 # iE-Extensions absent
+        wi.put(erab_id, 4)
+        for sn, hfn in ((ul_sn, ul_hfn), (dl_sn, dl_hfn)):
+            wi.put(0, 1)             # COUNTvalue seq ext
+            wi.put(0, 1)             # its iE-Extensions absent
+            wi.put(sn, 12)
+            wi.put(hfn, 20)
+        wl.put(IE_BEARERS_STATUS_ITEM, 16)
+        wl.put(CRIT_IGNORE, 2)
+        wl.align()
+        wl.put_open(wi.to_bytes())
+    wc = AWriter()
+    wc.put(0, 1)                     # container seq ext
+    wc.put_bytes(wl.to_bytes())
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_ENB_STATUS_CONTAINER, CRIT_REJECT, wc.to_bytes())]
+    return _pdu(INITIATING,
+                PROC_MME_STATUS_TRANSFER if direction_mme
+                else PROC_ENB_STATUS_TRANSFER,
+                CRIT_IGNORE, _enc_ies(ies))
+
+
+def unpack_status_transfer(ies: dict[int, bytes]) -> list[dict]:
+    r = AReader(ies[IE_ENB_STATUS_CONTAINER])
+    r.get(1)
+    r.align()
+    n = r.get(8) + 1
+    out = []
+    for _ in range(n):
+        r.get(16)
+        r.get(2)
+        ri = AReader(r.get_open())
+        ri.get(3)
+        erab_id = ri.get(4)
+        counts = []
+        for _ in range(2):
+            ri.get(2)
+            counts.append((ri.get(12), ri.get(20)))
+        out.append({"erab_id": erab_id, "ul_count": counts[0],
+                    "dl_count": counts[1]})
+    return out

@@ -60,6 +60,7 @@ class MmeS1ap:
     enbs: list = field(default_factory=list)
     events: list = field(default_factory=list)
     ue_capabilities: dict = field(default_factory=dict)
+    enb_links: dict = field(default_factory=dict)
 
     def handle(self, pdu: bytes) -> list[bytes]:
         kind, proc, ies = S.unpack_pdu(pdu)
@@ -103,6 +104,79 @@ class MmeS1ap:
         if proc == S.PROC_ERAB_SETUP and kind == S.SUCCESSFUL:
             res = S.unpack_erab_setup_response(ies)
             self.events.append(f"erab_setup_complete_{res['erab_id']}")
+            return []
+        if proc in (S.PROC_HANDOVER_PREPARATION, S.PROC_ENB_STATUS_TRANSFER,
+                    S.PROC_HANDOVER_NOTIFICATION):
+            return self._handle_handover(kind, proc, ies)
+        return []
+
+    def attach_enb_link(self, enb_id: int, link) -> None:
+        """Register a delivery channel to an eNB (callable pdu ->
+        [response pdus]) so MME-initiated procedures (handover relay,
+        release) can reach it."""
+        self.enb_links[enb_id] = link
+
+    def _handle_handover(self, kind, proc, ies):
+        """S1 handover relay (36.413 8.4): source HandoverRequired ->
+        HandoverRequest at the target -> HandoverCommand back to the
+        source; status transfer rewrite; notify -> source release."""
+        if proc == S.PROC_HANDOVER_PREPARATION and kind == S.INITIATING:
+            mme_ue, src_enb_ue = S.get_ue_ids(ies)
+            target = S.dec_target_enb_id(ies[S.IE_TARGET_ID])
+            link = self.enb_links.get(target["enb_id"])
+            if link is None:
+                self.events.append("handover_target_unknown")
+                return []
+            container = S._dec_container(
+                ies[S.IE_SOURCE_TO_TARGET_CONTAINER])
+            ctx = getattr(self.mme, "last_ctx", None)
+            kasme = getattr(ctx, "kasme", bytes(32))
+            k_enb = security.generate_k_enb(kasme, 0)
+            nh = security.generate_nh(kasme, k_enb)     # first hop, NCC=1
+            self._ho = {"mme_ue": mme_ue, "src_enb_ue": src_enb_ue,
+                        "src_link": None, "target": target["enb_id"]}
+            req = S.pack_handover_request(
+                mme_ue, erab_id=5, qci=9, teid=mme_ue,
+                gtp_addr=bytes([172, 16, 255, 1]),
+                rrc_container=container, nh=nh, ncc=1)
+            self.events.append("handover_request_to_target")
+            for resp in link(req):
+                rk, rp, ries = S.unpack_pdu(resp)
+                if rp == S.PROC_HANDOVER_RESOURCE_ALLOC \
+                        and rk == S.SUCCESSFUL:
+                    ack = S.unpack_handover_request_ack(ries)
+                    self._ho["tgt_enb_ue"] = S.get_ue_ids(ries)[1]
+                    self.events.append("handover_command_to_source")
+                    return [S.pack_handover_command(
+                        mme_ue, src_enb_ue, ack["container"])]
+            return []
+        if proc == S.PROC_ENB_STATUS_TRANSFER:
+            mme_ue, _ = S.get_ue_ids(ies)
+            bearers = S.unpack_status_transfer(ies)
+            ho = getattr(self, "_ho", None)
+            if ho is not None:
+                link = self.enb_links.get(ho["target"])
+                if link is not None:
+                    link(S.pack_status_transfer(
+                        mme_ue, ho.get("tgt_enb_ue", 0),
+                        [(bb["erab_id"], *bb["ul_count"], *bb["dl_count"])
+                         for bb in bearers], direction_mme=True))
+                    self.events.append("status_transfer_relayed")
+            return []
+        if proc == S.PROC_HANDOVER_NOTIFICATION:
+            ho = getattr(self, "_ho", None)
+            self.events.append("handover_notify")
+            if ho is not None:
+                # path switched: release the source-side context
+                self.ue_ids[ho.get("tgt_enb_ue", 0)] = ho["mme_ue"]
+                src = None
+                for enb_id, link in self.enb_links.items():
+                    if enb_id != ho["target"]:
+                        src = link
+                if src is not None:
+                    src(S.pack_ue_context_release_command(
+                        ho["mme_ue"], ho["src_enb_ue"], cause=0))
+                    self.events.append("source_released")
             return []
         return []
 
@@ -211,6 +285,11 @@ class EnbS1ap:
                     mme_ue, enb_ue))
                 self.events.append("released")
                 out.append(("release",))
+            elif proc == S.PROC_HANDOVER_PREPARATION \
+                    and kind == S.SUCCESSFUL:
+                self.events.append("handover_command")
+                out.append(("handover_command", S._dec_container(
+                    ies[S.IE_TARGET_TO_SOURCE_CONTAINER])))
             elif proc == S.PROC_ERAB_SETUP and kind == S.INITIATING:
                 item = S.unpack_erab_setup_request(ies)
                 mme_ue, enb_ue = S.get_ue_ids(ies)
@@ -258,3 +337,80 @@ class EnbS1ap:
         self.events.append("release_requested")
         return self._directives(self.send(
             S.pack_ue_context_release_request(0, self._current_ue, cause)))
+
+    def deliver(self, pdu: bytes) -> list:
+        """MME-initiated inbound PDU (full-duplex topologies: release
+        commands, paging): processed through the directive pipeline;
+        any acknowledgements flow back via ``send``."""
+        return self._directives([pdu])
+
+    def handover_required(self, target_enb_id: int, rrc_container: bytes,
+                          bearers=None):
+        """Start an S1 handover toward ``target_enb_id`` (36.413 8.4.1):
+        HANDOVER REQUIRED, then the PDCP COUNT status transfer once the
+        command arrives. Returns directives; expect
+        ("handover_command", container)."""
+        self.events.append("handover_required")
+        out = self._directives(self.send(S.pack_handover_required(
+            0, self._current_ue, self.mcc, self.mnc, target_enb_id,
+            self.tac, rrc_container)))
+        if any(d[0] == "handover_command" for d in out):
+            self.send(S.pack_status_transfer(
+                0, self._current_ue,
+                bearers or [(5, 0, 0, 0, 0)]))
+            self.events.append("status_transferred")
+        return out
+
+
+@dataclass
+class EnbS1apTarget:
+    """Target-side eNB handover handler: the MME-initiated inbound
+    surface of an eNB (36.413 8.4.2 Handover Resource Allocation +
+    status transfer + release). Compose with EnbS1ap for a full eNB, or
+    use standalone as the target in an S1 handover test topology.
+
+    ``prepare`` hook: called with the decoded HandoverRequest dict, must
+    return the target-to-source RRC container (the
+    RRCConnectionReconfiguration-with-mobilityControlInfo the target RRC
+    builds); default echoes an empty container.
+    """
+
+    mcc: str = "001"
+    mnc: str = "01"
+    tac: int = 7
+    cell_id: int = 0x1A2D002
+    gtp_addr: bytes = bytes([172, 16, 255, 3])
+    prepare: object = None
+    next_enb_ue_id: int = 100
+    events: list = field(default_factory=list)
+    last_request: dict | None = None
+    counts: list = field(default_factory=list)
+
+    def handle(self, pdu: bytes) -> list[bytes]:
+        kind, proc, ies = S.unpack_pdu(pdu)
+        if proc == S.PROC_HANDOVER_RESOURCE_ALLOC and kind == S.INITIATING:
+            req = S.unpack_handover_request(ies)
+            mme_ue = S.get_ue_ids(ies)[0]
+            enb_ue = self.next_enb_ue_id
+            self.next_enb_ue_id += 1
+            self.last_request = {**req, "mme_ue": mme_ue,
+                                 "enb_ue": enb_ue}
+            container = self.prepare(self.last_request) \
+                if self.prepare is not None else b""
+            self.events.append("handover_request")
+            return [S.pack_handover_request_ack(
+                mme_ue, enb_ue, req["erab_id"], teid=enb_ue,
+                gtp_addr=self.gtp_addr, rrc_container=container)]
+        if proc == S.PROC_MME_STATUS_TRANSFER:
+            self.counts = S.unpack_status_transfer(ies)
+            self.events.append("status_received")
+            return []
+        return []
+
+    def notify_arrival(self, mme_s1) -> None:
+        """UE arrived on the target cell: HANDOVER NOTIFY to the MME."""
+        lr = self.last_request or {}
+        self.events.append("handover_notify")
+        mme_s1.handle(S.pack_handover_notify(
+            lr.get("mme_ue", 0), lr.get("enb_ue", 0), self.mcc, self.mnc,
+            self.tac, self.cell_id))

@@ -219,3 +219,64 @@ class TestAddedProcedures:
     def test_cause_codec(self):
         for group, value in [(0, 21), (1, 1), (2, 0), (3, 5), (4, 2)]:
             assert S._dec_cause(S._enc_cause(group, value)) == (group, value)
+
+
+class TestS1Handover:
+    """S1-based inter-eNB handover relay (36.413 8.4): source eNB ->
+    MME -> target eNB -> command -> status transfer -> notify ->
+    source release. The reference ships these codecs in liblte_s1ap but
+    its apps only do intra-eNB RRC handover; this completes the S1 leg."""
+
+    def test_codec_roundtrips(self):
+        pdu = S.pack_handover_required(5, 11, "001", "01", 0x20, 7, b"ctx")
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING, S.PROC_HANDOVER_PREPARATION)
+        assert S.dec_target_enb_id(ies[S.IE_TARGET_ID])["enb_id"] == 0x20
+        pdu = S.pack_handover_request(5, 5, 9, 0x44, bytes(4), b"c",
+                                      bytes(range(32)), 2)
+        _, _, ies = S.unpack_pdu(pdu)
+        req = S.unpack_handover_request(ies)
+        assert req["ncc"] == 2 and req["nh"] == bytes(range(32))
+        pdu = S.pack_status_transfer(5, 11, [(5, 100, 3, 200, 4)])
+        _, _, ies = S.unpack_pdu(pdu)
+        assert S.unpack_status_transfer(ies) == [
+            {"erab_id": 5, "ul_count": (100, 3), "dl_count": (200, 4)}]
+
+    def test_full_s1_handover_flow(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.s1ap.procedures import (EnbS1ap,
+                                                        EnbS1apTarget,
+                                                        MmeS1ap)
+
+        mme, ue_nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        src = EnbS1ap(send=mme_s1.handle, enb_id=0x19B)
+        target = EnbS1apTarget(prepare=lambda req: b"rrc-reconf-mobility")
+        mme_s1.attach_enb_link(0x19B, lambda pdu: (src.deliver(pdu), [])[1])
+        mme_s1.attach_enb_link(0x2AA, target.handle)
+
+        # attach the UE through the source eNB first
+        ue = UeRrc(nas=ue_nas)
+        enb = EnbRrc(mme=src)
+        _attach(ue, enb)
+        assert ue.nas.attached
+
+        # source decides to hand over (e.g. after an A3 report)
+        directives = src.handover_required(0x2AA, b"src-enb-rrc-context",
+                                           bearers=[(5, 7, 0, 9, 0)])
+        cmds = [d for d in directives if d[0] == "handover_command"]
+        assert cmds and cmds[0][1] == b"rrc-reconf-mobility"
+        assert "handover_request" in target.events
+        assert target.last_request["container"] == b"src-enb-rrc-context"
+        assert target.last_request["ncc"] == 1
+        assert len(target.last_request["nh"]) == 32
+        assert "status_received" in target.events
+        assert target.counts[0]["ul_count"] == (7, 0)
+
+        # UE arrives at the target -> notify -> source released
+        target.notify_arrival(mme_s1)
+        assert "handover_notify" in mme_s1.events
+        assert "source_released" in mme_s1.events
+        # the MME now maps the target's eNB-UE id
+        assert mme_s1.ue_ids[target.last_request["enb_ue"]] == \
+            target.last_request["mme_ue"]
