@@ -37,6 +37,7 @@ class UeContext:
     dl_count: int = 0
     ue_ip: str = ""
     guti: int = 0
+    spgw_teid: int = 0
 
 
 class Mme:
@@ -45,6 +46,11 @@ class Mme:
     def __init__(self, hss: Hss, spgw: SpGw | None = None):
         self.hss = hss
         self.spgw = spgw or SpGw()
+        # S11: serialized GTPv2-C to the SP-GW (mme_gtpc.cc analog;
+        # in-memory transport by default, socket-pluggable)
+        from .gtpc import MmeGtpc, SpGwGtpc
+
+        self.gtpc = MmeGtpc(transport=SpGwGtpc(self.spgw).handle)
         self._by_imsi: dict[str, UeContext] = {}
         self._next_guti = 0x1000
         self.last_ctx: UeContext | None = None  # ctx of the last UL NAS
@@ -89,8 +95,9 @@ class Mme:
                                   direction=0)
             ctx.ul_count += 1
             if inner is not None and inner[1] == nas.MSG_SECURITY_MODE_COMPLETE:
-                sess = self.spgw.create_session(ctx.imsi, enb_teid)
-                ctx.ue_ip = sess.ue_ip
+                res = self.gtpc.create_session(ctx.imsi, enb_teid)
+                ctx.ue_ip = res["ue_ip"]
+                ctx.spgw_teid = res["spgw_teid"]
                 ctx.guti = self._next_guti
                 self._next_guti += 1
                 ctx.state = "attached"

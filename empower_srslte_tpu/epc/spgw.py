@@ -46,6 +46,9 @@ class SpGw:
         self._by_ue_ip[ue_ip] = sess
         return sess
 
+    def session_by_teid(self, teid_in: int) -> Session | None:
+        return self._by_teid_in.get(teid_in)
+
     def delete_session(self, imsi: str) -> None:
         for t, s in list(self._by_teid_in.items()):
             if s.imsi == imsi:

@@ -195,3 +195,72 @@ class TestNasFullDecode:
         assert esm["pdn_address"] == "14.14.14.1"
         assert v["guti"]["plmn"] == "00f110"
         assert v["guti"]["mme_code"] == 1
+
+
+class TestGtpc:
+    """Serialized S11 GTPv2-C between MME and SP-GW (mme_gtpc.cc /
+    spgw.cc handler parity; the reference passes in-memory structs, we
+    put real 29.274 PDUs on the boundary)."""
+
+    def _pair(self):
+        from empower_srslte_tpu.epc.gtpc import MmeGtpc, SpGwGtpc
+        from empower_srslte_tpu.epc.spgw import SpGw
+
+        gw = SpGw()
+        ep = SpGwGtpc(gw)
+        return gw, MmeGtpc(transport=ep.handle)
+
+    def test_create_modify_delete(self):
+        gw, client = self._pair()
+        res = client.create_session("001010123456789", enb_teid=0)
+        assert res["cause"] == 16 and res["ue_ip"].startswith("172.16.0.")
+        teid = res["spgw_teid"]
+        sess = gw.session_by_teid(teid)
+        assert sess.imsi == "001010123456789"
+        # modify bearer installs the eNB F-TEID after ICS response
+        assert client.modify_bearer(teid, enb_teid=0x77,
+                                    enb_addr=bytes([10, 0, 0, 9]))
+        assert sess.teid_out == 0x77 and sess.enb_addr == (10, 0, 0, 9)
+        # release access bearers drops the downlink tunnel, keeps session
+        assert client.release_access_bearers(teid)
+        assert sess.teid_out == 0 and gw.session_by_teid(teid) is not None
+        # delete removes it
+        assert client.delete_session(teid)
+        assert gw.session_by_teid(teid) is None
+
+    def test_wire_format(self):
+        from empower_srslte_tpu.epc import gtpc
+
+        pdu = gtpc.pack(gtpc.CREATE_SESSION_REQ, 0xABCD, 7,
+                        [(gtpc.IE_IMSI, gtpc._tbcd("12345"))])
+        mt, teid, seq, ies = gtpc.unpack(pdu)
+        assert (mt, teid, seq) == (gtpc.CREATE_SESSION_REQ, 0xABCD, 7)
+        assert gtpc._tbcd_parse(ies[gtpc.IE_IMSI]) == "12345"
+        assert pdu[0] == 0x48  # version 2, TEID flag
+
+    def test_attach_uses_gtpc(self):
+        # the NAS attach path now provisions the session over S11
+        from empower_srslte_tpu.epc import Hss, Subscriber
+        from empower_srslte_tpu.epc.mme import Mme, UeNas
+        from empower_srslte_tpu.upper import security
+
+        k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+        op = bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318")
+        opc = security.milenage_opc(k, op)
+        imsi = "001010123456780"
+        hss = Hss()
+        hss.add_subscriber(Subscriber(name="t", auth_algo="mil",
+                                      imsi=imsi, key=k, opc=opc))
+        mme = Mme(hss)
+        ue = UeNas(imsi=imsi, key=k, opc=opc)
+        pdu = ue.attach_request()
+        for _ in range(6):
+            resp = mme.handle_ul_nas(pdu, enb_teid=0x42)
+            if resp is None:
+                break
+            pdu = ue.handle_dl_nas(resp)
+            if pdu is None:
+                break
+        ctx = mme.context(imsi)
+        assert ctx.state == "attached" and ctx.spgw_teid > 0
+        assert mme.spgw.session_by_teid(ctx.spgw_teid) is not None
