@@ -57,8 +57,9 @@ class DlschPlan:
     max_iterations: int = 5
     decoder_impl: str = "auto"
     #: iterate only until every CB passes its CRC (sch.c:382 early stop,
-    #: batched); False = fixed max_iterations
-    early_stop: bool = False
+    #: batched) — the reference's default behavior; False = fixed
+    #: max_iterations (benchmarking at a fixed operating point)
+    early_stop: bool = True
 
     @functools.cached_property
     def segm(self) -> CbSegm:

@@ -1442,3 +1442,34 @@ def pack_mcch(value) -> bytes:
 
 def unpack_mcch(data: bytes):
     return _unpack(MCCH_Message, data)[1][1]
+
+
+# --- Inter-node messages (36.331 10.2.2) -------------------------------------
+# HandoverPreparationInformation, reduced to the AS context the target
+# admission consumes (the reference has no inter-eNB preparation path —
+# its handover is intra-eNB, srsenb/src/upper/rrc.cc — so this container
+# backs the S1 handover leg the S1AP layer adds).
+
+HandoverPrepInfo = Seq(
+    f("source_pci", PhysCellId),
+    f("old_c_rnti", BitString(16)),
+    f("ue_category", Int(1, 5)),
+    ext=True,
+)
+
+
+def pack_handover_prep_info(source_pci: int, old_c_rnti: int,
+                            ue_category: int = 4) -> bytes:
+    from .per import BitWriter
+
+    w = BitWriter()
+    HandoverPrepInfo.pack(w, {"source_pci": source_pci,
+                              "old_c_rnti": old_c_rnti,
+                              "ue_category": ue_category})
+    return w.to_bytes()
+
+
+def unpack_handover_prep_info(data: bytes) -> dict:
+    from .per import BitReader
+
+    return HandoverPrepInfo.unpack(BitReader(data))

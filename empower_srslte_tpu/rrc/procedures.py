@@ -98,6 +98,9 @@ class UeRrc:
     srb1_pdcp_rx: PdcpEntity | None = None
     security_activated: bool = False
     k_enb: bytes = b""
+    k_enb_initial: bytes = b""
+    nh: bytes = b""
+    ncc: int = 0
     meas_config: dict | None = None
     drbs: list = field(default_factory=list)
     serving_pci: int = 0
@@ -199,6 +202,8 @@ class UeRrc:
             # derive AS keys (33.401 A.3/A.7); NAS uplink count 0 as in
             # the initial-attach K_eNB derivation
             self.k_enb = security.generate_k_enb(self.nas.kasme, 0)
+            self.k_enb_initial = self.k_enb
+            self.nh, self.ncc = b"", 0
             k_rrc_enc, k_rrc_int = security.generate_k_rrc(self.k_enb, 0, 2)
             self.srb1_pdcp_tx = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
             self.srb1_pdcp_rx = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
@@ -223,7 +228,21 @@ class UeRrc:
                 mci = r8["mobility_control_info"]
                 self.serving_pci = mci["target_pci"]
                 self.c_rnti = mci["new_ue_identity"]
-                # handover key derivation (33.401 A.5)
+                # handover key derivation (33.401 A.5): horizontal from
+                # the current K_eNB, or vertical through the NH chain
+                # when securityConfigHO advances the NCC (S1 handover,
+                # 33.401 7.2.8.4.3)
+                sch = r8.get("security_config_ho")
+                ncc = None
+                if sch is not None and sch["handover_type"][0] == "intraLTE":
+                    ncc = sch["handover_type"][1]["next_hop_chaining_count"]
+                if ncc is not None and ncc > self.ncc:
+                    while self.ncc < ncc:
+                        self.nh = security.generate_nh(
+                            self.nas.kasme, self.nh or self.k_enb_initial)
+                        self.ncc += 1
+                    self.k_enb = self.nh
+                    self.events.append(f"nh_chain_ncc{ncc}")
                 self.k_enb = security.generate_k_enb_star(
                     self.k_enb, mci["target_pci"], 3400)
                 k_rrc_enc, k_rrc_int = security.generate_k_rrc(
@@ -310,6 +329,10 @@ class EnbRrc:
     ues: dict = field(default_factory=dict)
     handover_margin_db: int = 3
     events: list = field(default_factory=list)
+    pci: int = 1
+    #: neighbour PCIs served by *other* eNBs: pci -> global eNB id.
+    #: A3 winners found here hand over via S1 instead of intra-eNB.
+    neighbor_enbs: dict = field(default_factory=dict)
 
     def handle_ul(self, rnti: int, srb: int,
                   pdu: bytes) -> list[tuple[int, int, bytes]]:
@@ -390,11 +413,27 @@ class EnbRrc:
                 for cell in neigh[1]:
                     n_rsrp = cell["meas_result"]["rsrp_result"]
                     if n_rsrp >= serving + 2 * self.handover_margin_db:
-                        self.events.append(
-                            f"handover_decision_{cell['phys_cell_id']}")
-                        out.append((rnti, SRB1, self._protect(
-                            ue, self._handover_command(
-                                ue, cell["phys_cell_id"]))))
+                        pci = cell["phys_cell_id"]
+                        self.events.append(f"handover_decision_{pci}")
+                        iface = self._mme_iface()
+                        if pci in self.neighbor_enbs \
+                                and hasattr(iface, "handover_required"):
+                            # inter-eNB: S1 handover (36.413 8.4); the
+                            # target builds the RRC command, the source
+                            # only protects and forwards it
+                            prep = M.pack_handover_prep_info(
+                                source_pci=self.pci, old_c_rnti=rnti,
+                                ue_category=(ue.get("eutra_capability")
+                                             or {}).get("ue_category", 4))
+                            for d in iface.handover_required(
+                                    self.neighbor_enbs[pci], prep):
+                                if d[0] == "handover_command":
+                                    self.events.append("s1_handover_cmd")
+                                    out.append((rnti, SRB1, self._protect(
+                                        ue, d[1])))
+                        else:
+                            out.append((rnti, SRB1, self._protect(
+                                ue, self._handover_command(ue, pci))))
                         break
         return out
 
@@ -502,9 +541,36 @@ class EnbRrc:
                        "drb_to_add_mod_list": [_DEFAULT_DRB1]}}))}
         return M.pack_dl_dcch("rrcConnectionReconfiguration", msg)
 
+    def prepare_handover(self, req: dict) -> bytes:
+        """Target-side S1 handover admission (36.413 HandoverRequest ->
+        36.331 10.2.3): allocate a C-RNTI, derive K_eNB* from the MME's
+        fresh {NH, NCC} (33.401 7.2.8.4.3), install the UE context with
+        the new AS keys, and return the RRCConnectionReconfiguration-
+        with-mobilityControlInfo for the target-to-source container."""
+        info = M.unpack_handover_prep_info(req["container"]) \
+            if req.get("container") else {}
+        rnti = self.next_c_rnti
+        self.next_c_rnti += 1
+        k_enb = security.generate_k_enb_star(req["nh"], self.pci, 3400)
+        k_rrc_enc, k_rrc_int = security.generate_k_rrc(k_enb, 0, 2)
+        self.ues[rnti] = {
+            "state": "handover_pending", "k_enb": k_enb,
+            "security_activated": True, "kasme": b"",
+            "eutra_capability": {"ue_category":
+                                 info.get("ue_category", 4)},
+            "pdcp_tx": PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc)),
+            "pdcp_rx": PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc)),
+        }
+        self.events.append(f"ho_admitted_{rnti:#x}")
+        return self._mobility_reconfig(rnti, self.pci, ncc=req["ncc"])
+
     def _handover_command(self, ue, target_pci: int) -> bytes:
         new_rnti = self.next_c_rnti
         self.next_c_rnti += 1
+        return self._mobility_reconfig(new_rnti, target_pci)
+
+    def _mobility_reconfig(self, new_rnti: int, target_pci: int,
+                           ncc: int | None = None) -> bytes:
         mci = {"target_pci": target_pci, "t304": 4,
                "new_ue_identity": new_rnti,
                "radio_resource_config_common": {
@@ -522,9 +588,13 @@ class EnbRrc:
                    "ul_cyclic_prefix_length": 0},
                "rach_config_dedicated": {"ra_preamble_index": 4,
                                          "ra_prach_mask_index": 0}}
+        r8 = {"mobility_control_info": mci}
+        if ncc is not None:
+            r8["security_config_ho"] = {"handover_type": ("intraLTE", {
+                "key_change_indicator": False,
+                "next_hop_chaining_count": ncc})}
         msg = {"rrc_transaction_identifier": 3,
-               "critical_extensions": ("c1", ("r8", {
-                   "mobility_control_info": mci}))}
+               "critical_extensions": ("c1", ("r8", r8))}
         return M.pack_dl_dcch("rrcConnectionReconfiguration", msg)
 
     def _protect(self, ue, raw: bytes) -> bytes:

@@ -280,3 +280,60 @@ class TestS1Handover:
         # the MME now maps the target's eNB-UE id
         assert mme_s1.ue_ids[target.last_request["enb_ue"]] == \
             target.last_request["mme_ue"]
+
+
+class TestInterEnbHandover:
+    """Full inter-eNB S1 handover at the RRC level: A3 report at the
+    source -> HandoverRequired -> target RRC admission (K_eNB* from the
+    MME's NH/NCC) -> HandoverCommand forwarded by the source -> UE NH
+    chain re-keying -> ReconfigurationComplete accepted by the TARGET
+    with the new keys -> HandoverNotify -> source release.
+
+    (The reference only does intra-eNB handover, srsenb rrc.cc; this is
+    the S1 leg its liblte_s1ap codecs support but its apps never use.)"""
+
+    def test_inter_enb_s1_handover(self):
+        from empower_srslte_tpu.rrc.procedures import EnbRrc, UeRrc
+        from empower_srslte_tpu.s1ap.procedures import (EnbS1ap,
+                                                        EnbS1apTarget,
+                                                        MmeS1ap)
+
+        mme, ue_nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        src_s1 = EnbS1ap(send=mme_s1.handle, enb_id=0x19B)
+        src = EnbRrc(mme=src_s1, pci=1, neighbor_enbs={2: 0x2AA})
+        tgt = EnbRrc(mme=src_s1, pci=2, next_c_rnti=0x60)
+        tgt_s1 = EnbS1apTarget(prepare=tgt.prepare_handover)
+        mme_s1.attach_enb_link(0x19B,
+                               lambda pdu: (src_s1.deliver(pdu), [])[1])
+        mme_s1.attach_enb_link(0x2AA, tgt_s1.handle)
+
+        ue = UeRrc(nas=ue_nas)
+        rnti = _attach(ue, src)
+        assert ue.nas.attached
+
+        # A3 event: neighbour pci 2 (served by the other eNB) is stronger
+        srb, mr = ue.send_measurement_report(50, 20, [(2, 70, 25)])
+        dl = src.handle_ul(rnti, srb, mr)
+        assert "s1_handover_cmd" in src.events
+        assert any(e.startswith("ho_admitted") for e in tgt.events)
+        assert "handover_request" in tgt_s1.events
+
+        # UE executes: NH-chain re-key + complete toward the TARGET
+        ul = ue.handle_dl(dl[0][1], dl[0][2])
+        assert "nh_chain_ncc1" in ue.events
+        assert "handover_to_2" in ue.events and ue.serving_pci == 2
+        new_rnti = [r for r in tgt.ues][0]
+        assert ue.c_rnti == new_rnti
+        for s, p in ul:
+            tgt.handle_ul(new_rnti, s, p)
+        # the complete decoded under the target's K_eNB*-derived keys:
+        # key agreement UE<->MME<->target proven end to end
+        assert "integrity_failure" not in tgt.events
+        assert "reconfig_complete" in tgt.events
+        assert tgt.ues[new_rnti]["state"] == "reconfigured"
+
+        # arrival -> notify -> source context released
+        tgt_s1.notify_arrival(mme_s1)
+        assert "source_released" in mme_s1.events
+        assert "released" in src_s1.events
