@@ -109,6 +109,11 @@ class PdschConfig:
         return pdsch_re_indices(self.cell, self.sf_idx, self.cfi,
                                 self.prb_mask, self.prb_mask_slot1)
 
+    @functools.cached_property
+    def extract_plan(self):
+        return _symbol_extract_plan(self.cell, self.sf_idx, self.cfi,
+                                    self.prb_mask, self.prb_mask_slot1)
+
     @property
     def nof_re(self) -> int:
         """REs per antenna port available to this allocation."""
@@ -191,11 +196,97 @@ def pdsch_encode(tb_bits, cfg: PdschConfig, plan: DlschPlan, tb_bits2=None,
 # --- decode (UE side) -------------------------------------------------------
 
 
+def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal runs of True as (start, stop) pairs."""
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return []
+    cuts = np.nonzero(np.diff(idx) > 1)[0]
+    starts = np.concatenate([[idx[0]], idx[cuts + 1]])
+    stops = np.concatenate([idx[cuts] + 1, [idx[-1] + 1]])
+    return list(zip(starts.tolist(), stops.tolist()))
+
+
+def _symbol_extract_plan(cell: Cell, sf_idx: int, cfi: int,
+                         prb_mask, prb_mask_slot1):
+    """Per-symbol slice recipes for the structured RE extraction.
+
+    The PDSCH usable-RE mask of every symbol factors as
+    (PRB-row mask) x (common 12-subcarrier pattern): CRS holes repeat
+    per PRB, the sync/PBCH reservation removes whole central PRBs, and
+    allocations mask whole PRBs. Each symbol therefore extracts with
+    static PRB-run slices + a reshape + static column-run slices — no
+    lane-axis gather (which is what makes the naive ``flat[..., idx]``
+    formulation slow on TPU). Falls back to a gather for any symbol
+    whose mask does not factor (none do in practice).
+    """
+    nre = cell.nof_re
+    usable = np.ones((cell.nsymb_sf, nre), dtype=bool)
+    usable[:cfi, :] = False
+    usable[crs_mask(cell, sf_idx)] = False
+    mid = nre // 2
+    sync_cols = slice(mid - SYNC_RE // 2, mid + SYNC_RE // 2)
+    nsym_slot = cell.nsymb_slot
+    if sf_idx == 0 or sf_idx == 5:
+        usable[nsym_slot - 1, sync_cols] = False
+        usable[nsym_slot - 2, sync_cols] = False
+    if sf_idx == 0:
+        for s in range(nsym_slot, nsym_slot + 4):
+            usable[s, sync_cols] = False
+    if prb_mask is not None:
+        col = np.repeat(np.asarray(prb_mask, dtype=bool), 12)
+        if prb_mask_slot1 is not None:
+            col1 = np.repeat(np.asarray(prb_mask_slot1, dtype=bool), 12)
+            usable[:nsym_slot] &= col[None, :]
+            usable[nsym_slot:] &= col1[None, :]
+        else:
+            usable &= col[None, :]
+
+    nprb = nre // 12
+    plan = []
+    for s in range(cell.nsymb_sf):
+        m = usable[s]
+        if not m.any():
+            continue
+        per_prb = m.reshape(nprb, 12)
+        rows_used = per_prb.any(axis=1)
+        pattern = per_prb[rows_used][0]
+        if np.all(per_prb[rows_used] == pattern[None, :]):
+            prb_runs = _runs(rows_used)
+            col_runs = _runs(pattern)
+            plan.append(("factored", s, tuple(prb_runs), tuple(col_runs)))
+        else:  # pragma: no cover - defensive fallback
+            plan.append(("gather", s, np.nonzero(m)[0].astype(np.int32)))
+    return tuple(plan)
+
+
 def pdsch_extract(grid, cfg: PdschConfig):
-    """Gather PDSCH REs: [..., nsymb, nre] -> [..., M] (pdsch_get)."""
-    idx = jnp.asarray(cfg.re_indices)
-    flat = grid.reshape(*grid.shape[:-2], -1)
-    return flat[..., idx]
+    """Extract PDSCH REs: [..., nsymb, nre] -> [..., M] in 36.211 6.3.5
+    mapping order (pdsch_get / pdsch_cp, pdsch.c:95-214).
+
+    Structured slice/reshape extraction (see _symbol_extract_plan);
+    output order matches ``cfg.re_indices`` exactly.
+    """
+    nprb = cfg.cell.nof_re // 12
+    pieces = []
+    for entry in cfg.extract_plan:
+        if entry[0] == "factored":
+            _, s, prb_runs, col_runs = entry
+            sym = grid[..., s, :]
+            prbs = sym.reshape(*sym.shape[:-1], nprb, 12)
+            if len(prb_runs) != 1 or prb_runs[0] != (0, nprb):
+                prbs = jnp.concatenate(
+                    [prbs[..., a:b, :] for a, b in prb_runs], axis=-2)
+            if len(col_runs) == 1 and col_runs[0] == (0, 12):
+                out = prbs
+            else:
+                out = jnp.concatenate(
+                    [prbs[..., a:b] for a, b in col_runs], axis=-1)
+            pieces.append(out.reshape(*out.shape[:-2], -1))
+        else:
+            _, s, idx = entry
+            pieces.append(grid[..., s, :][..., jnp.asarray(idx)])
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,

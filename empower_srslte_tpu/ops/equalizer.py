@@ -80,16 +80,26 @@ def eq_mux_2x2(y, h, noise_est=0.0, mmse: bool = True):
     1 / [(H^H H + N0 I)^-1]_ii, the reference's CSI output for LLR
     weighting (precoding.c MMSE with csi).
     """
-    hh = jnp.einsum("...ijn,...ikn->...jkn", jnp.conj(h), h)  # H^H H [2,2,n]
-    a = hh[..., 0, 0, :].real + noise_est
-    d = hh[..., 1, 1, :].real + noise_est
-    b = hh[..., 0, 1, :]
+    # Explicit component arithmetic: everything stays an elementwise op
+    # over the RE lane axis. (The einsum formulation of the same math
+    # lowered to tiny batched dot_generals with layout transposes and was
+    # ~40x slower on TPU.)
+    h00 = h[..., 0, 0, :]
+    h01 = h[..., 0, 1, :]
+    h10 = h[..., 1, 0, :]
+    h11 = h[..., 1, 1, :]
+    y0 = y[..., 0, :]
+    y1 = y[..., 1, :]
+    a = jnp.abs(h00) ** 2 + jnp.abs(h10) ** 2 + noise_est   # (H^H H)_00
+    d = jnp.abs(h01) ** 2 + jnp.abs(h11) ** 2 + noise_est   # (H^H H)_11
+    b = jnp.conj(h00) * h01 + jnp.conj(h10) * h11           # (H^H H)_01
     det = a * d - jnp.abs(b) ** 2
-    det = jnp.maximum(det.real, 1e-20)
+    det = jnp.maximum(det, 1e-20)
     # inv = [[d, -b], [-b*, a]] / det
-    hy = jnp.einsum("...ijn,...in->...jn", jnp.conj(h), y)    # H^H y [2, n]
-    x0 = (d * hy[..., 0, :] - b * hy[..., 1, :]) / det
-    x1 = (a * hy[..., 1, :] - jnp.conj(b) * hy[..., 0, :]) / det
+    hy0 = jnp.conj(h00) * y0 + jnp.conj(h10) * y1           # (H^H y)_0
+    hy1 = jnp.conj(h01) * y0 + jnp.conj(h11) * y1
+    x0 = (d * hy0 - b * hy1) / det
+    x1 = (a * hy1 - jnp.conj(b) * hy0) / det
     x = jnp.stack([x0, x1], axis=-2)
     # csi_i = det / opposite diagonal of inverse
     csi = jnp.stack([det / jnp.maximum(d, 1e-20),
@@ -221,16 +231,23 @@ def codebook_2x2(pmi: int):
 
 
 def precode_mux_2x2(layers, pmi: int = 0):
-    """TM4 closed-loop 2-layer precoding: x_ports = W @ x_layers."""
-    w = jnp.asarray(codebook_2x2(pmi))
-    return jnp.einsum("pl,...ln->...pn", w, layers)
+    """TM4 closed-loop 2-layer precoding: x_ports = W @ x_layers.
+    Expanded per matrix entry (elementwise over the RE axis)."""
+    w = codebook_2x2(pmi)
+    return jnp.stack(
+        [w[p, 0] * layers[..., 0, :] + w[p, 1] * layers[..., 1, :]
+         for p in range(2)], axis=-2)
 
 
 def effective_channel_mux(h, pmi: int = 0):
     """Fold the TM4 precoder into the estimated per-port channel:
-    h[..., rx, port, n] -> h_eff[..., rx, layer, n] = H W."""
-    w = jnp.asarray(codebook_2x2(pmi))
-    return jnp.einsum("...rpn,pl->...rln", h, w)
+    h[..., rx, port, n] -> h_eff[..., rx, layer, n] = H W.
+    Expanded per matrix entry: the einsum form lowered to tiny batched
+    dot_generals with layout transposes on TPU."""
+    w = codebook_2x2(pmi)
+    return jnp.stack(
+        [w[0, l] * h[..., 0, :] + w[1, l] * h[..., 1, :]
+         for l in range(2)], axis=-2)
 
 
 # --- PMI selection and channel condition (precoding.c:2148-2923) -----------
@@ -248,10 +265,13 @@ def pmi_select_2layer(h, noise_est=1e-4):
     sinrs = []
     for pmi in range(3):
         h_eff = effective_channel_mux(h, pmi)
-        hh = jnp.einsum("...ijn,...ikn->...jkn", jnp.conj(h_eff), h_eff)
-        a = hh[..., 0, 0, :].real + noise_est
-        d = hh[..., 1, 1, :].real + noise_est
-        b = hh[..., 0, 1, :]
+        e00 = h_eff[..., 0, 0, :]
+        e01 = h_eff[..., 0, 1, :]
+        e10 = h_eff[..., 1, 0, :]
+        e11 = h_eff[..., 1, 1, :]
+        a = jnp.abs(e00) ** 2 + jnp.abs(e10) ** 2 + noise_est
+        d = jnp.abs(e01) ** 2 + jnp.abs(e11) ** 2 + noise_est
+        b = jnp.conj(e00) * e01 + jnp.conj(e10) * e11
         det = jnp.maximum((a * d - jnp.abs(b) ** 2).real, 1e-20)
         # per-layer post-MMSE SINR_i = det / (noise * opposite diag) - 1
         s0 = det / (noise_est * jnp.maximum(d, 1e-20)) - 1.0
@@ -279,10 +299,10 @@ def pmi_select_1layer(h, noise_est=1e-4):
 def condition_number_db(h):
     """Average 2x2 channel condition number in dB
     (srslte_precoding_cn, precoding.c:2889-2923; mat.c:107-127)."""
-    hh = jnp.einsum("...ijn,...ikn->...jkn", jnp.conj(h), h)
-    a = hh[..., 0, 0, :].real
-    d = hh[..., 1, 1, :].real
-    b = hh[..., 0, 1, :]
+    a = jnp.abs(h[..., 0, 0, :]) ** 2 + jnp.abs(h[..., 1, 0, :]) ** 2
+    d = jnp.abs(h[..., 0, 1, :]) ** 2 + jnp.abs(h[..., 1, 1, :]) ** 2
+    b = (jnp.conj(h[..., 0, 0, :]) * h[..., 0, 1, :]
+         + jnp.conj(h[..., 1, 0, :]) * h[..., 1, 1, :])
     tr = a + d
     det = jnp.maximum(a * d - jnp.abs(b) ** 2, 1e-20)
     disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
@@ -313,9 +333,12 @@ def precode_cdd_2layer(layers):
     w, u = _cdd_matrices()
     # D(i) = diag(1, e^{-j 2 pi i / 2}) = diag(1, (-1)^i)
     sign = jnp.asarray((1.0 - 2.0 * (np.arange(n) % 2)).astype(np.float32))
-    ux = jnp.einsum("lm,...mn->...ln", jnp.asarray(u), layers)
-    ux = jnp.stack([ux[..., 0, :], ux[..., 1, :] * sign], axis=-2)
-    return jnp.einsum("pl,...ln->...pn", jnp.asarray(w), ux)
+    # expanded 2x2 matrix applications (elementwise over the RE axis)
+    ux0 = u[0, 0] * layers[..., 0, :] + u[0, 1] * layers[..., 1, :]
+    ux1 = (u[1, 0] * layers[..., 0, :]
+           + u[1, 1] * layers[..., 1, :]) * sign
+    return jnp.stack(
+        [w[p, 0] * ux0 + w[p, 1] * ux1 for p in range(2)], axis=-2)
 
 
 def effective_channel_cdd(h):
@@ -325,7 +348,9 @@ def effective_channel_cdd(h):
 
     n = h.shape[-1]
     w, u = _cdd_matrices()
-    hw = jnp.einsum("...rpn,pl->...rln", h, jnp.asarray(w))
     sign = jnp.asarray((1.0 - 2.0 * (np.arange(n) % 2)).astype(np.float32))
-    hwd = jnp.stack([hw[..., 0, :], hw[..., 1, :] * sign], axis=-2)
-    return jnp.einsum("...rln,lm->...rmn", hwd, jnp.asarray(u))
+    # expanded (H W) D U, elementwise over the RE axis
+    hw0 = w[0, 0] * h[..., 0, :] + w[1, 0] * h[..., 1, :]
+    hw1 = (w[0, 1] * h[..., 0, :] + w[1, 1] * h[..., 1, :]) * sign
+    return jnp.stack(
+        [hw0 * u[0, m] + hw1 * u[1, m] for m in range(2)], axis=-2)
