@@ -145,7 +145,9 @@ def pmch_chest(grid, cfg: PmchConfig):
         w = (s - ts[j]) / (ts[j + 1] - ts[j])
         tw[s, j] = 1 - w
         tw[s, j + 1] = w
-    return jnp.einsum("sp,...pk->...sk", jnp.asarray(tw), h_t)
+    from ..ops.chest import time_interp_apply
+
+    return time_interp_apply(tw, h_t)
 
 
 def pmch_decode(grid, cfg: PmchConfig, plan: DlschPlan, noise_est=0.0,

@@ -112,9 +112,29 @@ def chest_dl(grid, cell: Cell, sf_idx: int, port: int = 0,
     w = jnp.asarray(plan["wgt"])
     h_f = h0 * (1.0 - w) + h1 * w                    # [..., P, nre]
 
-    # time interpolation to all symbols
-    tw = jnp.asarray(plan["tw"])                     # [nsymb, P]
-    return jnp.einsum("sp,...pk->...sk", tw.astype(h_f.real.dtype), h_f)
+    # time interpolation to all symbols: per-symbol static 2-term lerp
+    # (the einsum form lowered to tiny batched dot_generals on TPU)
+    return time_interp_apply(plan["tw"], h_f)
+
+
+def time_interp_apply(tw, h_f):
+    """Apply a static [nsymb, P] time-interpolation weight matrix to
+    per-pilot-symbol estimates h_f[..., P, k] as per-symbol scaled sums
+    (each row has <= 2 nonzeros: linear interpolation between adjacent
+    pilot symbols, interpolate_pilots chest_dl.c:365-446)."""
+    import numpy as np
+
+    tw = np.asarray(tw)
+    outs = []
+    for srow in tw:
+        nz = np.nonzero(srow)[0]
+        acc = None
+        for pcol in nz:
+            term = float(srow[pcol]) * h_f[..., pcol, :]
+            acc = term if acc is None else acc + term
+        outs.append(acc if acc is not None
+                    else jnp.zeros_like(h_f[..., 0, :]))
+    return jnp.stack(outs, axis=-2)
 
 
 def noise_est_pilots(grid, cell: Cell, sf_idx: int, port: int = 0):
