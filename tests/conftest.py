@@ -7,6 +7,7 @@ CPU device 0. Real-TPU performance is measured by bench.py, not here.
 """
 
 import os
+import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -19,6 +20,15 @@ import jax
 # routes the whole test session to the virtual-CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the integration tests compile hundreds of
+# small XLA programs (per-subframe pipeline stages); caching them on disk
+# makes re-runs start warm and sidesteps an intermittent XLA-CPU compiler
+# segfault seen after many in-process compilations.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np
 import pytest
 
@@ -26,3 +36,27 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+#: Full-stack integration modules compile hundreds of small per-subframe
+#: XLA programs; past ~3 such tests in one process the XLA-CPU executable
+#: loader crashes (segfault/abort in backend_compile_and_load /
+#: cache read). Dropping the in-memory executables between heavy tests
+#: keeps the loader healthy; the persistent compilation cache (above)
+#: makes the recompiles cheap.
+_HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs")
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_heavy_tests(request):
+    yield
+    if request.module.__name__.split(".")[-1] in _HEAVY_MODULES:
+        jax.clear_caches()
+        for mod_name in list(sys.modules):
+            if mod_name.startswith("empower_srslte_tpu"):
+                mod = sys.modules[mod_name]
+                for attr in ("_jit_cache", "_front_cache", "_pdsch_cache",
+                             "_pdcch_llr_cache"):
+                    cache = getattr(mod, attr, None)
+                    if isinstance(cache, dict):
+                        cache.clear()
