@@ -12,9 +12,11 @@ from .scheduler import DlGrant, RrMetric, Scheduler, UeState
 from .ran import RanSlicer, Slice
 from .scheduler_ran import DuoDynamicMetric, MultiSliceMetric, RanMetric
 from .agent import EmpowerAgent
+from .procs import BsrProc, PhrProc, SrProc, TtiTimers, UlSchConfig
 
 __all__ = [
     "DlHarqEntity", "DlHarqProcess", "DlGrant", "RrMetric", "Scheduler",
     "UeState", "RanSlicer", "Slice", "DuoDynamicMetric", "MultiSliceMetric",
     "RanMetric", "EmpowerAgent",
+    "BsrProc", "PhrProc", "SrProc", "TtiTimers", "UlSchConfig",
 ]

@@ -46,6 +46,18 @@ class MacPdu:
         self.subpdus.append(MacSubPdu(
             LCID_SHORT_BSR, bytes([(lcg << 6) | (buffer_index & 0x3F)])))
 
+    def add_trunc_bsr(self, lcg: int, buffer_index: int) -> None:
+        self.subpdus.append(MacSubPdu(
+            LCID_TRUNC_BSR, bytes([(lcg << 6) | (buffer_index & 0x3F)])))
+
+    def add_long_bsr(self, buffer_indexes) -> None:
+        """Long BSR CE: four 6-bit indexes in 3 bytes (36.321 6.1.3.1)."""
+        i0, i1, i2, i3 = (v & 0x3F for v in buffer_indexes)
+        self.subpdus.append(MacSubPdu(LCID_LONG_BSR, bytes([
+            (i0 << 2) | (i1 >> 4),
+            ((i1 & 0xF) << 4) | (i2 >> 2),
+            ((i2 & 0x3) << 6) | i3])))
+
     def add_phr(self, ph: int) -> None:
         self.subpdus.append(MacSubPdu(LCID_PHR, bytes([ph & 0x3F])))
 

@@ -16,7 +16,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..mac.pdu import MacPdu, pack_rar_pdu, unpack_pdu
+from ..mac.pdu import (LCID_LONG_BSR, LCID_PHR, LCID_SHORT_BSR,
+                       LCID_TRUNC_BSR, MacPdu, pack_rar_pdu, unpack_pdu)
+from ..mac.procs import BSR_TABLE
 from ..models import dci as dci_mod
 from ..models import ra
 from ..models.enb_dl import (enb_dl_base_grid, enb_dl_gen_signal,
@@ -38,6 +40,8 @@ MSG3_PRB = (2, 4)       # (start, n_prb) of the RAR grant
 MSG3_MCS = 4
 UL_MCS = 4
 DL_MCS = 5
+SR_DETECT_THRESHOLD = 1.0   # coherent PUCCH f1 energy (|h|~1 -> ~8)
+SR_SUBFRAME = 0             # SR occasion (sched_request_cnfg subframe)
 
 
 def _dl_grant_for(nof_prb: int, payload_len: int, mcs: int = DL_MCS):
@@ -104,6 +108,25 @@ class EnbStack:
             if det.any():
                 rapid = int(np.argmax(det))
                 self._on_prach(tti, rapid)
+        # SR detection on PUCCH format 1 (eNB side of proc_sr): checked
+        # for connected UEs on subframes with no scheduled PUSCH
+        expected = {p.rnti for p in self.ul_pending.get(tti, [])}
+        sr_ues = [r for r, st in self.active_ues.items()
+                  if r in self.rrc.ues and r not in expected
+                  and not st.get("want_ul")]
+        if sr_ues and sf_idx == SR_SUBFRAME:
+            from ..models.pucch import PucchConfig, pucch_f1_decode
+
+            grid = self._ul_grid(ul_iq)
+            for rnti in sr_ues:
+                st = self.active_ues[rnti]
+                pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
+                                   n_pucch=st.get("sr_n_pucch", 0),
+                                   format="1")
+                d, energy = pucch_f1_decode(np.asarray(grid), pcfg)
+                if energy > SR_DETECT_THRESHOLD and d.real > 0.5:
+                    self.events.append(f"sr_detected_rnti{rnti:#x}")
+                    st["want_ul"] = True
         # scheduled PUSCH receptions
         for p in self.ul_pending.pop(tti, []):
             grid = self._ul_grid(ul_iq)
@@ -140,6 +163,24 @@ class EnbStack:
 
     def _on_mac_pdu(self, rnti: int, data: bytes):
         pdu = unpack_pdu(data, ul=True)
+        # MAC CEs: BSR drives the standing UL grant (scheduler_ue.cc
+        # ul_buffer_add), PHR is recorded for the scheduler
+        for sp in pdu.subpdus:
+            if sp.is_sdu:
+                continue
+            st = self.active_ues.setdefault(rnti, {})
+            if sp.lcid in (LCID_SHORT_BSR, LCID_TRUNC_BSR):
+                idx = sp.payload[0] & 0x3F
+                st["ul_buffer"] = BSR_TABLE[idx]
+                st["want_ul"] = idx > 0
+            elif sp.lcid == LCID_LONG_BSR:
+                b = sp.payload
+                idxs = [b[0] >> 2, ((b[0] & 0x3) << 4) | (b[1] >> 4),
+                        ((b[1] & 0xF) << 2) | (b[2] >> 6), b[2] & 0x3F]
+                st["ul_buffer"] = sum(BSR_TABLE[i] for i in idxs)
+                st["want_ul"] = st["ul_buffer"] > 0
+            elif sp.lcid == LCID_PHR:
+                st["phr_db"] = (sp.payload[0] & 0x3F) - 23
         for sp in pdu.subpdus:
             if not sp.is_sdu or not sp.payload:
                 continue

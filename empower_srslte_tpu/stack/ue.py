@@ -14,8 +14,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..mac.pdu import (LCID_CON_RES, MacPdu, unpack_pdu, unpack_rar_pdu)
+from ..mac.procs import (BsrProc, PhrProc, SrProc, TtiTimers, UlSchConfig,
+                         bsr_index)
 from ..models import ra
 from ..models.prach import prach_gen
+from ..models.pucch import PucchConfig
 from ..models.pusch import PuschConfig
 from ..models.ue_dl import ue_dl_decode
 from ..models.ue_ul import ue_ul_generate
@@ -30,7 +33,8 @@ PREAMBLE = 7
 
 
 class UeStack:
-    def __init__(self, cell: Cell, nas, rsi: int = 128):
+    def __init__(self, cell: Cell, nas, rsi: int = 128,
+                 mac_cfg: UlSchConfig | None = None):
         self.cell = cell
         self.rsi = rsi
         self.rrc = UeRrc(nas=nas)
@@ -47,6 +51,26 @@ class UeStack:
         self.drb_rlc_tx = RlcUm()
         self.drb_rlc_rx = RlcUm()
         self.rx_ip: list = []         # delivered downlink IP packets
+        # MAC procedures (proc_bsr/proc_phr/proc_sr) on the TTI timers
+        self.timers = TtiTimers()
+        self.mac_cfg = mac_cfg or UlSchConfig()
+        self.bsr = BsrProc(self._lcid_buffer_state, self.timers,
+                           self.mac_cfg)
+        self.bsr.setup_lcid(1, lcg=0, priority=10)   # SRB1
+        self.bsr.setup_lcid(3, lcg=2, priority=5)    # DRB1
+        self.sr = SrProc(self.mac_cfg)
+        self.phr = PhrProc(lambda: self.pathloss_db, lambda: self.phr_db,
+                           self.timers, self.mac_cfg)
+        self.pathloss_db = 90.0
+        self.phr_db = 20.0
+        self.sr_n_pucch = 0           # sr-PUCCH-ResourceIndex
+
+    def _lcid_buffer_state(self, lcid: int) -> int:
+        if lcid == 1:
+            return sum(len(p) for _s, p in self.ul_queue)
+        if lcid == 3:
+            return self.drb_rlc_tx.buffer_state()
+        return 0
 
     def send_ip(self, packet: bytes) -> None:
         """Queue an uplink IP packet on DRB1 (srsue gw.cc write)."""
@@ -64,8 +88,29 @@ class UeStack:
             n = min(len(pre), len(out))
             out[-n:] = pre[:n]        # sequence aligned to subframe end
             return out
+        # MAC procedure step (mac.cc run_tti: timers, then bsr/phr/sr)
+        self.timers.step_all()
+        if self.state == "connected":
+            self.bsr.step(tti)
+            self.phr.step(tti)
+            if self.bsr.need_to_reset_sr():
+                self.sr.reset()
+            if self.bsr.need_to_send_sr():
+                self.sr.start()
+            self.sr.step(tti)
+            if self.sr.need_random_access():
+                # dsr-TransMax exhausted: PUCCH released, redo RA
+                self.events.append("sr_failed_ra")
+                self.state = "idle"
         fn = self.tx_plan.pop(tti, None)
-        return fn() if fn is not None else None
+        if fn is not None:
+            return fn()
+        if self.sr.sr_signal and self.state == "connected":
+            self.events.append(f"sr_tx_tti{tti}")
+            pcfg = PucchConfig(cell=self.cell, sf_idx=tti % 10,
+                               n_pucch=self.sr_n_pucch, format="1")
+            return np.asarray(ue_ul_generate(self.cell, pucch=(pcfg, (1,))))
+        return None
 
     # --- DL processing ----------------------------------------------------------
 
@@ -140,11 +185,17 @@ class UeStack:
                 self.ul_queue.append((u_srb, u_pdu))
 
     def _on_ul_grant(self, tti: int, grant):
-        if not self.ul_queue and not self.drb_rlc_tx._tx_q:
-            return
         mod, tbs = ra.mcs_to_tbs(grant.mcs, grant.riv_len, dl=False)
         mac = MacPdu()
         room = tbs // 8 - 4
+        # MAC CEs first (mux.cc assemble_pdu ordering: BSR/PHR before SDUs)
+        bsr = self.bsr.need_to_send_bsr_on_ul_grant(tbs // 8)
+        if bsr is not None:
+            room -= self._add_bsr_ce(mac, bsr)
+        ph = self.phr.generate_phr_on_ul_grant()
+        if ph is not None:
+            mac.add_phr(ph)
+            room -= 2
         while self.ul_queue:
             srb, pdu = self.ul_queue[0]
             if len(pdu) + 3 > room:
@@ -159,12 +210,31 @@ class UeStack:
                 break
             mac.add_sdu(3, rlc_pdu)
             room -= len(rlc_pdu) + 3
+        # padding BSR when spare room remains (5.4.5 padding trigger)
+        if room >= 2:
+            pad_bsr = self.bsr.generate_padding_bsr(room)
+            if pad_bsr is not None:
+                self._add_bsr_ce(mac, pad_bsr)
         if not mac.subpdus:
             return
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                           rnti=self.c_rnti, mod=mod,
                           prb_start=grant.riv_start, n_prb=grant.riv_len)
         self.tx_plan[tti + 4] = lambda: self._pusch(mac, cfg, tbs)
+
+    def _add_bsr_ce(self, mac: MacPdu, bsr) -> int:
+        """Append the BSR CE for a procs.Bsr; returns bytes consumed."""
+        from ..mac.procs import LONG_BSR, TRUNC_BSR
+        idx = [bsr_index(n) for n in bsr.buff_size]
+        if bsr.fmt == LONG_BSR:
+            mac.add_long_bsr(idx)
+            return 4
+        lcg = max(range(4), key=lambda g: bsr.buff_size[g])
+        if bsr.fmt == TRUNC_BSR:
+            mac.add_trunc_bsr(lcg, idx[lcg])
+        else:
+            mac.add_short_bsr(lcg, idx[lcg])
+        return 2
 
     def _pusch(self, mac: MacPdu, cfg: PuschConfig, tbs: int):
         data = mac.pack(tbs // 8)

@@ -57,6 +57,11 @@ class RlcTm:
     def write_sdu(self, sdu: bytes) -> None:
         self._q.append(sdu)
 
+    def buffer_state(self) -> int:
+        """Queued bytes awaiting transmission (rlc::get_buffer_state,
+        feeds the MAC BSR procedure)."""
+        return sum(map(len, self._q))
+
     def read_pdu(self, nof_bytes: int) -> bytes | None:
         if not self._q or len(self._q[0]) > nof_bytes:
             return None
@@ -84,6 +89,9 @@ class RlcUm:
     # TX side
     def write_sdu(self, sdu: bytes) -> None:
         self._tx_q.append(sdu)
+
+    def buffer_state(self) -> int:
+        return sum(map(len, self._tx_q))
 
     def read_pdu(self, nof_bytes: int) -> bytes | None:
         if not self._tx_q or nof_bytes < 3:
@@ -163,6 +171,9 @@ class RlcAm:
 
     def write_sdu(self, sdu: bytes) -> None:
         self._tx_q.append(sdu)
+
+    def buffer_state(self) -> int:
+        return sum(map(len, self._tx_q))
 
     def read_pdu(self, nof_bytes: int) -> bytes | None:
         """Highest priority: retransmissions, then new data (rlc_am.cc
