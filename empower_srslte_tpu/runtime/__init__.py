@@ -10,6 +10,8 @@ A native C++ streaming ring buffer lives in native/ (ctypes-bound).
 from .io import FileSink, FileSource, NetSink, NetSource
 from .logging import LogFilter, get_logger
 from .metrics import MetricsHub
+from .rf import Radio, RfDevice, register_device, rf_open
 
 __all__ = ["FileSink", "FileSource", "NetSink", "NetSource",
-           "LogFilter", "get_logger", "MetricsHub"]
+           "LogFilter", "get_logger", "MetricsHub",
+           "Radio", "RfDevice", "register_device", "rf_open"]

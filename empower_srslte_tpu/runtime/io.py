@@ -39,6 +39,9 @@ class FileSource:
     def read_all(self) -> np.ndarray:
         return self._data
 
+    def remaining(self) -> int:
+        return max(0, len(self._data) - self._pos)
+
     def seek(self, pos: int) -> None:
         self._pos = pos
 
