@@ -135,6 +135,49 @@ def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
     )
 
 
+def sfo_estimate(samples, n_id_2: int, cell_prb: int,
+                 max_windows: int = 16) -> dict:
+    """Sample-frequency-offset estimate from PSS peak drift.
+
+    Parity with sfo.c (srslte_sfo_estimate: least-squares slope of the
+    PSS timing offsets t0 over successive half-frames) and the SFO
+    feedback in ue_sync.c's TRACK loop. TPU-native: the capture is cut
+    into 5 ms windows, one batched PSS correlation finds every peak at
+    once, and the slope comes from a closed-form least-squares fit.
+
+    Returns dict(sfo_hz, drift_samples_per_frame, positions).
+    sfo_hz is the sampling-clock offset: +1 Hz means the transmitter
+    clock runs 1 sample/second faster than the receiver's.
+    """
+    from ..ops.sync import pss_find
+    from ..utils import device_complex
+
+    cell = Cell(nof_prb=cell_prb, id=0)
+    half_frame = 5 * cell.sf_sample_len
+    n_win = min(max_windows, samples.shape[-1] // half_frame)
+    assert n_win >= 2, "need >= 2 half-frames for a drift estimate"
+    wins = np.stack([np.asarray(samples[i * half_frame:(i + 1) * half_frame])
+                     for i in range(n_win)])
+    find = _jit(("sfo_pss", cell.fft_size, n_win, half_frame),
+                lambda: lambda w: pss_find(w, cell.fft_size))
+    _mag, peaks, _psr = find(device_complex(wins))
+    pos = np.asarray(peaks)[:, n_id_2].astype(np.float64)
+    # unwrap window-relative positions: a peak drifting past the window
+    # edge wraps by half_frame
+    pos = np.unwrap(pos * 2 * np.pi / half_frame) * half_frame / (2 * np.pi)
+    # least squares slope: samples of drift per half-frame (sfo.c:34-55)
+    x = np.arange(n_win)
+    slope = (np.mean(x * pos) - np.mean(x) * np.mean(pos)) / \
+        (np.mean(x * x) - np.mean(x) ** 2)
+    srate = cell.srate_hz if hasattr(cell, "srate_hz") else \
+        cell.sf_sample_len * 1000.0
+    sfo_hz = slope / 5e-3          # samples per second of clock drift
+    return dict(sfo_hz=sfo_hz,
+                drift_samples_per_frame=2 * slope,
+                positions=pos,
+                srate_hz=srate)
+
+
 def cell_search_vote(samples, cell_prb: int = 6, max_frames: int = 3):
     """Scan all 3 N_id_2 over several frames and vote for the strongest
     cell (srslte_ue_cellsearch_scan, ue_cell_search.c:249).

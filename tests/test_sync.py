@@ -144,3 +144,39 @@ class TestCaptureAlignment:
         bits, ok, _ = pdsch_decode(grid[:, None], h, cfg, plan, noise_est=3e-3)
         assert bool(np.asarray(ok)[0])
         assert np.array_equal(np.asarray(bits)[0], tb[0])
+
+
+class TestSfoEstimate:
+    def test_known_drift_recovered(self):
+        """PSS peaks drifting k samples per half-frame -> sfo_estimate
+        returns the injected slope (sfo.c least-squares parity)."""
+        from empower_srslte_tpu.models.ue_sync import sfo_estimate
+        from empower_srslte_tpu.ops.sync import pss_time
+
+        cell = Cell(nof_prb=6, id=1)
+        half = 5 * cell.sf_sample_len
+        n_win = 8
+        drift = 3.0                      # samples per half-frame
+        sig = np.zeros(n_win * half, np.complex64)
+        t = np.asarray(pss_time(cell.n_id_2, cell.fft_size))
+        base = 1000
+        for i in range(n_win):
+            p = base + i * half + int(round(i * drift))
+            sig[p : p + len(t)] += t.astype(np.complex64)
+        est = sfo_estimate(sig, cell.n_id_2, 6, max_windows=n_win)
+        assert abs(est["drift_samples_per_frame"] - 2 * drift) < 0.6
+        assert abs(est["sfo_hz"] - drift / 5e-3) < 120.0
+
+    def test_zero_drift(self):
+        from empower_srslte_tpu.models.ue_sync import sfo_estimate
+        from empower_srslte_tpu.ops.sync import pss_time
+
+        cell = Cell(nof_prb=6, id=1)
+        half = 5 * cell.sf_sample_len
+        sig = np.zeros(4 * half, np.complex64)
+        t = np.asarray(pss_time(cell.n_id_2, cell.fft_size))
+        for i in range(4):
+            p = 500 + i * half
+            sig[p : p + len(t)] += t.astype(np.complex64)
+        est = sfo_estimate(sig, cell.n_id_2, 6, max_windows=4)
+        assert abs(est["sfo_hz"]) < 40.0
