@@ -935,3 +935,321 @@ def unpack_status_transfer(ies: dict[int, bytes]) -> list[dict]:
         out.append({"erab_id": erab_id, "ul_count": counts[0],
                     "dl_count": counts[1]})
     return out
+
+
+# --- interface management + bearer management completion ---------------------
+# (liblte_s1ap.h procedure codes 14/15 and 6/7; these round out the
+# 36.413 elementary-procedure families the reference's codec library
+# generates — srsenb/srsepc themselves only originate the subset above,
+# but liblte_s1ap.cc carries the full codec surface.)
+
+PROC_ERAB_MODIFY = 6
+PROC_ERAB_RELEASE = 7
+PROC_RESET = 14
+PROC_ERROR_INDICATION = 15
+
+IE_ERAB_RELEASE_ITEM_BEARER_REL_COMP = 15
+IE_ERAB_TO_BE_MODIFIED_LIST = 30
+IE_ERAB_MODIFY_LIST = 31
+IE_ERAB_TO_BE_RELEASED_LIST = 33
+IE_ERAB_TO_BE_MODIFIED_ITEM = 36
+IE_ERAB_MODIFY_ITEM = 37
+IE_CRITICALITY_DIAGNOSTICS = 58
+IE_ERAB_RELEASE_LIST_BEARER_REL_COMP = 69
+IE_UE_ASSOCIATED_LOGICAL_S1_CONNECTION_ITEM = 91
+IE_RESET_TYPE = 92
+IE_UE_ASSOCIATED_LOGICAL_S1_CONNECTION_LIST_RES_ACK = 93
+
+RESET_ALL, RESET_PARTIAL = 0, 1
+
+
+def _enc_s1_conn_item(mme_ue_id: int | None,
+                      enb_ue_id: int | None) -> bytes:
+    """UE-associatedLogicalS1-ConnectionItem: both ids OPTIONAL."""
+    w = AWriter()
+    w.put(0, 1)                            # ext
+    w.put(1 if mme_ue_id is not None else 0, 1)
+    w.put(1 if enb_ue_id is not None else 0, 1)
+    w.put(0, 1)                            # iE-Extensions absent
+    w.align()
+    if mme_ue_id is not None:
+        w.put_bytes(_enc_big(mme_ue_id))
+    if enb_ue_id is not None:
+        w.put_bytes(_enc_big(enb_ue_id))
+    return w.to_bytes()
+
+
+def _dec_s1_conn_item(b: bytes) -> tuple[int | None, int | None]:
+    r = AReader(b)
+    r.get(1)
+    has_mme = r.get(1)
+    has_enb = r.get(1)
+    r.get(1)
+    r.align()
+    mme_ue = r.get_big_int() if has_mme else None
+    enb_ue = r.get_big_int() if has_enb else None
+    return mme_ue, enb_ue
+
+
+def _enc_conn_list(pairs) -> bytes:
+    """SEQUENCE OF ProtocolIE-SingleContainer of connection items."""
+    w = AWriter()
+    w.put(len(pairs) - 1, 8)               # SIZE(1..256)
+    for mme_ue, enb_ue in pairs:
+        w.put(IE_UE_ASSOCIATED_LOGICAL_S1_CONNECTION_ITEM, 16)
+        w.put(CRIT_REJECT, 2)
+        w.align()
+        w.put_open(_enc_s1_conn_item(mme_ue, enb_ue))
+    return w.to_bytes()
+
+
+def _dec_conn_list(b: bytes) -> list:
+    r = AReader(b)
+    n = r.get(8) + 1
+    out = []
+    for _ in range(n):
+        r.get(16)
+        r.get(2)
+        r.align()
+        out.append(_dec_s1_conn_item(r.get_open()))
+    return out
+
+
+def pack_reset(cause: tuple[int, int] = (4, 1),
+               partial: list | None = None) -> bytes:
+    """RESET (36.413 8.7.1). partial = list of (mme_ue_id, enb_ue_id)
+    pairs for partOfS1-Interface; None = s1-Interface reset-all."""
+    wt = AWriter()
+    if partial is None:
+        wt.put(0, 1)                       # choice ext
+        wt.put(RESET_ALL, 1)
+        wt.put(0, 1)                       # ENUM reset-all ext bit
+        # ENUMERATED{reset-all} has one value: zero more bits
+    else:
+        wt.put(0, 1)
+        wt.put(RESET_PARTIAL, 1)
+        wt.put_bytes(_enc_conn_list(partial))
+    ies = [(IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause)),
+           (IE_RESET_TYPE, CRIT_REJECT, wt.to_bytes())]
+    return _pdu(INITIATING, PROC_RESET, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_reset(ies: dict[int, bytes]) -> dict:
+    cause = _dec_cause(ies[IE_CAUSE])
+    r = AReader(ies[IE_RESET_TYPE])
+    r.get(1)
+    kind = r.get(1)
+    if kind == RESET_ALL:
+        return dict(cause=cause, reset_all=True, partial=None)
+    r.align()
+    n = r.get(8) + 1
+    partial = []
+    for _ in range(n):
+        r.get(16)
+        r.get(2)
+        r.align()
+        partial.append(_dec_s1_conn_item(r.get_open()))
+    return dict(cause=cause, reset_all=False, partial=partial)
+
+
+def pack_reset_ack(partial: list | None = None) -> bytes:
+    """RESET ACKNOWLEDGE."""
+    ies = []
+    if partial is not None:
+        ies.append((IE_UE_ASSOCIATED_LOGICAL_S1_CONNECTION_LIST_RES_ACK,
+                    CRIT_IGNORE, _enc_conn_list(partial)))
+    return _pdu(SUCCESSFUL, PROC_RESET, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_reset_ack(ies: dict[int, bytes]) -> dict:
+    part = ies.get(IE_UE_ASSOCIATED_LOGICAL_S1_CONNECTION_LIST_RES_ACK)
+    return dict(partial=_dec_conn_list(part) if part is not None else None)
+
+
+def pack_error_indication(mme_ue_id: int | None = None,
+                          enb_ue_id: int | None = None,
+                          cause: tuple[int, int] | None = (3, 2)) -> bytes:
+    """ERROR INDICATION (36.413 8.7.3) — every IE optional."""
+    ies = []
+    if mme_ue_id is not None:
+        ies.append((IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)))
+    if enb_ue_id is not None:
+        ies.append((IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)))
+    if cause is not None:
+        ies.append((IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause)))
+    return _pdu(INITIATING, PROC_ERROR_INDICATION, CRIT_IGNORE,
+                _enc_ies(ies))
+
+
+def unpack_error_indication(ies: dict[int, bytes]) -> dict:
+    mme_ue, enb_ue = get_ue_ids(ies)
+    c = ies.get(IE_CAUSE)
+    return dict(mme_ue_id=mme_ue, enb_ue_id=enb_ue,
+                cause=_dec_cause(c) if c is not None else None)
+
+
+def _enc_erab_list(items: list, item_ie: int, body_fn) -> bytes:
+    """E-RABList-style SEQUENCE OF ProtocolIE-SingleContainer."""
+    w = AWriter()
+    w.put(len(items) - 1, 8)
+    for it in items:
+        w.put(item_ie, 16)
+        w.put(CRIT_REJECT if item_ie != IE_ERAB_ITEM else CRIT_IGNORE, 2)
+        w.align()
+        w.put_open(body_fn(it))
+    return w.to_bytes()
+
+
+def _dec_erab_list(b: bytes, body_fn) -> list:
+    r = AReader(b)
+    n = r.get(8) + 1
+    out = []
+    for _ in range(n):
+        r.get(16)
+        r.get(2)
+        r.align()
+        out.append(body_fn(AReader(r.get_open())))
+    return out
+
+
+def pack_erab_release_command(mme_ue_id: int, enb_ue_id: int,
+                              erabs: list, nas_pdu: bytes | None = None
+                              ) -> bytes:
+    """E-RAB RELEASE COMMAND. erabs = [(erab_id, (cause_group, cause))]."""
+    def body(it):
+        erab_id, cause = it
+        w = AWriter()
+        w.put(0, 1)                        # item ext
+        w.put(0, 1)                        # iE-Extensions absent
+        w.put(erab_id, 4)
+        w.put_bytes(_enc_cause(*cause))
+        return w.to_bytes()
+
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_ERAB_TO_BE_RELEASED_LIST, CRIT_REJECT,
+            _enc_erab_list(erabs, IE_ERAB_ITEM, body))]
+    if nas_pdu is not None:
+        ies.append((IE_NAS_PDU, CRIT_IGNORE, _enc_nas(nas_pdu)))
+    return _pdu(INITIATING, PROC_ERAB_RELEASE, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_erab_release_command(ies: dict[int, bytes]) -> dict:
+    def body(r: AReader):
+        r.get(1)
+        r.get(1)
+        erab_id = r.get(4)
+        r.align()                          # cause written via put_bytes
+        r.get(1)
+        group = r.get(3)
+        r.get(1)
+        width = {0: 5, 1: 1, 2: 2, 3: 3, 4: 3}[group]
+        return erab_id, (group, r.get(width))
+
+    mme_ue, enb_ue = get_ue_ids(ies)
+    nas = ies.get(IE_NAS_PDU)
+    return dict(
+        mme_ue_id=mme_ue, enb_ue_id=enb_ue,
+        erabs=_dec_erab_list(ies[IE_ERAB_TO_BE_RELEASED_LIST], body),
+        nas_pdu=_dec_nas(nas) if nas is not None else None)
+
+
+def pack_erab_release_response(mme_ue_id: int, enb_ue_id: int,
+                               released: list[int]) -> bytes:
+    """E-RAB RELEASE RESPONSE with E-RABReleaseListBearerRelComp."""
+    def body(erab_id):
+        w = AWriter()
+        w.put(0, 1)
+        w.put(0, 1)
+        w.put(erab_id, 4)
+        return w.to_bytes()
+
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)),
+           (IE_ERAB_RELEASE_LIST_BEARER_REL_COMP, CRIT_IGNORE,
+            _enc_erab_list(released,
+                           IE_ERAB_RELEASE_ITEM_BEARER_REL_COMP, body))]
+    return _pdu(SUCCESSFUL, PROC_ERAB_RELEASE, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_erab_release_response(ies: dict[int, bytes]) -> dict:
+    def body(r: AReader):
+        r.get(1)
+        r.get(1)
+        return r.get(4)
+
+    mme_ue, enb_ue = get_ue_ids(ies)
+    return dict(mme_ue_id=mme_ue, enb_ue_id=enb_ue,
+                released=_dec_erab_list(
+                    ies[IE_ERAB_RELEASE_LIST_BEARER_REL_COMP], body))
+
+
+def pack_erab_modify_request(mme_ue_id: int, enb_ue_id: int,
+                             erabs: list) -> bytes:
+    """E-RAB MODIFY REQUEST. erabs = [(erab_id, qci, nas_pdu)]."""
+    def body(it):
+        erab_id, qci, nas = it
+        w = AWriter()
+        w.put(0, 1)
+        w.put(0, 1)                        # iE-Extensions absent
+        w.put(erab_id, 4)
+        w.put(0, 1)                        # qos seq ext
+        w.align()
+        w.put(qci, 8)
+        w.put(15, 4)                       # allocation/retention priority
+        w.put(0, 2)
+        w.put_length(len(nas))
+        w.put_bytes(nas)
+        return w.to_bytes()
+
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_ERAB_TO_BE_MODIFIED_LIST, CRIT_REJECT,
+            _enc_erab_list(erabs, IE_ERAB_TO_BE_MODIFIED_ITEM, body))]
+    return _pdu(INITIATING, PROC_ERAB_MODIFY, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_erab_modify_request(ies: dict[int, bytes]) -> dict:
+    def body(r: AReader):
+        r.get(1)
+        r.get(1)
+        erab_id = r.get(4)
+        r.get(1)
+        r.align()
+        qci = r.get(8)
+        r.get(4)
+        r.get(2)
+        ln = r.get_length()
+        return erab_id, qci, r.get_bytes(ln)
+
+    mme_ue, enb_ue = get_ue_ids(ies)
+    return dict(mme_ue_id=mme_ue, enb_ue_id=enb_ue,
+                erabs=_dec_erab_list(ies[IE_ERAB_TO_BE_MODIFIED_LIST],
+                                     body))
+
+
+def pack_erab_modify_response(mme_ue_id: int, enb_ue_id: int,
+                              modified: list[int]) -> bytes:
+    def body(erab_id):
+        w = AWriter()
+        w.put(0, 1)
+        w.put(0, 1)
+        w.put(erab_id, 4)
+        return w.to_bytes()
+
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_IGNORE, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_IGNORE, _enc_big(enb_ue_id)),
+           (IE_ERAB_MODIFY_LIST, CRIT_IGNORE,
+            _enc_erab_list(modified, IE_ERAB_MODIFY_ITEM, body))]
+    return _pdu(SUCCESSFUL, PROC_ERAB_MODIFY, CRIT_REJECT, _enc_ies(ies))
+
+
+def unpack_erab_modify_response(ies: dict[int, bytes]) -> dict:
+    def body(r: AReader):
+        r.get(1)
+        r.get(1)
+        return r.get(4)
+
+    mme_ue, enb_ue = get_ue_ids(ies)
+    return dict(mme_ue_id=mme_ue, enb_ue_id=enb_ue,
+                modified=_dec_erab_list(ies[IE_ERAB_MODIFY_LIST], body))

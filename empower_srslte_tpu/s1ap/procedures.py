@@ -108,7 +108,44 @@ class MmeS1ap:
         if proc in (S.PROC_HANDOVER_PREPARATION, S.PROC_ENB_STATUS_TRANSFER,
                     S.PROC_HANDOVER_NOTIFICATION):
             return self._handle_handover(kind, proc, ies)
-        return []
+        if proc == S.PROC_RESET and kind == S.INITIATING:
+            # eNB-initiated RESET (36.413 8.7.1.2.1): drop the named
+            # contexts (or all) and acknowledge
+            req = S.unpack_reset(ies)
+            if req["reset_all"]:
+                dropped = list(self.ue_ids)
+                self.ue_ids.clear()
+                self.events.append("reset_all")
+                return [S.pack_reset_ack()]
+            part = []
+            for mme_ue, enb_ue in req["partial"]:
+                match = [e for e, m in self.ue_ids.items()
+                         if m == mme_ue or e == enb_ue]
+                for e in match:
+                    del self.ue_ids[e]
+                part.append((mme_ue, enb_ue))
+            self.events.append(f"reset_partial_{len(part)}")
+            return [S.pack_reset_ack(partial=part)]
+        if proc == S.PROC_RESET and kind == S.SUCCESSFUL:
+            self.events.append("reset_acked")
+            return []
+        if proc == S.PROC_ERROR_INDICATION:
+            err = S.unpack_error_indication(ies)
+            self.events.append(f"error_indication_{err['cause']}")
+            return []
+        if proc == S.PROC_ERAB_RELEASE and kind == S.SUCCESSFUL:
+            res = S.unpack_erab_release_response(ies)
+            self.events.append(f"erab_released_{res['released']}")
+            return []
+        if proc == S.PROC_ERAB_MODIFY and kind == S.SUCCESSFUL:
+            res = S.unpack_erab_modify_response(ies)
+            self.events.append(f"erab_modified_{res['modified']}")
+            return []
+        # unknown/unsupported PDU -> ERROR INDICATION
+        # (36.413 8.7.3: unknown procedure, cause protocol/
+        # message-not-compatible)
+        self.events.append(f"unknown_pdu_proc{proc}")
+        return [S.pack_error_indication(cause=(3, 1))]
 
     def attach_enb_link(self, enb_id: int, link) -> None:
         """Register a delivery channel to an eNB (callable pdu ->
@@ -215,6 +252,29 @@ class MmeS1ap:
     def page(self, m_tmsi: int, mmec: int, tac: int) -> bytes:
         return S.pack_paging(m_tmsi, mmec, self.mcc, self.mnc, tac)
 
+    def reset(self, partial: list | None = None,
+              cause=(4, 1)) -> bytes:
+        """Build an MME-initiated RESET (O&M intervention by default)."""
+        self.events.append("reset_sent")
+        if partial is None:
+            self.ue_ids.clear()
+        return S.pack_reset(cause=cause, partial=partial)
+
+    def release_bearers(self, enb_ue_id: int, erabs: list,
+                        nas_pdu: bytes | None = None) -> bytes:
+        """Build an E-RAB RELEASE COMMAND (36.413 8.2.3)."""
+        mme_ue = self.ue_ids.get(enb_ue_id, 0)
+        self.events.append("erab_release_command")
+        return S.pack_erab_release_command(mme_ue, enb_ue_id, erabs,
+                                           nas_pdu)
+
+    def modify_bearers(self, enb_ue_id: int, erabs: list) -> bytes:
+        """Build an E-RAB MODIFY REQUEST (36.413 8.2.2).
+        erabs = [(erab_id, new_qci, nas_pdu)]."""
+        mme_ue = self.ue_ids.get(enb_ue_id, 0)
+        self.events.append("erab_modify_request")
+        return S.pack_erab_modify_request(mme_ue, enb_ue_id, erabs)
+
 
 @dataclass
 class EnbS1ap:
@@ -299,6 +359,28 @@ class EnbS1ap:
                     gtp_addr=bytes([172, 16, 255, 2])))
                 out.append(("erab_setup", item["erab_id"], item["qci"],
                             item["teid"], item["addr"], item["nas_pdu"]))
+            elif proc == S.PROC_ERAB_RELEASE and kind == S.INITIATING:
+                cmd = S.unpack_erab_release_command(ies)
+                ids = [e for e, _c in cmd["erabs"]]
+                self.events.append(f"erab_release_{ids}")
+                self.send(S.pack_erab_release_response(
+                    cmd["mme_ue_id"] or 0, cmd["enb_ue_id"] or 0, ids))
+                out.append(("erab_release", ids, cmd["nas_pdu"]))
+            elif proc == S.PROC_ERAB_MODIFY and kind == S.INITIATING:
+                req = S.unpack_erab_modify_request(ies)
+                ids = [e for e, _q, _n in req["erabs"]]
+                self.events.append(f"erab_modify_{ids}")
+                self.send(S.pack_erab_modify_response(
+                    req["mme_ue_id"] or 0, req["enb_ue_id"] or 0, ids))
+                out.append(("erab_modify", req["erabs"]))
+            elif proc == S.PROC_RESET and kind == S.INITIATING:
+                req = S.unpack_reset(ies)
+                self.events.append("reset")
+                self.send(S.pack_reset_ack(partial=req["partial"]))
+                out.append(("reset", req["reset_all"], req["partial"]))
+            elif proc == S.PROC_ERROR_INDICATION:
+                err = S.unpack_error_indication(ies)
+                self.events.append(f"error_indication_{err['cause']}")
         return out
 
     @staticmethod

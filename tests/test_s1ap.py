@@ -337,3 +337,116 @@ class TestInterEnbHandover:
         tgt_s1.notify_arrival(mme_s1)
         assert "source_released" in mme_s1.events
         assert "released" in src_s1.events
+
+
+class TestManagementProcedures:
+    """Reset / Error Indication / E-RAB Release / E-RAB Modify —
+    completing the 36.413 elementary-procedure families (codec surface
+    of liblte_s1ap.cc beyond what srsenb/srsepc originate)."""
+
+    def test_reset_codec_roundtrips(self):
+        pdu = S.pack_reset(cause=(4, 1))
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING, S.PROC_RESET)
+        r = S.unpack_reset(ies)
+        assert r["reset_all"] and r["cause"] == (4, 1)
+
+        pdu = S.pack_reset(partial=[(7, 3), (None, 9)])
+        _, _, ies = S.unpack_pdu(pdu)
+        r = S.unpack_reset(ies)
+        assert not r["reset_all"]
+        assert r["partial"] == [(7, 3), (None, 9)]
+
+        pdu = S.pack_reset_ack(partial=[(7, 3)])
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert kind == S.SUCCESSFUL
+        assert S.unpack_reset_ack(ies)["partial"] == [(7, 3)]
+
+    def test_error_indication_codec(self):
+        pdu = S.pack_error_indication(mme_ue_id=5, enb_ue_id=2,
+                                      cause=(3, 1))
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert proc == S.PROC_ERROR_INDICATION
+        e = S.unpack_error_indication(ies)
+        assert e == dict(mme_ue_id=5, enb_ue_id=2, cause=(3, 1))
+        # all-optional: empty is legal
+        pdu = S.pack_error_indication(cause=None)
+        _, _, ies = S.unpack_pdu(pdu)
+        e = S.unpack_error_indication(ies)
+        assert e["cause"] is None and e["mme_ue_id"] is None
+
+    def test_erab_release_codec(self):
+        pdu = S.pack_erab_release_command(
+            10, 20, [(5, (0, 21)), (6, (2, 0))], nas_pdu=b"\x27NAS")
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING, S.PROC_ERAB_RELEASE)
+        c = S.unpack_erab_release_command(ies)
+        assert c["erabs"] == [(5, (0, 21)), (6, (2, 0))]
+        assert c["nas_pdu"] == b"\x27NAS"
+        pdu = S.pack_erab_release_response(10, 20, [5, 6])
+        _, _, ies = S.unpack_pdu(pdu)
+        assert S.unpack_erab_release_response(ies)["released"] == [5, 6]
+
+    def test_erab_modify_codec(self):
+        pdu = S.pack_erab_modify_request(10, 20, [(5, 7, b"\x27MOD")])
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING, S.PROC_ERAB_MODIFY)
+        m = S.unpack_erab_modify_request(ies)
+        assert m["erabs"] == [(5, 7, b"\x27MOD")]
+        pdu = S.pack_erab_modify_response(10, 20, [5])
+        _, _, ies = S.unpack_pdu(pdu)
+        assert S.unpack_erab_modify_response(ies)["modified"] == [5]
+
+    def test_reset_flow_enb_to_mme(self):
+        from empower_srslte_tpu.s1ap.procedures import MmeS1ap
+
+        mme, _nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        mme_s1.ue_ids = {1: 100, 2: 101, 3: 102}
+        # partial reset drops only the named connections
+        resp = mme_s1.handle(S.pack_reset(partial=[(101, 2)]))
+        assert mme_s1.ue_ids == {1: 100, 3: 102}
+        kind, proc, ies = S.unpack_pdu(resp[0])
+        assert (kind, proc) == (S.SUCCESSFUL, S.PROC_RESET)
+        # full reset drops everything
+        resp = mme_s1.handle(S.pack_reset())
+        assert mme_s1.ue_ids == {}
+        assert "reset_all" in mme_s1.events
+
+    def test_reset_flow_mme_to_enb(self):
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+
+        mme, _nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        enb_s1 = EnbS1ap(send=mme_s1.handle)
+        out = enb_s1.deliver(mme_s1.reset())
+        assert out == [("reset", True, None)]
+        assert "reset_acked" in mme_s1.events
+
+    def test_erab_release_and_modify_flow(self):
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+
+        mme, _nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        enb_s1 = EnbS1ap(send=mme_s1.handle)
+        mme_s1.ue_ids[1] = 7
+        out = enb_s1.deliver(mme_s1.release_bearers(
+            1, [(6, (0, 21))], nas_pdu=b"\x27D"))
+        assert out == [("erab_release", [6], b"\x27D")]
+        assert any(e.startswith("erab_released_") for e in mme_s1.events)
+        out = enb_s1.deliver(mme_s1.modify_bearers(1, [(5, 7, b"\x27M")]))
+        assert out == [("erab_modify", [(5, 7, b"\x27M")])]
+        assert any(e.startswith("erab_modified_") for e in mme_s1.events)
+
+    def test_unknown_pdu_triggers_error_indication(self):
+        from empower_srslte_tpu.s1ap.procedures import MmeS1ap
+
+        mme, _nas = _epc()
+        mme_s1 = MmeS1ap(mme=mme)
+        # a procedure the MME does not serve (handover notify kind
+        # mismatch): craft an initiating PDU with an unused proc code
+        bogus = S._pdu(S.INITIATING, 40, S.CRIT_IGNORE, S._enc_ies([]))
+        resp = mme_s1.handle(bogus)
+        kind, proc, ies = S.unpack_pdu(resp[0])
+        assert proc == S.PROC_ERROR_INDICATION
+        assert S.unpack_error_indication(ies)["cause"] == (3, 1)
