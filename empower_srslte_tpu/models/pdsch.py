@@ -333,16 +333,29 @@ def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
     else:
         raise NotImplementedError(cfg.mimo)
 
-    outs = []
     all_soft = [softbuffers, softbuffers2]
     plans = [plan] + ([plan2] if plan2 is not None else [])
-    for cw, (syms, csi, pl) in enumerate(zip(cw_syms, csis, plans)):
+    cw_llrs = []
+    for cw, (syms, csi) in enumerate(zip(cw_syms, csis)):
         # CSI-weighted max-log LLRs (csi_correction, pdsch.c:676-776)
         llr = demod_soft(syms, cfg.mod)
         w = jnp.repeat(csi, cfg.mod.bits_per_symbol, axis=-1)
         llr = llr * w
-        llr = descramble_llrs(llr, cfg.cinit(cw))
-        outs.append(dlsch_decode(llr, pl, softbuffers=all_soft[cw]))
+        cw_llrs.append(descramble_llrs(llr, cfg.cinit(cw)))
+
+    # Two codewords with the same plan and no HARQ state decode as ONE
+    # dlsch call with a leading codeword axis — doubling the turbo-kernel
+    # batch instead of dispatching two half-full (lane-padded) decodes
+    # (the TPU analog of the reference's TB0-coworker-thread split,
+    # pdsch.c:837-1007).
+    if (len(plans) == 2 and plans[0] == plans[1]
+            and softbuffers is None and softbuffers2 is None):
+        bits, ok, soft = dlsch_decode(jnp.stack(cw_llrs, axis=0), plan)
+        outs = [(bits[0], ok[0], [s[0] for s in soft]),
+                (bits[1], ok[1], [s[1] for s in soft])]
+    else:
+        outs = [dlsch_decode(llr, pl, softbuffers=all_soft[cw])
+                for cw, (llr, pl) in enumerate(zip(cw_llrs, plans))]
     if plan2 is None:
         return outs[0]
     return tuple(zip(*outs))

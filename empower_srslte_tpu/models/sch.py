@@ -37,12 +37,17 @@ def _cb_e_sizes(g: int, c: int, qm: int, n_layers: int) -> tuple[int, ...]:
 
 
 def _pick_window(k: int) -> int | None:
-    """Window length for the parallel turbo decoder: a divisor of K near
-    128 (the fast path needs windows >= overlap 40); None = full sweeps."""
-    for w in (128, 96, 64, 160, 192, 256, 320, 384, 512):
-        if k % w == 0 and w >= 48:
-            return w
-    return None
+    """Window length for the parallel turbo decoder: the divisor of K
+    closest to 256 that is a multiple of 16 (the NII kernel's row-group
+    granularity) and >= 48 (the v1 path trains over a 40-step overlap).
+    Fewer, larger windows amortize the per-window program overheads of
+    the Pallas grid; None = full sweeps."""
+    best = None
+    for w in range(48, min(k, 769), 16):
+        if k % w == 0 and (best is None or
+                           abs(w - 256) < abs(best - 256)):
+            best = w
+    return best
 
 
 @dataclass(frozen=True)
@@ -140,31 +145,43 @@ def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
     segm = plan.segm
     stop_crc = (CRC24B if segm.c > 1 else CRC24A) if plan.early_stop else None
 
-    # Group code blocks by (K, E, F) and decode each group as ONE batched
-    # turbo decode (extra leading CB axis) — the reference decodes CBs
-    # serially (sch.c:307-422); stacking them multiplies the kernel batch.
+    # Group code blocks by (K, E, F) for de-rate-matching, then merge
+    # same-K groups into ONE batched turbo decode — the reference decodes
+    # CBs serially (sch.c:307-422); stacking them multiplies the kernel
+    # batch, and merging across E/F variants (the first CB's filler, the
+    # +Qm last-CB rate-match size) avoids a second, mostly-padding kernel
+    # launch for the odd CB out.
     groups: dict = {}
     for idx, (k, e, f, off) in enumerate(plan.cb_plans):
         groups.setdefault((k, e, f), []).append((idx, off))
 
-    new_soft = [None] * segm.c
-    cb_bits = [None] * segm.c
-    cb_ok = [None] * segm.c
+    derm: dict = {}
     for (k, e, f), members in groups.items():
         seg = jnp.stack([llrs[..., off : off + e] for _, off in members],
                         axis=-2)                       # [..., n_cb, E]
         sb = (jnp.stack([softbuffers[idx] for idx, _ in members], axis=-2)
               if softbuffers is not None else None)
         d_llr, ns = plan.rm(k, f).rx(seg, plan.rv, softbuffer=sb)
-        bits, _ = plan.decoder(k).decode(d_llr, crc=stop_crc)
-        for slot, (idx, _) in enumerate(members):
-            new_soft[idx] = ns[..., slot, :]
-            b = bits[..., slot, :]
-            if segm.c > 1:
-                cb_ok[idx] = CRC24B.jnp_check(b)
-                cb_bits[idx] = b[..., f : k - 24]
-            else:
-                cb_bits[idx] = b[..., f:]
+        derm.setdefault(k, []).append((f, members, d_llr, ns))
+
+    new_soft = [None] * segm.c
+    cb_bits = [None] * segm.c
+    cb_ok = [None] * segm.c
+    for k, items in derm.items():
+        d_all = (jnp.concatenate([d for _f, _m, d, _n in items], axis=-3)
+                 if len(items) > 1 else items[0][2])
+        bits, _ = plan.decoder(k).decode(d_all, crc=stop_crc)
+        slot = 0
+        for f, members, _d, ns in items:
+            for j, (idx, _off) in enumerate(members):
+                new_soft[idx] = ns[..., j, :]
+                b = bits[..., slot, :]
+                slot += 1
+                if segm.c > 1:
+                    cb_ok[idx] = CRC24B.jnp_check(b)
+                    cb_bits[idx] = b[..., f : k - 24]
+                else:
+                    cb_bits[idx] = b[..., f:]
     cb_ok = [ok for ok in cb_ok if ok is not None]
 
     full = jnp.concatenate(cb_bits, axis=-1)     # [..., tbs + 24]
