@@ -53,10 +53,17 @@ class DciDl:
     ndi: int
     rv: int
     prb_mask: tuple[bool, ...]
+    #: TPC command; for SI/P/RA-RNTI format 1A its LSB selects
+    #: N_prb_1A in {2, 3} for the TBS lookup (36.212 5.3.3.1.3)
+    tpc: int = 0
 
     @property
     def n_prb(self) -> int:
         return sum(self.prb_mask)
+
+    @property
+    def n_prb_1a(self) -> int:
+        return 3 if (self.tpc & 1) else 2
 
 
 @dataclass
@@ -95,11 +102,12 @@ def unpack_format1a(bits: np.ndarray, n_prb_cell: int) -> DciDl | None:
     harq = bits_to_uint(bits[p : p + 3]); p += 3
     ndi = bits_to_uint(bits[p : p + 1]); p += 1
     rv = bits_to_uint(bits[p : p + 2]); p += 2
+    tpc = bits_to_uint(bits[p : p + 2]); p += 2
     start, length = ra.riv_decode(riv, n_prb_cell)
     if start + length > n_prb_cell:
         return None
     return DciDl("1A", mcs, harq, ndi, rv,
-                 ra.prb_mask_type2(n_prb_cell, start, length))
+                 ra.prb_mask_type2(n_prb_cell, start, length), tpc=tpc)
 
 
 def pack_format0(n_prb_cell: int, start: int, length: int, mcs: int,

@@ -57,7 +57,8 @@ def pdsch_re_indices(cell: Cell, sf_idx: int, cfi: int,
     """
     nre = cell.nof_re
     usable = np.ones((cell.nsymb_sf, nre), dtype=bool)
-    usable[:cfi, :] = False                       # PDCCH/PCFICH/PHICH region
+    from .regs import nof_ctrl_symbols
+    usable[:nof_ctrl_symbols(cell, cfi), :] = False   # control region
     usable[crs_mask(cell, sf_idx)] = False        # CRS of all cell ports
 
     mid = nre // 2
@@ -222,7 +223,8 @@ def _symbol_extract_plan(cell: Cell, sf_idx: int, cfi: int,
     """
     nre = cell.nof_re
     usable = np.ones((cell.nsymb_sf, nre), dtype=bool)
-    usable[:cfi, :] = False
+    from .regs import nof_ctrl_symbols
+    usable[:nof_ctrl_symbols(cell, cfi), :] = False
     usable[crs_mask(cell, sf_idx)] = False
     mid = nre // 2
     sync_cols = slice(mid - SYNC_RE // 2, mid + SYNC_RE // 2)

@@ -56,10 +56,10 @@ def pmch_re_indices(cell: Cell, sf_idx: int, cfi: int = 1) -> np.ndarray:
     usable[:cfi, :] = False
     idx_rows, syms, _ = mbsfn_rs(0, cell.nof_prb, sf_idx)
     for row, s in zip(idx_rows, syms):
+        # only the RS REs themselves are excluded; data rides the other
+        # subcarriers of RS symbols (srslte_pmch_cp prb_cp_ref with
+        # nof_refs=6, pmch.c:63-105)
         usable[s, row] = False
-        # the paired shift is reserved too
-        other = row + (-1 if row[0] else 1)
-        usable[s, other % nre] = False
     sym_idx, k_idx = np.nonzero(usable)
     order = np.lexsort((k_idx, sym_idx))
     return (sym_idx[order] * nre + k_idx[order]).astype(np.int32)

@@ -86,12 +86,24 @@ def phich_regs(cell: Cell, ng: float = 1.0) -> tuple[tuple[int, ...], ...]:
 
 
 @functools.lru_cache(maxsize=256)
+def nof_ctrl_symbols(cell: Cell, cfi: int) -> int:
+    """Control-region OFDM symbols for a CFI value: cfi+1 on narrow
+    cells (<=10 PRB, 36.211 Table 6.7-1; regs.c regs_pdcch_init
+    ``nof_ctrl_symbols = cfi+2`` with its 0-based cfi)."""
+    return cfi + 1 if cell.nof_prb <= 10 else cfi
+
+
 def pdcch_reg_map(cell: Cell, cfi: int, ng: float = 1.0) -> np.ndarray:
     """Flat RE indices [n_pdcch_regs, 4] of the PDCCH REGs, in the
     POST-interleaving order: quadruplet j of the PDCCH multiplexed
     sequence maps to row j (36.211 6.8.5: sub-block interleave the REG
     sequence with the conv column permutation, cyclic-shift by cell id,
     assign to unused REGs in frequency-major order).
+
+    Mapping direction per regs.c regs_pdcch_init: quadruplet m (the
+    m-th matrix cell in row-major order) transmits on the physical REG
+    whose frequency-order index is (k_of_m - cell_id) mod N, where
+    k_of_m is m's position in the permuted column-major read-out.
     """
     from ..ops.fec.rm_conv import NCOLS, PERM_CONV
 
@@ -101,7 +113,7 @@ def pdcch_reg_map(cell: Cell, cfi: int, ng: float = 1.0) -> np.ndarray:
     for trip in phich_regs(cell, ng):
         used0 |= set(trip)
     items = []
-    for l in range(cfi):
+    for l in range(nof_ctrl_symbols(cell, cfi)):
         regs = symbol_regs(cell, l)
         for i, r in enumerate(regs):
             if l == 0 and i in used0:
@@ -111,20 +123,22 @@ def pdcch_reg_map(cell: Cell, cfi: int, ng: float = 1.0) -> np.ndarray:
     m = len(items)
 
     # sub-block interleaver permutation of 0..m-1 (row-column with the
-    # conv pattern, NULLs dropped), then cyclic shift by cell id
+    # conv pattern, NULLs dropped): perm[k] = original index of the k-th
+    # element in the permuted column-major read-out
     r_rows = -(-m // NCOLS)
     kp = r_rows * NCOLS
     nd = kp - m
     j = np.arange(kp, dtype=np.int64)
     y = (j % r_rows) * NCOLS + PERM_CONV[j // r_rows]
     pos = y - nd
-    perm = pos[pos >= 0]                      # interleaved REG order
-    shifted = np.roll(perm, -(cell.id % m))
+    perm = pos[pos >= 0]
+    inv = np.empty(m, np.int64)               # inv[m] = k_of_m
+    inv[perm] = np.arange(m)
 
     out = np.zeros((m, RE_PER_REG), np.int32)
-    for jj in range(m):
-        k0, l, res = items[shifted[jj]]
-        out[jj] = [l * nre + k for k in res]
+    for q in range(m):
+        k0, l, res = items[(inv[q] - cell.id) % m]
+        out[q] = [l * nre + k for k in res]
     return out
 
 

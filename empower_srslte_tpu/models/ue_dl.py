@@ -154,7 +154,14 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             continue
         if d is None:
             continue
-        mod, tbs = ra.mcs_to_tbs(d.mcs, d.n_prb)
+        if common_ss and d.format == "1A":
+            # SI/P/RA-RNTI 1A grants size the TBS with N_prb_1A from
+            # the TPC LSB, not the actual allocation (36.212 5.3.3.1.3;
+            # ra.c dci_format1a si-rnti handling)
+            mod = Mod.QPSK
+            tbs = ra.mcs_to_tbs(d.mcs, d.n_prb_1a)[1]
+        else:
+            mod, tbs = ra.mcs_to_tbs(d.mcs, d.n_prb)
         cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
                           mod=mod, mimo=mimo, prb_mask=d.prb_mask)
         plan = cfg.plan(tbs, rv=d.rv, max_iterations=max_iterations)

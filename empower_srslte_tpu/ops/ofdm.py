@@ -24,12 +24,13 @@ from ..utils.cell import CP, Cell
 
 
 @functools.lru_cache(maxsize=64)
-def _symbol_starts(nof_prb: int, cp: CP) -> np.ndarray:
+def _symbol_starts(nof_prb: int, cp: CP,
+                   reduced: bool = False) -> np.ndarray:
     """Sample index of each symbol's data region (after its CP) in a sf."""
     from ..utils.cell import cp_lengths, symbol_sz
 
-    fft = symbol_sz(nof_prb)
-    cps = cp_lengths(nof_prb, cp)
+    fft = symbol_sz(nof_prb, reduced)
+    cps = cp_lengths(nof_prb, cp, reduced)
     starts = []
     pos = 0
     for _slot in range(2):
@@ -40,8 +41,56 @@ def _symbol_starts(nof_prb: int, cp: CP) -> np.ndarray:
     return np.asarray(starts, dtype=np.int32)
 
 
+@functools.lru_cache(maxsize=16)
+def _symbol_starts_mbsfn(nof_prb: int, non_mbsfn_region: int,
+                         reduced: bool = False) -> np.ndarray:
+    """Symbol data-region starts for an MBSFN subframe: the first
+    ``non_mbsfn_region`` symbols keep normal-CP lengths, a guard gap
+    re-aligns the timeline, the rest are extended CP
+    (srslte_ofdm_rx_slot_mbsfn, ofdm.c:427-440;
+    SRSLTE_NON_MBSFN_REGION_GUARD_LENGTH, phy_common.h:140)."""
+    from ..utils.cell import symbol_sz
+
+    fft = symbol_sz(nof_prb, reduced)
+    cp_norm = lambda i: (160 if i == 0 else 144) * fft // 2048
+    cp_ext = 512 * fft // 2048
+    guard = (non_mbsfn_region * cp_ext
+             - sum(cp_norm(i) for i in range(non_mbsfn_region)))
+    starts = []
+    pos = 0
+    for i in range(6):                  # slot 0: mixed-CP MBSFN slot
+        if i == non_mbsfn_region:
+            pos += guard
+        pos += cp_norm(i) if i < non_mbsfn_region else cp_ext
+        starts.append(pos)
+        pos += fft
+    for _i in range(6):                 # slot 1: plain extended CP
+        pos += cp_ext
+        starts.append(pos)
+        pos += fft
+    return np.asarray(starts, dtype=np.int32)
+
+
+def ofdm_rx_sf_mbsfn(samples, cell: Cell, non_mbsfn_region: int = 2,
+                     *, normalize: bool = False):
+    """MBSFN subframe demodulation: [..., sf_sample_len] ->
+    grid [..., 12, nre] (srslte_ofdm_rx_sf with the mbsfn plan)."""
+    fft = cell.fft_size
+    starts = _symbol_starts_mbsfn(cell.nof_prb, non_mbsfn_region,
+                                  cell.reduced_rates)
+    idx = starts[:, None] + np.arange(fft)[None, :]
+    sym = samples[..., jnp.asarray(idx)]
+    spec = jnp.fft.fft(sym, axis=-1)
+    if normalize:
+        spec = spec / np.float32(np.sqrt(fft))
+    bins = jnp.asarray(_grid_to_bins(cell.nof_prb,
+                                     reduced=cell.reduced_rates))
+    return spec[..., bins]
+
+
 @functools.lru_cache(maxsize=64)
-def _grid_to_bins(nof_prb: int, dc_empty: bool = True) -> np.ndarray:
+def _grid_to_bins(nof_prb: int, dc_empty: bool = True,
+                  reduced: bool = False) -> np.ndarray:
     """Map grid subcarrier g in [0, nre) -> FFT bin (DC at bin 0).
 
     Negative half first (ofdm.c:414): g < nre/2 -> fft - nre/2 + g;
@@ -49,7 +98,7 @@ def _grid_to_bins(nof_prb: int, dc_empty: bool = True) -> np.ndarray:
     """
     from ..utils.cell import symbol_sz
 
-    fft = symbol_sz(nof_prb)
+    fft = symbol_sz(nof_prb, reduced)
     nre = nof_prb * 12
     g = np.arange(nre, dtype=np.int32)
     dc = 1 if dc_empty else 0
@@ -63,14 +112,15 @@ def ofdm_rx_sf(samples, cell: Cell, *, normalize: bool = False):
     extraction. Equivalent of srslte_ofdm_rx_sf (ofdm.c:456).
     """
     fft = cell.fft_size
-    starts = _symbol_starts(cell.nof_prb, cell.cp)
+    starts = _symbol_starts(cell.nof_prb, cell.cp, cell.reduced_rates)
     # gather [nsymb, fft] sample windows
     idx = starts[:, None] + np.arange(fft)[None, :]
     sym = samples[..., jnp.asarray(idx)]                    # [..., nsymb, fft]
     spec = jnp.fft.fft(sym, axis=-1)
     if normalize:
         spec = spec / np.float32(np.sqrt(fft))
-    bins = jnp.asarray(_grid_to_bins(cell.nof_prb))
+    bins = jnp.asarray(_grid_to_bins(cell.nof_prb,
+                                     reduced=cell.reduced_rates))
     return spec[..., bins]                                  # [..., nsymb, nre]
 
 
@@ -84,7 +134,7 @@ def ofdm_tx_sf(grid, cell: Cell, *, normalize: bool = False):
 
     fft = cell.fft_size
     nsymb = cell.nsymb_sf
-    bins = _grid_to_bins(cell.nof_prb)
+    bins = _grid_to_bins(cell.nof_prb, reduced=cell.reduced_rates)
     spec = place(grid, bins, fft)
     sym = jnp.fft.ifft(spec, axis=-1)                       # [..., nsymb, fft]
     if normalize:

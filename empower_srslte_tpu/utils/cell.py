@@ -54,47 +54,52 @@ class CP(enum.Enum):
         return SYMBOLS_PER_SLOT[self.value]
 
 
-def symbol_sz(nof_prb: int) -> int:
+def symbol_sz(nof_prb: int, reduced: bool = False) -> int:
     """FFT size for a given downlink bandwidth.
 
-    Mirrors ``srslte_symbol_sz`` (lib/src/phy/common/phy_common.c): the
-    smallest standard power-of-two-ish DFT covering the occupied subcarriers
-    at 15 kHz spacing with the LTE standard sampling rates.
+    Mirrors ``srslte_symbol_sz`` (lib/src/phy/common/phy_common.c):
+    ``reduced=False`` gives the LTE standard sampling rates (the
+    reference's use_standard_rates=true, srslte_symbol_sz_power2);
+    ``reduced=True`` gives the reference's reduced non-power-of-two
+    rates (use_standard_rates=false — what its recorded captures use).
     """
-    table = {6: 128, 15: 256, 25: 512, 50: 1024, 75: 1536, 100: 2048}
+    table = ({6: 128, 15: 256, 25: 384, 50: 768, 75: 1024, 100: 1536}
+             if reduced else
+             {6: 128, 15: 256, 25: 512, 50: 1024, 75: 1536, 100: 2048})
     try:
         return table[nof_prb]
     except KeyError:
         raise ValueError(f"unsupported nof_prb={nof_prb}; valid: {VALID_NOF_PRB}")
 
 
-def sample_rate(nof_prb: int) -> float:
+def sample_rate(nof_prb: int, reduced: bool = False) -> float:
     """Sampling rate in Hz: 15 kHz subcarrier spacing times the FFT size."""
-    return 15_000.0 * symbol_sz(nof_prb)
+    return 15_000.0 * symbol_sz(nof_prb, reduced)
 
 
-def cp_lengths(nof_prb: int, cp: CP) -> tuple[int, ...]:
+def cp_lengths(nof_prb: int, cp: CP, reduced: bool = False) -> tuple[int, ...]:
     """Per-symbol CP lengths (samples) for one slot.
 
     Normal CP: 160 samples on symbol 0 and 144 on symbols 1..6 at the
     2048-point numerology, scaled by fft/2048; extended CP: 512 scaled
     (36.211 Table 6.12-1).
     """
-    fft = symbol_sz(nof_prb)
+    fft = symbol_sz(nof_prb, reduced)
     if cp is CP.NORM:
         return (160 * fft // 2048,) + (144 * fft // 2048,) * 6
     return (512 * fft // 2048,) * 6
 
 
-def slot_sample_len(nof_prb: int, cp: CP) -> int:
+def slot_sample_len(nof_prb: int, cp: CP, reduced: bool = False) -> int:
     """Samples per 0.5 ms slot = sum of (CP + FFT) over the slot's symbols."""
-    fft = symbol_sz(nof_prb)
-    return sum(cp_lengths(nof_prb, cp)) + cp.nsymb * fft
+    fft = symbol_sz(nof_prb, reduced)
+    return sum(cp_lengths(nof_prb, cp, reduced)) + cp.nsymb * fft
 
 
-def sf_sample_len(nof_prb: int, cp: CP = CP.NORM) -> int:
+def sf_sample_len(nof_prb: int, cp: CP = CP.NORM,
+                  reduced: bool = False) -> int:
     """Samples per 1 ms subframe."""
-    return 2 * slot_sample_len(nof_prb, cp)
+    return 2 * slot_sample_len(nof_prb, cp, reduced)
 
 
 def SF_RE_LEN(nof_prb: int, cp: CP = CP.NORM) -> int:
@@ -116,6 +121,9 @@ class Cell:
     nof_ports: int = 1
     id: int = 0
     cp: CP = CP.NORM
+    #: use the reference's reduced non-power-of-two sampling rates
+    #: (srslte_use_standard_symbol_size(false) — its IQ captures' rates)
+    reduced_rates: bool = False
 
     def __post_init__(self):
         if self.nof_prb not in VALID_NOF_PRB:
@@ -129,11 +137,11 @@ class Cell:
 
     @property
     def fft_size(self) -> int:
-        return symbol_sz(self.nof_prb)
+        return symbol_sz(self.nof_prb, self.reduced_rates)
 
     @property
     def srate(self) -> float:
-        return sample_rate(self.nof_prb)
+        return sample_rate(self.nof_prb, self.reduced_rates)
 
     @property
     def nof_re(self) -> int:
@@ -154,11 +162,11 @@ class Cell:
 
     @property
     def sf_sample_len(self) -> int:
-        return sf_sample_len(self.nof_prb, self.cp)
+        return sf_sample_len(self.nof_prb, self.cp, self.reduced_rates)
 
     @property
     def cp_len_slot(self) -> tuple[int, ...]:
-        return cp_lengths(self.nof_prb, self.cp)
+        return cp_lengths(self.nof_prb, self.cp, self.reduced_rates)
 
     @property
     def n_id_1(self) -> int:
