@@ -1,10 +1,11 @@
-"""Full PDSCH chain throughput on TPU (BASELINE configs 2/3).
+"""Full PDSCH/PUSCH chain throughput on TPU (BASELINE configs 2/3/4).
 
 Equalize -> demod -> descramble -> de-rate-match -> turbo decode for a
 batch of subframes; reports decoded Mbps and subframes/s. Reference
-figures: 150 Mbps at 20 MHz 2x2 (README.md:39), 36 Mbps at 10 MHz SISO.
+figures: 150 Mbps at 20 MHz 2x2 DL (README.md:39), 36 Mbps at 10 MHz
+SISO DL, 50 Mbps eNB UL at 20 MHz (README.md:58).
 
-Usage: python tools/bench_pdsch.py [batch] [config: 20mimo|10siso]
+Usage: python tools/bench_pdsch.py [batch] [config: 20mimo|10siso|20ul]
 """
 
 import sys
@@ -67,6 +68,37 @@ def main():
 
         bits_per_sf = 2 * tbs
         args = (y_re, y_im, jnp.asarray(h_re), jnp.asarray(h_im))
+    elif config == "20ul":
+        # eNB uplink receiver: SC-FDMA grid -> DMRS-free equalize (ideal
+        # h) -> IDFT de-precoding -> demod -> de-RM -> turbo
+        from empower_srslte_tpu.models.pusch import (PuschConfig,
+                                                     pusch_decode,
+                                                     pusch_encode)
+
+        cell = Cell(nof_prb=100, nof_ports=1, id=1)
+        mod, tbs = ra.mcs_to_tbs(20, 96, dl=False)
+        cfg = PuschConfig(cell=cell, sf_idx=1, rnti=0x1234, mod=mod,
+                          prb_start=0, n_prb=96)
+        plan = cfg.plan(tbs)
+        tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+        n0 = 1e-3
+
+        @jax.jit
+        def make_rx(tb):
+            grid = pusch_encode(tb, cfg, plan)
+            hval = jax.lax.complex(jnp.float32(0.95), jnp.float32(0.1))
+            y = grid * hval
+            return jnp.real(y), jnp.imag(y)
+
+        y_re, y_im = make_rx(jnp.asarray(tb))
+
+        def fn(y_re, y_im):
+            y = jax.lax.complex(y_re, y_im)
+            bits, ok, _ = pusch_decode(y, cfg, plan, noise_est=n0)
+            return jnp.sum(ok)
+
+        bits_per_sf = tbs
+        args = (y_re, y_im)
     else:
         cell = Cell(nof_prb=50, nof_ports=1, id=1)
         mod, tbs = ra.mcs_to_tbs(23, 50)
