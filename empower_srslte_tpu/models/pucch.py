@@ -200,15 +200,18 @@ def pucch_f2_encode(cfg: PucchConfig, payload_bits: np.ndarray,
 
 
 def pucch_f2_decode(grid, cfg: PucchConfig, nof_bits: int,
-                    nof_ack: int = 0):
+                    nof_ack: int = 0, return_energy: bool = False):
     """Format 2/2a/2b decode -> payload bits [nof_bits] (and ack bits
-    tuple when nof_ack > 0). The first DMRS symbol per slot gives the
-    channel reference; the second carries d(10) for 2a/2b."""
+    tuple when nof_ack > 0; and the coherent DMRS energy when
+    ``return_energy`` — the presence-detection statistic). The first
+    DMRS symbol per slot gives the channel reference; the second
+    carries d(10) for 2a/2b."""
     cell = cfg.cell
     nsym = cell.nsymb_slot
     g = np.asarray(grid)
     shift = cfg.n_pucch % 12
     llrs = []
+    energy = 0.0
     d_ack_acc = 0.0 + 0.0j
     for slot in range(2):
         k0 = 12 * cfg.prb(slot)
@@ -218,6 +221,7 @@ def pucch_f2_decode(grid, cfg: PucchConfig, nof_bits: int,
         # with 2a/2b the second RS is ACK-modulated: the channel reference
         # is the first RS only
         h = z_dmrs[0] if nof_ack else np.mean(z_dmrs)
+        energy += abs(h) ** 2
         d_ack_acc += z_dmrs[1] * np.conj(h) / max(abs(h) ** 2, 1e-12)
         for l in F2_DATA_SYMS:
             seq = _alpha_seq(cfg, slot, l, shift)
@@ -227,10 +231,14 @@ def pucch_f2_decode(grid, cfg: PucchConfig, nof_bits: int,
     bits = rm_decode(jnp.asarray(np.asarray(llrs, np.float32))[None], 20,
                      nof_bits)
     if not nof_ack:
+        if return_energy:
+            return np.asarray(bits)[0], energy
         return np.asarray(bits)[0]
     if nof_ack == 1:
         ack = (0 if d_ack_acc.real > 0 else 1,)
     else:
         ack = (0 if d_ack_acc.real > 0 else 1,
                0 if d_ack_acc.imag > 0 else 1)
+    if return_energy:
+        return np.asarray(bits)[0], ack, energy
     return np.asarray(bits)[0], ack

@@ -39,6 +39,7 @@ class UeDlResult:
     tb_bits: np.ndarray | None = None
     crc_ok: bool = False
     noise_est: float = 0.0
+    snr_db: float = 0.0          # wideband chest SNR (feeds CQI reports)
 
 
 def estimate_channel(grid, cell: Cell, sf_idx: int):
@@ -67,9 +68,10 @@ def _front_fn(cell: Cell, sf_idx: int):
         def f(samples):
             grid = ofdm_rx_sf(samples[None], cell)[0]
             h, n0 = estimate_channel(grid[None], cell, sf_idx)
-            cfi_arr, _ = pcfich_decode(grid[None], h[0][..., 0, :, :],
+            cfi_arr, _ = pcfich_decode(grid[None], h[0][None],
                                        cell, sf_idx, noise_est=n0[0])
-            return grid, h[0], n0[0], cfi_arr[0]
+            hpow = jnp.mean(jnp.abs(h[0]) ** 2)
+            return grid, h[0], n0[0], cfi_arr[0], hpow
 
         _front_cache[key] = jax.jit(f)
     return _front_cache[key]
@@ -97,9 +99,12 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
     """
     from ..utils import device_complex
 
-    grid, h, n0, cfi_arr = _front_fn(cell, sf_idx)(device_complex(samples))
+    grid, h, n0, cfi_arr, hpow = _front_fn(cell, sf_idx)(
+        device_complex(samples))
     noise = float(np.asarray(n0))
     cfi = int(np.asarray(cfi_arr))
+    snr_db = float(10.0 * np.log10(max(float(np.asarray(hpow)), 1e-12)
+                                   / max(noise, 1e-12)))
 
     # common search space RNTIs additionally monitor format 1C
     # (ue_dl.c: SI/P/RA-RNTI -> formats 1A+1C)
@@ -133,7 +138,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                 d_ul = dci_mod.unpack_format0(hit.payload, cell.nof_prb)
                 if d_ul is not None:
                     results.append(UeDlResult(cfi=cfi, dci=d_ul,
-                                              noise_est=noise))
+                                              noise_est=noise,
+                                              snr_db=snr_db))
                 continue
         elif len(hit.payload) == sizes[1]:
             d = dci_mod.unpack_format1(hit.payload, cell.nof_prb)
@@ -150,7 +156,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             bits, ok, _ = _pdsch_fn(cfg, plan)(grid, h, noise)
             results.append(UeDlResult(
                 cfi=cfi, dci=d1c, tb_bits=np.asarray(bits)[0],
-                crc_ok=bool(np.asarray(ok)[0]), noise_est=noise))
+                crc_ok=bool(np.asarray(ok)[0]), noise_est=noise,
+                snr_db=snr_db))
             continue
         if d is None:
             continue
@@ -170,9 +177,10 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             cfi=cfi, dci=d,
             tb_bits=np.asarray(bits)[0],
             crc_ok=bool(np.asarray(ok)[0]),
-            noise_est=noise))
+            noise_est=noise, snr_db=snr_db))
     if not results:
-        results.append(UeDlResult(cfi=cfi, noise_est=noise))
+        results.append(UeDlResult(cfi=cfi, noise_est=noise,
+                                  snr_db=snr_db))
     return results
 
 

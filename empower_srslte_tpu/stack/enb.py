@@ -42,6 +42,8 @@ UL_MCS = 4
 DL_MCS = 5
 SR_DETECT_THRESHOLD = 1.0   # coherent PUCCH f1 energy (|h|~1 -> ~8)
 SR_SUBFRAME = 0             # SR occasion (sched_request_cnfg subframe)
+CQI_SUBFRAME = 4            # periodic CQI occasion (cqi-ReportPeriodic)
+CQI_DETECT_THRESHOLD = 0.2  # coherent PUCCH f2 DMRS energy (|h|~1 -> 2)
 
 
 def _dl_grant_for(nof_prb: int, payload_len: int, mcs: int = DL_MCS):
@@ -127,6 +129,28 @@ class EnbStack:
                 if energy > SR_DETECT_THRESHOLD and d.real > 0.5:
                     self.events.append(f"sr_detected_rnti{rnti:#x}")
                     st["want_ul"] = True
+        # periodic CQI on PUCCH format 2 (eNB side of the reporting
+        # config; feeds CQI->MCS link adaptation like scheduler_ue.cc)
+        cqi_ues = [r for r, st in self.active_ues.items()
+                   if r in self.rrc.ues and r not in expected]
+        if cqi_ues and sf_idx == CQI_SUBFRAME:
+            from ..models.pucch import PucchConfig, pucch_f2_decode
+            from ..models.uci import cqi_unpack_wideband
+
+            grid = self._ul_grid(ul_iq)
+            for rnti in cqi_ues:
+                st = self.active_ues[rnti]
+                pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
+                                   n_pucch=st.get("cqi_n_pucch", 0),
+                                   format="2")
+                payload, energy = pucch_f2_decode(np.asarray(grid), pcfg,
+                                                  4, return_energy=True)
+                if energy < CQI_DETECT_THRESHOLD:
+                    continue             # no report this occasion
+                cqi = int(cqi_unpack_wideband(np.asarray(payload)))
+                if cqi > 0:
+                    st["cqi"] = cqi
+                    self.events.append(f"cqi_rx{cqi}_rnti{rnti:#x}")
         # scheduled PUSCH receptions
         for p in self.ul_pending.pop(tti, []):
             grid = self._ul_grid(ul_iq)
@@ -236,12 +260,25 @@ class EnbStack:
                 raw_len = sum(len(sp.payload) + 2 for sp in payload.subpdus) + 2
             else:
                 raw_len = len(payload)
-            n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb, raw_len)
+            # CQI-driven link adaptation (scheduler_ue.cc cqi->mcs);
+            # capped for RAR/pre-report robustness
+            mcs = DL_MCS
+            st = self.active_ues.get(rnti)
+            if st is not None and "cqi" in st:
+                from ..mac.scheduler import CQI_TO_MCS
+
+                # 2-step CQI backoff: the stack has no outer-loop HARQ
+                # adjustment, so leave margin (scheduler_ue.cc applies
+                # the equivalent via max_mcs/fixed_mcs controls)
+                mcs = max(DL_MCS,
+                          CQI_TO_MCS[min(max(st["cqi"] - 2, 0), 15)])
+            n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb, raw_len,
+                                            mcs)
             mac_bytes = payload.pack(tbs // 8) if isinstance(payload, MacPdu) \
                 else payload + b"\x00" * (tbs // 8 - len(payload))
             tb_bits = np.unpackbits(np.frombuffer(mac_bytes, np.uint8))
             dci_bits = dci_mod.pack_format1a(self.cell.nof_prb, 0, n_prb,
-                                             DL_MCS)
+                                             mcs)
             cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
                               rnti=rnti, mod=mod,
                               prb_mask=ra.prb_mask_type2(

@@ -64,6 +64,12 @@ class UeStack:
         self.pathloss_db = 90.0
         self.phr_db = 20.0
         self.sr_n_pucch = 0           # sr-PUCCH-ResourceIndex
+        # periodic CQI reporting (36.213 7.2.2; srsue phch_worker
+        # periodic CQI on PUCCH format 2): occasion tti % period == offset
+        self.cqi_period_ms = 10
+        self.cqi_offset = 4
+        self.cqi_n_pucch = 0
+        self.last_snr_db: float | None = None
 
     def _lcid_buffer_state(self, lcid: int) -> int:
         if lcid == 1:
@@ -110,6 +116,19 @@ class UeStack:
             pcfg = PucchConfig(cell=self.cell, sf_idx=tti % 10,
                                n_pucch=self.sr_n_pucch, format="1")
             return np.asarray(ue_ul_generate(self.cell, pucch=(pcfg, (1,))))
+        if (self.state == "connected" and self.last_snr_db is not None
+                and tti % self.cqi_period_ms == self.cqi_offset):
+            # periodic wideband CQI on PUCCH format 2 (dropped when a
+            # PUSCH/SR transmission claimed the subframe above)
+            from ..models.measurements import cqi_from_snr
+            from ..models.uci import cqi_pack_wideband
+
+            cqi = int(np.asarray(cqi_from_snr(self.last_snr_db)))
+            self.events.append(f"cqi_tx{cqi}_tti{tti}")
+            pcfg = PucchConfig(cell=self.cell, sf_idx=tti % 10,
+                               n_pucch=self.cqi_n_pucch, format="2")
+            return np.asarray(ue_ul_generate(
+                self.cell, pucch=(pcfg, cqi_pack_wideband(cqi))))
         return None
 
     # --- DL processing ----------------------------------------------------------
@@ -126,6 +145,7 @@ class UeStack:
         samples = np.asarray(dl_iq).astype(np.complex64)
         for kind, rnti in rntis:
             for r in ue_dl_decode(samples, self.cell, sf_idx, rnti):
+                self.last_snr_db = r.snr_db      # feeds periodic CQI
                 if r.dci is None:
                     continue
                 if hasattr(r.dci, "riv_start"):        # DCI0: UL grant

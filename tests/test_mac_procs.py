@@ -218,3 +218,44 @@ class TestSrOverTheAir:
         assert any(e.startswith("sr_tx") for e in ue.events), ue.events
         assert any(e.startswith("sr_detected") for e in enb.events), \
             enb.events
+
+
+class TestPeriodicCqi:
+    def test_cqi_reports_drive_link_adaptation(self):
+        """Post-attach: UE sends wideband CQI on PUCCH format 2 every
+        period; the eNB stores it and raises the DL MCS; a downlink IP
+        packet rides the adapted MCS and still decodes."""
+        from tests.test_stack import _epc
+
+        from empower_srslte_tpu.stack import Air, EnbStack, UeStack
+        from empower_srslte_tpu.utils.cell import Cell
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        air = Air(cell.sf_sample_len)
+        ul_iq, attached_at, pushed = None, None, False
+        for tti in range(120):
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+            got_cqi = any("cqi" in st for st in enb.active_ues.values())
+            if attached_at is not None and got_cqi and not pushed:
+                pushed = True
+                pong = (b"\x45\x00" + bytes(14)
+                        + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                        + b"ADAPTED-MCS-DATA")
+                fwd = mme.spgw.downlink(pong)
+                enb.deliver_gtpu(fwd[1])
+            if pushed and ue.rx_ip:
+                break
+        assert attached_at is not None
+        assert any(e.startswith("cqi_tx") for e in ue.events), ue.events
+        assert any(e.startswith("cqi_rx") for e in enb.events), enb.events
+        # ideal air -> high CQI -> elevated MCS actually used
+        cqis = [st["cqi"] for st in enb.active_ues.values() if "cqi" in st]
+        assert cqis and max(cqis) >= 12, cqis
+        assert ue.rx_ip and ue.rx_ip[0].endswith(b"ADAPTED-MCS-DATA")
