@@ -77,14 +77,20 @@ def _front_fn(cell: Cell, sf_idx: int):
     return _front_cache[key]
 
 
-def _pdsch_fn(cfg: PdschConfig, plan):
-    key = (repr(cfg), repr(plan))
+def _pdsch_fn(cfg: PdschConfig, plan, with_soft: bool = False):
+    key = (repr(cfg), repr(plan), with_soft)
     if key not in _pdsch_cache:
         import jax
 
-        def f(grid, h, noise):
-            return pdsch_decode(grid[None, None], h[None, None], cfg, plan,
-                                noise_est=noise)
+        if with_soft:
+            def f(grid, h, noise, *soft):
+                return pdsch_decode(grid[None, None], h[None, None], cfg,
+                                    plan, noise_est=noise,
+                                    softbuffers=list(soft))
+        else:
+            def f(grid, h, noise):
+                return pdsch_decode(grid[None, None], h[None, None], cfg,
+                                    plan, noise_est=noise)
 
         _pdsch_cache[key] = jax.jit(f)
     return _pdsch_cache[key]
@@ -92,10 +98,16 @@ def _pdsch_fn(cfg: PdschConfig, plan):
 
 def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                  mimo: MimoType = MimoType.SINGLE,
-                 max_iterations: int = 5) -> list[UeDlResult]:
+                 max_iterations: int = 5,
+                 harq_state: dict | None = None) -> list[UeDlResult]:
     """Decode one subframe for one RNTI (single rx antenna).
 
     samples [sf_sample_len] complex64 -> list of per-grant results.
+
+    ``harq_state``: caller-owned dict pid -> {"ndi", "soft"} carrying
+    per-process softbuffers across retransmissions (srsue dl_harq.cc +
+    softbuffer.c): an un-toggled NDI reuses the combined LLRs, a CRC
+    failure stores them back.
     """
     from ..utils import device_complex
 
@@ -172,11 +184,27 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
         cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
                           mod=mod, mimo=mimo, prb_mask=d.prb_mask)
         plan = cfg.plan(tbs, rv=d.rv, max_iterations=max_iterations)
-        bits, ok, _ = _pdsch_fn(cfg, plan)(grid, h, noise)
+        soft_in, hst = None, None
+        if harq_state is not None and not common_ss:
+            hst = harq_state.setdefault(d.harq_pid,
+                                        {"ndi": None, "soft": None})
+            if hst["ndi"] == d.ndi and hst["soft"] is not None:
+                soft_in = hst["soft"]      # retransmission: combine
+            else:
+                hst["ndi"] = d.ndi
+                hst["soft"] = None
+        if soft_in is not None:
+            bits, ok, new_soft = _pdsch_fn(cfg, plan, True)(
+                grid, h, noise, *soft_in)
+        else:
+            bits, ok, new_soft = _pdsch_fn(cfg, plan)(grid, h, noise)
+        ok_b = bool(np.asarray(ok)[0])
+        if hst is not None:
+            hst["soft"] = None if ok_b else list(new_soft)
         results.append(UeDlResult(
             cfi=cfi, dci=d,
             tb_bits=np.asarray(bits)[0],
-            crc_ok=bool(np.asarray(ok)[0]),
+            crc_ok=ok_b,
             noise_est=noise, snr_db=snr_db))
     if not results:
         results.append(UeDlResult(cfi=cfi, noise_est=noise,

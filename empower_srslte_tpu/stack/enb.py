@@ -44,6 +44,8 @@ SR_DETECT_THRESHOLD = 1.0   # coherent PUCCH f1 energy (|h|~1 -> ~8)
 SR_SUBFRAME = 0             # SR occasion (sched_request_cnfg subframe)
 CQI_SUBFRAME = 4            # periodic CQI occasion (cqi-ReportPeriodic)
 CQI_DETECT_THRESHOLD = 0.2  # coherent PUCCH f2 DMRS energy (|h|~1 -> 2)
+ACK_N_PUCCH = 4             # HARQ-ACK PUCCH 1a resource
+ACK_DETECT_THRESHOLD = 1.0  # DTX vs ACK/NACK energy decision
 
 
 def _dl_grant_for(nof_prb: int, payload_len: int, mcs: int = DL_MCS):
@@ -80,6 +82,10 @@ class EnbStack:
         self.drb_rlc_tx = RlcUm()
         self.spgw_teid = 1            # TEID towards the SP-GW session
         self.ul_gtpu: list = []       # GTP-U PDUs towards the core
+        # DL HARQ (scheduler_harq.cc): ACKs expected at tti -> list of
+        # (rnti, pid, retx_record); retx_record re-encodes the exact
+        # same transport block with the next redundancy version
+        self.ack_pending: dict = {}
 
     def deliver_gtpu(self, gtpu_pdu: bytes) -> None:
         """Downlink user plane from the SP-GW: unwrap and queue on DRB1."""
@@ -129,6 +135,34 @@ class EnbStack:
                 if energy > SR_DETECT_THRESHOLD and d.real > 0.5:
                     self.events.append(f"sr_detected_rnti{rnti:#x}")
                     st["want_ul"] = True
+        # HARQ-ACK reception on PUCCH 1a (phch_worker decode_pucch):
+        # ACK retires the process, NACK/DTX queues a retransmission
+        # with the next redundancy version
+        for rnti, pid, rec in self.ack_pending.pop(tti, []):
+            st = self.active_ues.get(rnti)
+            if st is None or "harq" not in st:
+                continue
+            ack = False
+            if rnti not in expected:
+                from ..models.pucch import PucchConfig, pucch_f1_bits, \
+                    pucch_f1_decode
+
+                grid = self._ul_grid(ul_iq)
+                pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
+                                   n_pucch=ACK_N_PUCCH, format="1a")
+                d, energy = pucch_f1_decode(np.asarray(grid), pcfg)
+                if energy > ACK_DETECT_THRESHOLD:
+                    ack = pucch_f1_bits(d, "1a")[0] == 1
+            harq = st["harq"]
+            p = harq.processes[pid]
+            if p.ack(ack):
+                p.retx()
+                rec = dict(rec, rv=p.rv)
+                self.events.append(
+                    f"harq_nack_pid{pid}_rnti{rnti:#x}")
+                self.dl_queue.insert(0, (rnti, None, {"retx": rec}))
+            elif ack:
+                self.events.append(f"harq_ack_pid{pid}_rnti{rnti:#x}")
         # periodic CQI on PUCCH format 2 (eNB side of the reporting
         # config; feeds CQI->MCS link adaptation like scheduler_ue.cc)
         cqi_ues = [r for r, st in self.active_ues.items()
@@ -255,40 +289,65 @@ class EnbStack:
                 rnti = next(iter(self.active_ues))
                 self.dl_queue.append((rnti, mac, None))
         if self.dl_queue:
-            rnti, payload, _ = self.dl_queue.pop(0)
-            if isinstance(payload, MacPdu):
-                raw_len = sum(len(sp.payload) + 2 for sp in payload.subpdus) + 2
-            else:
-                raw_len = len(payload)
-            # CQI-driven link adaptation (scheduler_ue.cc cqi->mcs);
-            # capped for RAR/pre-report robustness
-            mcs = DL_MCS
+            rnti, payload, meta = self.dl_queue.pop(0)
             st = self.active_ues.get(rnti)
-            if st is not None and "cqi" in st:
-                from ..mac.scheduler import CQI_TO_MCS
+            retx = (meta or {}).get("retx")
+            if retx is not None:
+                # retransmission: same TB, same allocation, next RV
+                pid, ndi, rv = retx["pid"], retx["ndi"], retx["rv"]
+                n_prb, mod, tbs, mcs = (retx["n_prb"], retx["mod"],
+                                        retx["tbs"], retx["mcs"])
+                mac_bytes = retx["mac_bytes"]
+                self.events.append(f"harq_retx_pid{pid}_rv{rv}")
+            else:
+                if isinstance(payload, MacPdu):
+                    raw_len = sum(len(sp.payload) + 2
+                                  for sp in payload.subpdus) + 2
+                else:
+                    raw_len = len(payload)
+                # CQI-driven link adaptation (scheduler_ue.cc cqi->mcs)
+                mcs = DL_MCS
+                if st is not None and "cqi" in st:
+                    from ..mac.scheduler import CQI_TO_MCS
 
-                # 2-step CQI backoff: the stack has no outer-loop HARQ
-                # adjustment, so leave margin (scheduler_ue.cc applies
-                # the equivalent via max_mcs/fixed_mcs controls)
-                mcs = max(DL_MCS,
-                          CQI_TO_MCS[min(max(st["cqi"] - 2, 0), 15)])
-            n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb, raw_len,
-                                            mcs)
-            mac_bytes = payload.pack(tbs // 8) if isinstance(payload, MacPdu) \
-                else payload + b"\x00" * (tbs // 8 - len(payload))
+                    # 2-step CQI backoff: no outer-loop adjustment here
+                    # (scheduler_ue.cc has max_mcs/fixed_mcs controls)
+                    mcs = max(DL_MCS,
+                              CQI_TO_MCS[min(max(st["cqi"] - 2, 0), 15)])
+                n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb,
+                                                raw_len, mcs)
+                mac_bytes = payload.pack(tbs // 8) \
+                    if isinstance(payload, MacPdu) \
+                    else payload + b"\x00" * (tbs // 8 - len(payload))
+                pid, ndi, rv = 0, 0, 0
+                if st is not None and rnti in self.rrc.ues:
+                    from ..mac.harq import DlHarqEntity
+
+                    harq = st.setdefault("harq", DlHarqEntity())
+                    p = harq.get_empty()
+                    if p is not None:
+                        p.new_tx(tbs, mcs)
+                        pid, ndi = p.pid, p.ndi
             tb_bits = np.unpackbits(np.frombuffer(mac_bytes, np.uint8))
-            dci_bits = dci_mod.pack_format1a(self.cell.nof_prb, 0, n_prb,
-                                             mcs)
+            dci_bits = dci_mod.pack_format1a(
+                self.cell.nof_prb, 0, n_prb, mcs, harq_pid=pid, ndi=ndi,
+                rv=rv)
             cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
                               rnti=rnti, mod=mod,
                               prb_mask=ra.prb_mask_type2(
                                   self.cell.nof_prb, 0, n_prb))
-            plan = cfg.plan(tbs)
+            plan = cfg.plan(tbs, rv=rv)
             grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti, 0, 4,
                                        self.cell, self.cfi, sf_idx)
             grid = grid + pdsch_encode(
                 jnp.asarray(tb_bits.astype(np.int8))[None], cfg, plan)[0]
             used_prb = n_prb
+            if st is not None and "harq" in st and rnti in self.rrc.ues:
+                # expect the HARQ-ACK at n+4 (+1 transport delay)
+                self.ack_pending.setdefault(tti + 4, []).append(
+                    (rnti, pid, dict(pid=pid, ndi=ndi, rv=rv,
+                                     n_prb=n_prb, mod=mod, tbs=tbs,
+                                     mcs=mcs, mac_bytes=mac_bytes)))
 
         # standing UL grants (DCI0) for UEs with pending uplink
         for rnti, st in list(self.active_ues.items()):

@@ -70,6 +70,11 @@ class UeStack:
         self.cqi_offset = 4
         self.cqi_n_pucch = 0
         self.last_snr_db: float | None = None
+        # DL HARQ (dl_harq.cc): per-process softbuffers + NDI tracking,
+        # ACK/NACK on PUCCH 1a at n+4
+        self.dl_harq: dict = {}
+        self.dl_harq_delivered: dict = {}   # pid -> ndi already delivered
+        self.ack_n_pucch = 4
 
     def _lcid_buffer_state(self, lcid: int) -> int:
         if lcid == 1:
@@ -144,19 +149,43 @@ class UeStack:
             rntis.append(("c", self.c_rnti))
         samples = np.asarray(dl_iq).astype(np.complex64)
         for kind, rnti in rntis:
-            for r in ue_dl_decode(samples, self.cell, sf_idx, rnti):
+            harq = self.dl_harq if kind == "c" else None
+            for r in ue_dl_decode(samples, self.cell, sf_idx, rnti,
+                                  harq_state=harq):
                 self.last_snr_db = r.snr_db      # feeds periodic CQI
                 if r.dci is None:
                     continue
                 if hasattr(r.dci, "riv_start"):        # DCI0: UL grant
                     self._on_ul_grant(tti, r.dci)
-                elif r.crc_ok and r.tb_bits is not None:
+                    continue
+                dup = False
+                if kind == "c" and hasattr(r.dci, "harq_pid"):
+                    pid, ndi = r.dci.harq_pid, r.dci.ndi
+                    if r.crc_ok:
+                        # re-ACK duplicates (lost ACK -> eNB retx) but
+                        # deliver once per NDI toggle (dl_harq.cc)
+                        dup = self.dl_harq_delivered.get(pid) == ndi
+                        self.dl_harq_delivered[pid] = ndi
+                    self._schedule_ack(tti, r.crc_ok)
+                if r.crc_ok and r.tb_bits is not None and not dup:
                     data = np.packbits(
                         np.asarray(r.tb_bits).ravel()).tobytes()
                     if kind == "ra":
                         self._on_rar(tti, data)
                     else:
                         self._on_mac_pdu(data)
+
+    def _schedule_ack(self, tti: int, ok: bool):
+        """HARQ-ACK on PUCCH format 1a at n+4 (phch_common pending-ACK
+        path; bit 1 = ACK). Skipped when a PUSCH already owns n+4."""
+        if tti + 4 in self.tx_plan:
+            return
+        pcfg = PucchConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
+                           n_pucch=self.ack_n_pucch, format="1a")
+        bit = 1 if ok else 0
+        self.events.append(f"harq_{'ack' if ok else 'nack'}_tti{tti + 4}")
+        self.tx_plan[tti + 4] = lambda: np.asarray(
+            ue_ul_generate(self.cell, pucch=(pcfg, (bit,))))
 
     def _on_rar(self, tti: int, data: bytes):
         rar = unpack_rar_pdu(data, self.cell.nof_prb)

@@ -259,3 +259,50 @@ class TestPeriodicCqi:
         cqis = [st["cqi"] for st in enb.active_ues.values() if "cqi" in st]
         assert cqis and max(cqis) >= 12, cqis
         assert ue.rx_ip and ue.rx_ip[0].endswith(b"ADAPTED-MCS-DATA")
+
+
+class TestDlHarqOverTheAir:
+    def test_nack_triggers_rv_retx_and_delivery(self):
+        """A downlink IP packet sent through a deep fade: the UE NACKs
+        on PUCCH 1a, the eNB retransmits the same TB with the next RV,
+        the UE soft-combines and delivers exactly once."""
+        from tests.test_stack import _epc
+
+        from empower_srslte_tpu.stack import Air, EnbStack, UeStack
+        from empower_srslte_tpu.utils.cell import Cell
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        air = Air(cell.sf_sample_len)
+        ul_iq, attached_at, sent_at = None, None, None
+        for tti in range(140):
+            # fade exactly the first transmission of the data TB
+            air.snr_db = -5.0 if (sent_at is not None
+                                  and tti == sent_at) else None
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+            if (attached_at is not None and tti == attached_at + 14
+                    and sent_at is None):
+                pong = (b"\x45\x00" + bytes(14)
+                        + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                        + b"HARQ-COMBINED!!!")
+                fwd = mme.spgw.downlink(pong)
+                enb.deliver_gtpu(fwd[1])
+                sent_at = tti + 1          # next compose_dl carries it
+            if sent_at is not None and ue.rx_ip:
+                break
+        assert attached_at is not None
+        assert any(e.startswith("harq_retx") for e in enb.events), \
+            enb.events[-12:]
+        assert any(e.startswith("harq_nack") for e in ue.events) or \
+            any(e.startswith("harq_nack") for e in enb.events), \
+            (ue.events[-8:], enb.events[-8:])
+        assert ue.rx_ip and ue.rx_ip[0].endswith(b"HARQ-COMBINED!!!")
+        assert len(ue.rx_ip) == 1          # duplicate-free delivery
+        assert any(e.startswith("harq_ack_") for e in enb.events), \
+            enb.events[-12:]
