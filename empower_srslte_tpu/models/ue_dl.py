@@ -40,6 +40,8 @@ class UeDlResult:
     crc_ok: bool = False
     noise_est: float = 0.0
     snr_db: float = 0.0          # wideband chest SNR (feeds CQI reports)
+    cce: int = 0                 # first CCE of the grant's PDCCH (36.213
+                                 # 10.1 ACK resource: n_pucch = n_cce + N1)
 
 
 def estimate_channel(grid, cell: Cell, sf_idx: int):
@@ -151,7 +153,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                 if d_ul is not None:
                     results.append(UeDlResult(cfi=cfi, dci=d_ul,
                                               noise_est=noise,
-                                              snr_db=snr_db))
+                                              snr_db=snr_db,
+                                              cce=hit.cce))
                 continue
         elif len(hit.payload) == sizes[1]:
             d = dci_mod.unpack_format1(hit.payload, cell.nof_prb)
@@ -169,7 +172,7 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             results.append(UeDlResult(
                 cfi=cfi, dci=d1c, tb_bits=np.asarray(bits)[0],
                 crc_ok=bool(np.asarray(ok)[0]), noise_est=noise,
-                snr_db=snr_db))
+                snr_db=snr_db, cce=hit.cce))
             continue
         if d is None:
             continue
@@ -205,7 +208,7 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             cfi=cfi, dci=d,
             tb_bits=np.asarray(bits)[0],
             crc_ok=ok_b,
-            noise_est=noise, snr_db=snr_db))
+            noise_est=noise, snr_db=snr_db, cce=hit.cce))
     if not results:
         results.append(UeDlResult(cfi=cfi, noise_est=noise,
                                   snr_db=snr_db))

@@ -105,6 +105,9 @@ class UeRrc:
     drbs: list = field(default_factory=list)
     serving_pci: int = 0
     events: list = field(default_factory=list)
+    #: dedicated PUCCH resources from PhysicalConfigDedicated
+    sr_cfg: dict | None = None
+    cqi_cfg: dict | None = None
 
     # --- connection establishment -------------------------------------------
 
@@ -173,6 +176,9 @@ class UeRrc:
         if name == "rrcConnectionSetup" and self.state == "connecting":
             self.state = "connected"
             self.events.append("connection_setup")
+            r8s = v["critical_extensions"][1][1]
+            self._apply_phys_cfg((r8s.get("radio_resource_config_dedicated")
+                                  or {}).get("physical_config_dedicated"))
             msg = {"rrc_transaction_identifier":
                    v["rrc_transaction_identifier"],
                    "critical_extensions": ("c1", ("r8", {
@@ -184,6 +190,37 @@ class UeRrc:
             self.state = "idle"
             self.events.append("connection_reject")
         return []
+
+    def _apply_phys_cfg(self, phys: dict | None) -> None:
+        """PhysicalConfigDedicated -> SR/CQI occasion configs (36.213
+        Tables 10.1-5 and 7.2.2-1A index mappings)."""
+        if not phys:
+            return
+        src = phys.get("scheduling_request_config")
+        if src and src[0] == "setup":
+            s = src[1]
+            i = s["sr_config_index"]
+            period, off = (5, i) if i < 5 else (10, i - 5)
+            self.sr_cfg = dict(
+                n_pucch=s["sr_pucch_resource_index"], period=period,
+                subframe=off,
+                dsr_trans_max=(4, 8, 16, 32, 64)[
+                    min(s["dsr_trans_max"], 4)])
+            self.events.append("sr_configured")
+        crc = phys.get("cqi_report_config") or {}
+        crp = crc.get("cqi_report_periodic")
+        if crp and crp[0] == "setup":
+            i = crp[1]["cqi_pmi_config_index"]
+            if i < 2:
+                period, off = 2, i
+            elif i < 7:
+                period, off = 5, i - 2
+            else:
+                period, off = 10, i - 7
+            self.cqi_cfg = dict(
+                n_pucch=crp[1]["cqi_pucch_resource_index"],
+                period=period, subframe=off)
+            self.events.append("cqi_configured")
 
     def _handle_dl_dcch(self, pdu: bytes) -> list[tuple[int, bytes]]:
         name, v = M.unpack_dl_dcch(pdu)
@@ -358,13 +395,37 @@ class EnbRrc:
             return []
         rnti = self.next_c_rnti
         self.next_c_rnti += 1
+        # dedicated PUCCH resources (36.331 PhysicalConfigDedicated):
+        # sr-ConfigIndex 5..14 = period 10 / offset I-5 (36.213
+        # Table 10.1-5), cqi-pmi-ConfigIndex 7..16 = period 10 /
+        # offset I-7 (Table 7.2.2-1A); indexes stride per UE
+        ue_ix = len(self.ues)
+        phys = {
+            "scheduling_request_config": ("setup", {
+                "sr_pucch_resource_index": ue_ix,
+                "sr_config_index": 5 + (2 * ue_ix) % 10,
+                "dsr_trans_max": 2}),          # enum idx 2 = n16
+            "cqi_report_config": {
+                "nom_pdsch_rs_epre_offset": 0,
+                "cqi_report_periodic": ("setup", {
+                    "cqi_pucch_resource_index": ue_ix,
+                    "cqi_pmi_config_index": 7 + (2 * ue_ix + 4) % 10,
+                    "cqi_format_indicator_periodic": ("widebandCQI",
+                                                      None),
+                    "simultaneous_ack_nack_and_cqi": False})},
+        }
         self.ues[rnti] = {"state": "setup", "security_activated": False,
-                          "pdcp_tx": None, "pdcp_rx": None, "tid": 0}
+                          "pdcp_tx": None, "pdcp_rx": None, "tid": 0,
+                          "sr_n_pucch": ue_ix,
+                          "sr_subframe": (2 * ue_ix) % 10,
+                          "cqi_n_pucch": ue_ix,
+                          "cqi_subframe": (2 * ue_ix + 4) % 10}
         self.events.append(f"connection_request_{rnti:#x}")
         msg = {"rrc_transaction_identifier": 0,
                "critical_extensions": ("c1", ("r8", {
                    "radio_resource_config_dedicated": {
-                       "srb_to_add_mod_list": [_DEFAULT_SRB1]}}))}
+                       "srb_to_add_mod_list": [_DEFAULT_SRB1],
+                       "physical_config_dedicated": phys}}))}
         return [(rnti, SRB0, M.pack_dl_ccch("rrcConnectionSetup", msg))]
 
     def _handle_ul_dcch(self, rnti: int, pdu: bytes):
@@ -375,12 +436,14 @@ class EnbRrc:
             ue["state"] = "connected"
             nas_pdu = v["critical_extensions"][1][1]["dedicated_info_nas"]
             out.extend(self._apply_directives(
-                rnti, ue, self._mme_iface().initial_ue(nas_pdu)))
+                rnti, ue, self._mme_iface().initial_ue(nas_pdu,
+                                                       enb_teid=rnti)))
         elif name == "ulInformationTransfer":
             nas_pdu = v["critical_extensions"][1][1][
                 "dedicated_info_type"][1]
             out.extend(self._apply_directives(
-                rnti, ue, self._mme_iface().ul_nas(nas_pdu)))
+                rnti, ue, self._mme_iface().ul_nas(nas_pdu,
+                                                   enb_teid=rnti)))
         elif name == "securityModeComplete":
             # first protected message: validated with the derived keys
             ue["smc_pending"] = False
@@ -487,9 +550,13 @@ class EnbRrc:
             if d[0] == "dl_nas":
                 out.append((rnti, SRB1, self._dl_info_transfer(ue, d[1])))
             elif d[0] == "ctx_setup":
-                _, k_enb, nas_pdu = d
+                _, k_enb, nas_pdu = d[:3]
                 ue["pending_nas"] = nas_pdu
                 ue["k_enb"] = k_enb
+                if len(d) > 3:
+                    # S1-U uplink TEID for the default E-RAB (36.413
+                    # InitialContextSetup E-RABToBeSetupItem)
+                    ue["spgw_teid"] = d[3]
                 out.append((rnti, SRB1, self._security_mode_command(ue)))
             elif d[0] == "release":
                 ue["state"] = "idle"

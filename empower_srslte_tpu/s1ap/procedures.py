@@ -11,7 +11,8 @@ is unavailable).
 
 The eNB side presents the MME-interface consumed by rrc.procedures:
   initial_ue(nas) / ul_nas(nas) -> [directives]
-where directives are ("dl_nas", pdu) | ("ctx_setup", k_enb, nas_pdu)
+where directives are ("dl_nas", pdu) | ("ctx_setup", k_enb, nas_pdu,
+spgw_teid)
 | ("release",).
 """
 
@@ -30,17 +31,17 @@ class DirectMmeAdapter:
     def __init__(self, mme):
         self.mme = mme
 
-    def initial_ue(self, nas_pdu: bytes):
-        return self._directives(self.mme.handle_ul_nas(nas_pdu))
+    def initial_ue(self, nas_pdu: bytes, enb_teid: int = 0):
+        return self._directives(self.mme.handle_ul_nas(nas_pdu, enb_teid))
 
-    def ul_nas(self, nas_pdu: bytes):
-        return self._directives(self.mme.handle_ul_nas(nas_pdu))
+    def ul_nas(self, nas_pdu: bytes, enb_teid: int = 0):
+        return self._directives(self.mme.handle_ul_nas(nas_pdu, enb_teid))
 
     def _directives(self, resp):
         ctx = getattr(self.mme, "last_ctx", None)
         if ctx is not None and ctx.state == "attached" and resp is not None:
             k_enb = security.generate_k_enb(ctx.kasme, 0)
-            return [("ctx_setup", k_enb, resp)]
+            return [("ctx_setup", k_enb, resp, ctx.spgw_teid)]
         if resp is not None:
             return [("dl_nas", resp)]
         return []
@@ -304,7 +305,7 @@ class EnbS1ap:
                 self.events.append("s1_setup_ok")
         return self.setup_done
 
-    def initial_ue(self, nas_pdu: bytes):
+    def initial_ue(self, nas_pdu: bytes, enb_teid: int = 0):
         if not self.setup_done:
             self.s1_setup()
         self._current_ue = self.next_enb_ue_id
@@ -314,7 +315,7 @@ class EnbS1ap:
                                         self.cell_id)
         return self._directives(self.send(pdu))
 
-    def ul_nas(self, nas_pdu: bytes):
+    def ul_nas(self, nas_pdu: bytes, enb_teid: int = 0):
         pdu = S.pack_ul_nas_transport(0, self._current_ue, nas_pdu,
                                       self.mcc, self.mnc, self.tac,
                                       self.cell_id)
@@ -336,7 +337,8 @@ class EnbS1ap:
                 self.send(S.pack_initial_context_setup_response(
                     mme_ue, enb_ue, item["erab_id"], teid=enb_ue,
                     gtp_addr=bytes([172, 16, 255, 2])))
-                out.append(("ctx_setup", k_enb, item["nas_pdu"]))
+                out.append(("ctx_setup", k_enb, item["nas_pdu"],
+                            item.get("teid", 0)))
             elif proc == S.PROC_UE_CONTEXT_RELEASE \
                     and kind == S.INITIATING:
                 # srsenb handle_uectxtreleasecommand: ack with complete

@@ -6,11 +6,16 @@ and produces one DL IQ subframe. Timing model: an uplink grant issued in
 subframe n is transmitted by the UE in n+4 (HARQ_DELAY_MS, common.h:49);
 the RAR UL grant follows the same +4 rule (the spec's +6 collapses to the
 framework's single pipeline delay, documented divergence).
+
+Multi-UE: per-RNTI DRB PDCP/RLC entities (the reference keeps per-user
+arrays in srsenb/src/upper/{pdcp,rlc}.cc), per-UE PUCCH resources from
+PhysicalConfigDedicated, per-UE PUSCH PRB slices, HARQ-ACK resources
+derived from the DL grant's first CCE (36.213 10.1).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -28,23 +33,20 @@ from ..models.pdcch import pdcch_encode
 from ..models.pdsch import PdschConfig, pdsch_encode
 from ..models.prach import prach_detect, prach_seq_len
 from ..models.pusch import PuschConfig, pusch_decode
-from ..ops.modem import Mod
 from ..rrc.procedures import EnbRrc
 from ..upper.gtpu import gtpu_pack, gtpu_unpack
 from ..upper.pdcp import PdcpConfig, PdcpEntity
 from ..upper.rlc import RlcUm
 from ..utils.cell import Cell
+from .params import (MSG3_MCS, MSG3_PRB, N1_PUCCH, PRACH_FREQ_OFFSET,
+                     PRACH_SF, PUCCH_N_RB_2, UL_GRANT_N_PRB, UL_GRANT_PRB0)
 
-PRACH_SF = 1            # prach-ConfigIndex 3: subframe 1 of every frame
-MSG3_PRB = (2, 4)       # (start, n_prb) of the RAR grant
-MSG3_MCS = 4
 UL_MCS = 4
 DL_MCS = 5
 SR_DETECT_THRESHOLD = 1.0   # coherent PUCCH f1 energy (|h|~1 -> ~8)
-SR_SUBFRAME = 0             # SR occasion (sched_request_cnfg subframe)
-CQI_SUBFRAME = 4            # periodic CQI occasion (cqi-ReportPeriodic)
+SR_SUBFRAME = 0             # default SR occasion when RRC did not assign
+CQI_SUBFRAME = 4            # default CQI occasion
 CQI_DETECT_THRESHOLD = 0.2  # coherent PUCCH f2 DMRS energy (|h|~1 -> 2)
-ACK_N_PUCCH = 4             # HARQ-ACK PUCCH 1a resource
 ACK_DETECT_THRESHOLD = 1.0  # DTX vs ACK/NACK energy decision
 
 
@@ -75,22 +77,37 @@ class EnbStack:
         self.ul_pending: dict = {}    # tti -> [_PendingUl]
         self.active_ues: dict = {}    # rnti -> {"want_ul": bool}
         self.events: list = []
-        # DRB1 user plane towards the SP-GW (gtpu.cc analog)
-        self.drb_pdcp_rx = PdcpEntity(PdcpConfig(bearer_id=5))
-        self.drb_pdcp_tx = PdcpEntity(PdcpConfig(bearer_id=5))
-        self.drb_rlc_rx = RlcUm()
-        self.drb_rlc_tx = RlcUm()
-        self.spgw_teid = 1            # TEID towards the SP-GW session
+        # DRB1 user plane towards the SP-GW, per UE (srsenb upper/
+        # {pdcp,rlc}.cc keep per-user bearer arrays)
+        self.drbs: dict = {}          # rnti -> {pdcp_rx/tx, rlc_rx/tx}
         self.ul_gtpu: list = []       # GTP-U PDUs towards the core
         # DL HARQ (scheduler_harq.cc): ACKs expected at tti -> list of
-        # (rnti, pid, retx_record); retx_record re-encodes the exact
+        # (rnti, pid, retx_record, n_pucch); retx_record re-encodes the
         # same transport block with the next redundancy version
         self.ack_pending: dict = {}
 
+    # --- user plane -----------------------------------------------------------
+
+    def _drb(self, rnti: int) -> dict:
+        d = self.drbs.get(rnti)
+        if d is None:
+            d = self.drbs[rnti] = {
+                "pdcp_rx": PdcpEntity(PdcpConfig(bearer_id=5)),
+                "pdcp_tx": PdcpEntity(PdcpConfig(bearer_id=5)),
+                "rlc_rx": RlcUm(), "rlc_tx": RlcUm()}
+        return d
+
     def deliver_gtpu(self, gtpu_pdu: bytes) -> None:
-        """Downlink user plane from the SP-GW: unwrap and queue on DRB1."""
-        _, ip = gtpu_unpack(gtpu_pdu)
-        self.drb_rlc_tx.write_sdu(self.drb_pdcp_tx.write_sdu(ip))
+        """Downlink user plane from the SP-GW: unwrap and queue on the
+        addressed UE's DRB1. The eNB-side S1-U TEID is the C-RNTI (the
+        eNB allocates its own TEIDs, gtpu.cc add_bearer)."""
+        teid, ip = gtpu_unpack(gtpu_pdu)
+        rnti = teid if teid in self.rrc.ues else \
+            next(iter(self.active_ues), 0)
+        if not rnti:
+            return
+        d = self._drb(rnti)
+        d["rlc_tx"].write_sdu(d["pdcp_tx"].write_sdu(ip))
 
     # --- per-TTI processing ---------------------------------------------------
 
@@ -100,7 +117,16 @@ class EnbStack:
         txrx.cc): process it under its own subframe index."""
         if ul_iq is not None:
             self._process_ul(tti - 1, ul_iq)
+        else:
+            self._process_ul_idle(tti - 1)
         return self._compose_dl(tti)
+
+    def _process_ul_idle(self, tti: int):
+        """No UL signal this subframe: expected transmissions are DTX."""
+        for p in self.ul_pending.pop(tti, []):
+            self.events.append(f"pusch_dtx_tti{tti}")
+        for rnti, pid, rec, _ in self.ack_pending.pop(tti, []):
+            self._handle_ack(rnti, pid, rec, False)
 
     def _process_ul(self, tti: int, ul_iq):
         sf_idx = tti % 10
@@ -111,71 +137,60 @@ class EnbStack:
             cp = len(win) - seq_len if len(win) > seq_len else 0
             det, offs, metric = prach_detect(
                 jnp.asarray(win[None, cp : cp + seq_len]), self.cell,
-                self.rsi)
+                self.rsi, freq_offset_prb=PRACH_FREQ_OFFSET)
             det = np.asarray(det)[0]
-            if det.any():
-                rapid = int(np.argmax(det))
-                self._on_prach(tti, rapid)
-        # SR detection on PUCCH format 1 (eNB side of proc_sr): checked
-        # for connected UEs on subframes with no scheduled PUSCH
+            for rapid in np.nonzero(det)[0]:
+                self._on_prach(tti, int(rapid))
         expected = {p.rnti for p in self.ul_pending.get(tti, [])}
+        # SR detection on PUCCH format 1 (eNB side of proc_sr): checked
+        # for connected UEs on their occasion, unless a PUSCH is due
         sr_ues = [r for r, st in self.active_ues.items()
                   if r in self.rrc.ues and r not in expected
-                  and not st.get("want_ul")]
-        if sr_ues and sf_idx == SR_SUBFRAME:
+                  and not st.get("want_ul")
+                  and sf_idx == self.rrc.ues[r].get("sr_subframe",
+                                                    SR_SUBFRAME)]
+        grid = None
+        if sr_ues:
             from ..models.pucch import PucchConfig, pucch_f1_decode
 
-            grid = self._ul_grid(ul_iq)
+            grid = self._ul_grid(ul_iq) if grid is None else grid
             for rnti in sr_ues:
                 st = self.active_ues[rnti]
                 pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
-                                   n_pucch=st.get("sr_n_pucch", 0),
-                                   format="1")
+                                   n_pucch=self.rrc.ues[rnti].get(
+                                       "sr_n_pucch", 0),
+                                   format="1", n_rb_2=PUCCH_N_RB_2)
                 d, energy = pucch_f1_decode(np.asarray(grid), pcfg)
                 if energy > SR_DETECT_THRESHOLD and d.real > 0.5:
                     self.events.append(f"sr_detected_rnti{rnti:#x}")
                     st["want_ul"] = True
-        # HARQ-ACK reception on PUCCH 1a (phch_worker decode_pucch):
+        # HARQ-ACK reception (phch_worker decode_pucch / UCI-on-PUSCH):
         # ACK retires the process, NACK/DTX queues a retransmission
-        # with the next redundancy version
-        for rnti, pid, rec in self.ack_pending.pop(tti, []):
-            st = self.active_ues.get(rnti)
-            if st is None or "harq" not in st:
-                continue
-            ack = False
-            if rnti not in expected:
-                from ..models.pucch import PucchConfig, pucch_f1_bits, \
-                    pucch_f1_decode
-
-                grid = self._ul_grid(ul_iq)
-                pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
-                                   n_pucch=ACK_N_PUCCH, format="1a")
-                d, energy = pucch_f1_decode(np.asarray(grid), pcfg)
-                if energy > ACK_DETECT_THRESHOLD:
-                    ack = pucch_f1_bits(d, "1a")[0] == 1
-            harq = st["harq"]
-            p = harq.processes[pid]
-            if p.ack(ack):
-                p.retx()
-                rec = dict(rec, rv=p.rv)
-                self.events.append(
-                    f"harq_nack_pid{pid}_rnti{rnti:#x}")
-                self.dl_queue.insert(0, (rnti, None, {"retx": rec}))
-            elif ack:
-                self.events.append(f"harq_ack_pid{pid}_rnti{rnti:#x}")
+        acks_due: dict = {}
+        for rnti, pid, rec, n_pucch in self.ack_pending.pop(tti, []):
+            acks_due.setdefault(rnti, []).append((pid, rec, n_pucch))
+        for rnti in [r for r in acks_due if r not in expected]:
+            items = acks_due.pop(rnti)
+            grid = self._ul_grid(ul_iq) if grid is None else grid
+            bits = self._decode_pucch_ack(grid, sf_idx, items)
+            for (pid, rec, _), ack in zip(items, bits):
+                self._handle_ack(rnti, pid, rec, ack)
         # periodic CQI on PUCCH format 2 (eNB side of the reporting
         # config; feeds CQI->MCS link adaptation like scheduler_ue.cc)
         cqi_ues = [r for r, st in self.active_ues.items()
-                   if r in self.rrc.ues and r not in expected]
-        if cqi_ues and sf_idx == CQI_SUBFRAME:
+                   if r in self.rrc.ues and r not in expected
+                   and sf_idx == self.rrc.ues[r].get("cqi_subframe",
+                                                     CQI_SUBFRAME)]
+        if cqi_ues:
             from ..models.pucch import PucchConfig, pucch_f2_decode
             from ..models.uci import cqi_unpack_wideband
 
-            grid = self._ul_grid(ul_iq)
+            grid = self._ul_grid(ul_iq) if grid is None else grid
             for rnti in cqi_ues:
                 st = self.active_ues[rnti]
                 pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
-                                   n_pucch=st.get("cqi_n_pucch", 0),
+                                   n_pucch=self.rrc.ues[rnti].get(
+                                       "cqi_n_pucch", 0),
                                    format="2")
                 payload, energy = pucch_f2_decode(np.asarray(grid), pcfg,
                                                   4, return_energy=True)
@@ -185,16 +200,70 @@ class EnbStack:
                 if cqi > 0:
                     st["cqi"] = cqi
                     self.events.append(f"cqi_rx{cqi}_rnti{rnti:#x}")
-        # scheduled PUSCH receptions
+        # scheduled PUSCH receptions (with UCI demux when ACKs are due)
         for p in self.ul_pending.pop(tti, []):
-            grid = self._ul_grid(ul_iq)
-            plan = p.cfg.plan(p.tbs)
-            bits, ok, _ = pusch_decode(grid, p.cfg, plan, noise_est=1e-3)
-            if not bool(np.asarray(ok).all()):
+            grid = self._ul_grid(ul_iq) if grid is None else grid
+            items = acks_due.pop(p.rnti, None)
+            if items:
+                from ..models.pusch import (UciData, UciPlan,
+                                            pusch_decode_uci)
+
+                plan = UciPlan(p.cfg, p.tbs,
+                               UciData(ack=(1,) * len(items)))
+                out = pusch_decode_uci(grid, p.cfg, plan, noise_est=1e-3)
+                ok = bool(np.asarray(out["crc_ok"]).all())
+                if ok:
+                    acked = [bool(a) for a in out["ack"]]
+                else:
+                    # the UE may have missed the grant and sent the
+                    # ACK on PUCCH instead: fall back before declaring
+                    # DTX (phch_worker checks both owners of the UCI)
+                    acked = self._decode_pucch_ack(grid, sf_idx, items)
+                for (pid, rec, _), ack in zip(items, acked):
+                    self._handle_ack(p.rnti, pid, rec, ack)
+                bits = out["tb"]
+            else:
+                bits, ok, _ = pusch_decode(grid, p.cfg, p.cfg.plan(p.tbs),
+                                           noise_est=1e-3)
+                ok = bool(np.asarray(ok).all())
+            if not ok:
                 self.events.append(f"pusch_crc_fail_tti{tti}")
                 continue
             data = np.packbits(np.asarray(bits).ravel()[: p.tbs])
             self._on_mac_pdu(p.rnti, bytes(data.tobytes()))
+        # ACKs still unresolved (no PUCCH, no PUSCH): DTX
+        for rnti, items in acks_due.items():
+            for pid, rec, _ in items:
+                self._handle_ack(rnti, pid, rec, False)
+
+    def _decode_pucch_ack(self, grid, sf_idx: int, items) -> list[bool]:
+        """ACK/NACK bits off PUCCH 1a at the CCE-derived resource."""
+        from ..models.pucch import PucchConfig, pucch_f1_bits, \
+            pucch_f1_decode
+
+        pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
+                           n_pucch=items[0][2],
+                           format="1a" if len(items) == 1 else "1b",
+                           n_rb_2=PUCCH_N_RB_2)
+        d, energy = pucch_f1_decode(np.asarray(grid), pcfg)
+        if energy <= ACK_DETECT_THRESHOLD:
+            return [False] * len(items)
+        bits = pucch_f1_bits(d, pcfg.format)
+        return [bool(b) for b in bits[: len(items)]]
+
+    def _handle_ack(self, rnti: int, pid: int, rec: dict, ack: bool):
+        st = self.active_ues.get(rnti)
+        if st is None or "harq" not in st:
+            return
+        harq = st["harq"]
+        p = harq.processes[pid]
+        if p.ack(ack):
+            p.retx()
+            rec = dict(rec, rv=p.rv)
+            self.events.append(f"harq_nack_pid{pid}_rnti{rnti:#x}")
+            self.dl_queue.insert(0, (rnti, None, {"retx": rec}))
+        elif ack:
+            self.events.append(f"harq_ack_pid{pid}_rnti{rnti:#x}")
 
     def _ul_grid(self, ul_iq):
         from ..models.ue_ul import enb_ul_receive_grid
@@ -243,12 +312,14 @@ class EnbStack:
             if not sp.is_sdu or not sp.payload:
                 continue
             if sp.lcid == 3:          # DRB1 -> GTP-U towards the SP-GW
-                self.drb_rlc_rx.write_pdu(sp.payload)
-                while self.drb_rlc_rx.rx_sdus:
-                    ip = self.drb_pdcp_rx.write_pdu(
-                        self.drb_rlc_rx.rx_sdus.pop(0))
+                d = self._drb(rnti)
+                d["rlc_rx"].write_pdu(sp.payload)
+                while d["rlc_rx"].rx_sdus:
+                    ip = d["pdcp_rx"].write_pdu(d["rlc_rx"].rx_sdus.pop(0))
                     if ip is not None:
-                        self.ul_gtpu.append(gtpu_pack(self.spgw_teid, ip))
+                        teid = self.rrc.ues.get(rnti, {}).get(
+                            "spgw_teid", 1)
+                        self.ul_gtpu.append(gtpu_pack(teid, ip))
                 continue
             srb = 0 if sp.lcid == 0 else 1
             if srb == 0 and rnti not in self.rrc.ues:
@@ -280,14 +351,21 @@ class EnbStack:
         grid = pcfich_put(grid, self.cfi, self.cell, sf_idx)
 
         used_prb = 0
+        cce_next = 0          # per-subframe CCE allocator (L=4 slots
+                              # land on common-search-space candidates)
         if not self.dl_queue and self.active_ues:
-            # opportunistic DRB drain towards connected UEs
-            rlc_pdu = self.drb_rlc_tx.read_pdu(200)
-            if rlc_pdu is not None:
-                mac = MacPdu()
-                mac.add_sdu(3, rlc_pdu)
-                rnti = next(iter(self.active_ues))
-                self.dl_queue.append((rnti, mac, None))
+            # opportunistic DRB drain towards connected UEs (round-robin
+            # over UEs with queued downlink data)
+            for rnti in self.active_ues:
+                d = self.drbs.get(rnti)
+                if d is None:
+                    continue
+                rlc_pdu = d["rlc_tx"].read_pdu(200)
+                if rlc_pdu is not None:
+                    mac = MacPdu()
+                    mac.add_sdu(3, rlc_pdu)
+                    self.dl_queue.append((rnti, mac, None))
+                    break
         if self.dl_queue:
             rnti, payload, meta = self.dl_queue.pop(0)
             st = self.active_ues.get(rnti)
@@ -337,28 +415,43 @@ class EnbStack:
                               prb_mask=ra.prb_mask_type2(
                                   self.cell.nof_prb, 0, n_prb))
             plan = cfg.plan(tbs, rv=rv)
-            grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti, 0, 4,
-                                       self.cell, self.cfi, sf_idx)
+            cce_used = cce_next
+            grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti,
+                                       cce_used, 4, self.cell, self.cfi,
+                                       sf_idx)
+            cce_next += 4
             grid = grid + pdsch_encode(
                 jnp.asarray(tb_bits.astype(np.int8))[None], cfg, plan)[0]
             used_prb = n_prb
             if st is not None and "harq" in st and rnti in self.rrc.ues:
-                # expect the HARQ-ACK at n+4 (+1 transport delay)
+                # expect the HARQ-ACK at n+4, on PUCCH n_cce + N1
+                # (36.213 10.1) or multiplexed on a granted PUSCH
                 self.ack_pending.setdefault(tti + 4, []).append(
                     (rnti, pid, dict(pid=pid, ndi=ndi, rv=rv,
                                      n_prb=n_prb, mod=mod, tbs=tbs,
-                                     mcs=mcs, mac_bytes=mac_bytes)))
+                                     mcs=mcs, mac_bytes=mac_bytes),
+                     N1_PUCCH + cce_used))
 
-        # standing UL grants (DCI0) for UEs with pending uplink
+        # standing UL grants (DCI0) for UEs with pending uplink: each UE
+        # gets its own PRB slice and CCE (ul_sched allocating distinct
+        # resources per user)
+        ul_slot = 0
         for rnti, st in list(self.active_ues.items()):
-            if not st.get("want_ul") or tti + 4 in self.ul_pending:
+            pend = self.ul_pending.get(tti + 4, [])
+            if not st.get("want_ul") or any(p.rnti == rnti for p in pend):
                 continue
-            start, n_prb = 8, 4
+            start = UL_GRANT_PRB0 + UL_GRANT_N_PRB * ul_slot
+            n_prb = UL_GRANT_N_PRB
+            if (start + n_prb > self.cell.nof_prb - PUCCH_N_RB_2
+                    or cce_next + 4 > 12):
+                break                      # out of PRBs/CCEs this tti
+            ul_slot += 1
             mod, tbs = ra.mcs_to_tbs(UL_MCS, n_prb, dl=False)
             dci0 = dci_mod.pack_format0(self.cell.nof_prb, start, n_prb,
                                         UL_MCS)
-            grid = grid + pdcch_encode(jnp.asarray(dci0), rnti, 1, 4,
-                                       self.cell, self.cfi, sf_idx)
+            grid = grid + pdcch_encode(jnp.asarray(dci0), rnti, cce_next,
+                                       4, self.cell, self.cfi, sf_idx)
+            cce_next += 4
             cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                               rnti=rnti, mod=mod, prb_start=start,
                               n_prb=n_prb)

@@ -7,8 +7,6 @@ carrying MAC-muxed RRC signalling)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 import numpy as np
 
 import jax.numpy as jnp
@@ -22,28 +20,31 @@ from ..models.pucch import PucchConfig
 from ..models.pusch import PuschConfig
 from ..models.ue_dl import ue_dl_decode
 from ..models.ue_ul import ue_ul_generate
-from ..ops.modem import Mod
 from ..rrc.procedures import UeRrc
 from ..upper.pdcp import PdcpConfig, PdcpEntity
 from ..upper.rlc import RlcUm
 from ..utils.cell import Cell
+from .params import (N1_PUCCH, PRACH_FREQ_OFFSET, PRACH_SF, PUCCH_N_RB_2)
 
-PRACH_SF = 1
 PREAMBLE = 7
 
 
 class UeStack:
     def __init__(self, cell: Cell, nas, rsi: int = 128,
-                 mac_cfg: UlSchConfig | None = None):
+                 mac_cfg: UlSchConfig | None = None,
+                 preamble: int = PREAMBLE, ra_delay_frames: int = 0):
         self.cell = cell
         self.rsi = rsi
+        self.preamble = preamble
+        self.ra_delay_frames = ra_delay_frames
         self.rrc = UeRrc(nas=nas)
         self.state = "idle"           # idle -> ra -> connected
         self.c_rnti = 0
         self.ra_rnti = 0
         self.msg3: bytes | None = None
         self.ul_queue: list = []      # (srb, pdu) awaiting a grant
-        self.tx_plan: dict = {}       # tti -> callable -> ul_iq
+        self.pusch_plan: dict = {}    # tti -> (mac, cfg, tbs)
+        self.ack_plan: dict = {}      # tti -> (n_pucch, [ack bits])
         self.events: list = []
         # DRB user plane (gw.cc analog): PDCP DRB + RLC UM behind lcid 3
         self.drb_pdcp_tx = PdcpEntity(PdcpConfig(bearer_id=5))
@@ -71,10 +72,10 @@ class UeStack:
         self.cqi_n_pucch = 0
         self.last_snr_db: float | None = None
         # DL HARQ (dl_harq.cc): per-process softbuffers + NDI tracking,
-        # ACK/NACK on PUCCH 1a at n+4
+        # ACK/NACK on PUCCH 1a at n+4 (resource from the grant's first
+        # CCE, 36.213 10.1) or multiplexed onto a granted PUSCH
         self.dl_harq: dict = {}
         self.dl_harq_delivered: dict = {}   # pid -> ndi already delivered
-        self.ack_n_pucch = 4
 
     def _lcid_buffer_state(self, lcid: int) -> int:
         if lcid == 1:
@@ -90,15 +91,28 @@ class UeStack:
     def tti(self, tti: int, dl_iq) -> np.ndarray | None:
         sf_idx = tti % 10
         self._process_dl(tti, dl_iq)
-        if self.state == "idle" and sf_idx == PRACH_SF:
+        if (self.state == "idle" and sf_idx == PRACH_SF
+                and tti >= 10 * self.ra_delay_frames):
             self.state = "ra"
             self.ra_rnti = 1 + sf_idx
             self.events.append("prach_tx")
-            pre = prach_gen(self.cell, self.rsi, PREAMBLE)
+            pre = prach_gen(self.cell, self.rsi, self.preamble,
+                            freq_offset_prb=PRACH_FREQ_OFFSET)
             out = np.zeros(self.cell.sf_sample_len, np.complex64)
             n = min(len(pre), len(out))
             out[-n:] = pre[:n]        # sequence aligned to subframe end
             return out
+        # apply RRC-signalled dedicated PUCCH resources (36.331
+        # PhysicalConfigDedicated -> SR/CQI occasions)
+        if self.rrc.sr_cfg is not None:
+            self.mac_cfg.sr_period_ms = self.rrc.sr_cfg["period"]
+            self.mac_cfg.sr_subframe = self.rrc.sr_cfg["subframe"]
+            self.mac_cfg.dsr_trans_max = self.rrc.sr_cfg["dsr_trans_max"]
+            self.sr_n_pucch = self.rrc.sr_cfg["n_pucch"]
+        if self.rrc.cqi_cfg is not None:
+            self.cqi_period_ms = self.rrc.cqi_cfg["period"]
+            self.cqi_offset = self.rrc.cqi_cfg["subframe"]
+            self.cqi_n_pucch = self.rrc.cqi_cfg["n_pucch"]
         # MAC procedure step (mac.cc run_tti: timers, then bsr/phr/sr)
         self.timers.step_all()
         if self.state == "connected":
@@ -113,13 +127,25 @@ class UeStack:
                 # dsr-TransMax exhausted: PUCCH released, redo RA
                 self.events.append("sr_failed_ra")
                 self.state = "idle"
-        fn = self.tx_plan.pop(tti, None)
-        if fn is not None:
-            return fn()
+        pusch = self.pusch_plan.pop(tti, None)
+        acks = self.ack_plan.pop(tti, None)
+        if pusch is not None:
+            mac, cfg, tbs = pusch
+            return self._pusch(mac, cfg, tbs,
+                               acks[1] if acks is not None else None)
+        if acks is not None:
+            n_pucch, bits = acks
+            fmt = "1a" if len(bits) == 1 else "1b"
+            pcfg = PucchConfig(cell=self.cell, sf_idx=tti % 10,
+                               n_pucch=n_pucch, format=fmt,
+                               n_rb_2=PUCCH_N_RB_2)
+            return np.asarray(ue_ul_generate(self.cell,
+                                             pucch=(pcfg, tuple(bits))))
         if self.sr.sr_signal and self.state == "connected":
             self.events.append(f"sr_tx_tti{tti}")
             pcfg = PucchConfig(cell=self.cell, sf_idx=tti % 10,
-                               n_pucch=self.sr_n_pucch, format="1")
+                               n_pucch=self.sr_n_pucch, format="1",
+                               n_rb_2=PUCCH_N_RB_2)
             return np.asarray(ue_ul_generate(self.cell, pucch=(pcfg, (1,))))
         if (self.state == "connected" and self.last_snr_db is not None
                 and tti % self.cqi_period_ms == self.cqi_offset):
@@ -166,7 +192,7 @@ class UeStack:
                         # deliver once per NDI toggle (dl_harq.cc)
                         dup = self.dl_harq_delivered.get(pid) == ndi
                         self.dl_harq_delivered[pid] = ndi
-                    self._schedule_ack(tti, r.crc_ok)
+                    self._schedule_ack(tti, r.crc_ok, r.cce)
                 if r.crc_ok and r.tb_bits is not None and not dup:
                     data = np.packbits(
                         np.asarray(r.tb_bits).ravel()).tobytes()
@@ -175,21 +201,19 @@ class UeStack:
                     else:
                         self._on_mac_pdu(data)
 
-    def _schedule_ack(self, tti: int, ok: bool):
-        """HARQ-ACK on PUCCH format 1a at n+4 (phch_common pending-ACK
-        path; bit 1 = ACK). Skipped when a PUSCH already owns n+4."""
-        if tti + 4 in self.tx_plan:
-            return
-        pcfg = PucchConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
-                           n_pucch=self.ack_n_pucch, format="1a")
+    def _schedule_ack(self, tti: int, ok: bool, cce: int):
+        """HARQ-ACK at n+4 (phch_common pending-ACK path): on PUCCH 1a at
+        resource n_cce + N1 (36.213 10.1), or multiplexed onto the PUSCH
+        if one owns n+4 (UCI-on-PUSCH, sch.c:550-985)."""
         bit = 1 if ok else 0
         self.events.append(f"harq_{'ack' if ok else 'nack'}_tti{tti + 4}")
-        self.tx_plan[tti + 4] = lambda: np.asarray(
-            ue_ul_generate(self.cell, pucch=(pcfg, (bit,))))
+        n_pucch, bits = self.ack_plan.setdefault(tti + 4,
+                                                 (N1_PUCCH + cce, []))
+        bits.append(bit)
 
     def _on_rar(self, tti: int, data: bytes):
         rar = unpack_rar_pdu(data, self.cell.nof_prb)
-        if rar["rapid"] != PREAMBLE:
+        if rar["rapid"] != self.preamble:
             return
         self.c_rnti = rar["t_crnti"]
         self.rrc.c_rnti = self.c_rnti
@@ -202,7 +226,7 @@ class UeStack:
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                           rnti=self.c_rnti, mod=mod,
                           prb_start=rar["rb_start"], n_prb=rar["n_prb"])
-        self.tx_plan[tti + 4] = lambda: self._pusch(mac, cfg, tbs)
+        self.pusch_plan[tti + 4] = (mac, cfg, tbs)
 
     def _on_mac_pdu(self, data: bytes):
         pdu = unpack_pdu(data, ul=False)
@@ -269,7 +293,8 @@ class UeStack:
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                           rnti=self.c_rnti, mod=mod,
                           prb_start=grant.riv_start, n_prb=grant.riv_len)
-        self.tx_plan[tti + 4] = lambda: self._pusch(mac, cfg, tbs)
+        self.events.append(f"ul_grant_rx_tti{tti + 4}")
+        self.pusch_plan[tti + 4] = (mac, cfg, tbs)
 
     def _add_bsr_ce(self, mac: MacPdu, bsr) -> int:
         """Append the BSR CE for a procs.Bsr; returns bytes consumed."""
@@ -285,9 +310,18 @@ class UeStack:
             mac.add_short_bsr(lcg, idx[lcg])
         return 2
 
-    def _pusch(self, mac: MacPdu, cfg: PuschConfig, tbs: int):
+    def _pusch(self, mac: MacPdu, cfg: PuschConfig, tbs: int,
+               ack_bits: list | None = None):
         data = mac.pack(tbs // 8)
         bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.int8)
-        plan = cfg.plan(tbs)
+        if ack_bits:
+            # HARQ-ACK multiplexed onto the granted PUSCH (36.212 5.2.2;
+            # srslte_ulsch_uci_encode)
+            from ..models.pusch import UciData, UciPlan
+
+            self.events.append(f"ack_on_pusch_tti{cfg.sf_idx}")
+            plan = UciPlan(cfg, tbs, UciData(ack=tuple(ack_bits)))
+        else:
+            plan = cfg.plan(tbs)
         return np.asarray(ue_ul_generate(
             self.cell, pusch=(jnp.asarray(bits), cfg, plan)))

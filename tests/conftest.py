@@ -44,7 +44,8 @@ def rng():
 #: cache read). Dropping the in-memory executables between heavy tests
 #: keeps the loader healthy; the persistent compilation cache (above)
 #: makes the recompiles cheap.
-_HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs")
+_HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs",
+                  "test_multi_ue")
 
 
 @pytest.fixture(autouse=True)
