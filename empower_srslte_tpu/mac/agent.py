@@ -75,6 +75,13 @@ class EmpowerAgent:
             r.dl_tbs_acc += g.tbs
             r.dl_grants += 1
 
+    def process_ul_results(self, tti: int, n_prb_used: int,
+                           nof_prb_cell: int) -> None:
+        """UL PRB accounting (the reference counts DCI0 grants the same
+        way it counts DL allocations, empower_agent.h:344-348)."""
+        self._prb.ul_prb_used += n_prb_used
+        self._prb.ul_prb_total += nof_prb_cell
+
     # --- controller-facing reports (empower_agent report senders) -----------
 
     def emit_reports(self) -> dict:

@@ -26,6 +26,19 @@ _W = np.array([
 NSF = 4
 
 
+def phich_resource(cell: Cell, prb_start: int, n_dmrs: int = 0,
+                   ng: float = 1.0) -> tuple[int, int]:
+    """(group, sequence) for a PUSCH's PHICH (36.213 9.1.2): derived from
+    the lowest allocated PRB and the DMRS cyclic shift, so concurrent UEs
+    on distinct PRB slices land on distinct resources."""
+    from .regs import nof_phich_groups
+
+    n_group = nof_phich_groups(cell, ng)
+    group = (prb_start + n_dmrs) % n_group
+    seq = (prb_start // n_group + n_dmrs) % (2 * NSF)
+    return group, seq
+
+
 def _group_re_indices(cell: Cell, ng: float, group: int) -> np.ndarray:
     regs0 = symbol_regs(cell, 0)
     idx = []

@@ -95,13 +95,18 @@ def prach_gen(cell: Cell, rsi: int, preamble_idx: int, zcz: int = 1,
 
 def prach_detect(samples, cell: Cell, rsi: int, zcz: int = 1,
                  freq_offset_prb: int = 0, nof_roots: int | None = None,
-                 threshold: float = 6.0):
+                 threshold: float = 13.0):
     """Detect preambles in a window starting at the sequence position.
 
     samples [..., >= seq_len] -> (detected [..., 64] bool,
     offsets [..., 64] samples, metric [..., 64]). Correlates against
     ``nof_roots`` consecutive roots, IFFTs to the delay domain, and takes
     peaks per zero-correlation zone (prach_detect_offset analog).
+
+    ``threshold`` is peak-to-profile-mean: noise-only bins are ~Exp(mean),
+    so over 839 delay bins the false-alarm rate is ~839*exp(-t); t=13
+    keeps it < 0.2% per root while a real preamble's coherent gain
+    (~NZC) clears it by an order of magnitude.
     """
     seq_len = prach_seq_len(cell)
     win = samples[..., :seq_len]

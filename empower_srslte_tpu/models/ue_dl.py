@@ -42,6 +42,8 @@ class UeDlResult:
     snr_db: float = 0.0          # wideband chest SNR (feeds CQI reports)
     cce: int = 0                 # first CCE of the grant's PDCCH (36.213
                                  # 10.1 ACK resource: n_pucch = n_cce + N1)
+    phich_ack: bool | None = None  # UL HARQ indicator when one was
+                                   # expected this subframe (ul_harq.cc)
 
 
 def estimate_channel(grid, cell: Cell, sf_idx: int):
@@ -60,6 +62,7 @@ def estimate_channel(grid, cell: Cell, sf_idx: int):
 _front_cache: dict = {}
 _pdsch_cache: dict = {}
 _pdcch_llr_cache: dict = {}
+_phich_cache: dict = {}
 
 
 def _front_fn(cell: Cell, sf_idx: int):
@@ -101,7 +104,8 @@ def _pdsch_fn(cfg: PdschConfig, plan, with_soft: bool = False):
 def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                  mimo: MimoType = MimoType.SINGLE,
                  max_iterations: int = 5,
-                 harq_state: dict | None = None) -> list[UeDlResult]:
+                 harq_state: dict | None = None,
+                 phich: tuple[int, int] | None = None) -> list[UeDlResult]:
     """Decode one subframe for one RNTI (single rx antenna).
 
     samples [sf_sample_len] complex64 -> list of per-grant results.
@@ -110,6 +114,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
     per-process softbuffers across retransmissions (srsue dl_harq.cc +
     softbuffer.c): an un-toggled NDI reuses the combined LLRs, a CRC
     failure stores them back.
+    ``phich``: (group, seq) of an expected UL HARQ indicator
+    (srslte_ue_dl_decode_phich, ue_dl.c:934) -> results carry phich_ack.
     """
     from ..utils import device_complex
 
@@ -119,6 +125,23 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
     cfi = int(np.asarray(cfi_arr))
     snr_db = float(10.0 * np.log10(max(float(np.asarray(hpow)), 1e-12)
                                    / max(noise, 1e-12)))
+
+    phich_ack = None
+    if phich is not None:
+        from .phich import phich_decode
+
+        pkey = (repr(cell), sf_idx, phich)
+        if pkey not in _phich_cache:
+            import jax
+
+            def _ph(grid, h, noise, _g=phich[0], _s=phich[1]):
+                return phich_decode(grid[None], h[None], cell, sf_idx,
+                                    group=_g, seq_idx=_s, noise_est=noise)
+
+            _phich_cache[pkey] = jax.jit(_ph)
+        h0 = h[0, 0] if h.ndim == 4 else h[0]
+        ak, _ = _phich_cache[pkey](grid, h0, noise)
+        phich_ack = bool(np.asarray(ak)[0])
 
     # common search space RNTIs additionally monitor format 1C
     # (ue_dl.c: SI/P/RA-RNTI -> formats 1A+1C)
@@ -212,6 +235,9 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
     if not results:
         results.append(UeDlResult(cfi=cfi, noise_est=noise,
                                   snr_db=snr_db))
+    if phich_ack is not None:
+        for r in results:
+            r.phich_ack = phich_ack
     return results
 
 

@@ -64,16 +64,23 @@ class _PendingUl:
     rnti: int
     cfg: object
     tbs: int
+    rv: int = 0
+    n_tx: int = 1
+    softbuffers: object = None    # carried across HARQ retransmissions
 
 
 class EnbStack:
     def __init__(self, cell: Cell, mme, rsi: int = 128,
-                 cfi: int = 2):
+                 cfi: int = 2, agent=None):
         self.cell = cell
         self.cfi = cfi
         self.rsi = rsi
+        #: optional EmPOWER agent (mac.cc calls process_DL_results per
+        #: TTI with the issued grants; mac/agent.py analog)
+        self.agent = agent
         self.rrc = EnbRrc(mme=mme)
-        self.dl_queue: list = []      # (rnti, MacPdu, payload_len)
+        self.dl_queues: dict = {}     # rnti -> [(payload, meta)]
+        self._rr_next = 0             # round-robin pointer (dl_metric_rr)
         self.ul_pending: dict = {}    # tti -> [_PendingUl]
         self.active_ues: dict = {}    # rnti -> {"want_ul": bool}
         self.events: list = []
@@ -85,6 +92,8 @@ class EnbStack:
         # (rnti, pid, retx_record, n_pucch); retx_record re-encodes the
         # same transport block with the next redundancy version
         self.ack_pending: dict = {}
+        # UL HARQ indicators to transmit: tti -> [(group, seq, ack)]
+        self.phich_pending: dict = {}
 
     # --- user plane -----------------------------------------------------------
 
@@ -125,8 +134,34 @@ class EnbStack:
         """No UL signal this subframe: expected transmissions are DTX."""
         for p in self.ul_pending.pop(tti, []):
             self.events.append(f"pusch_dtx_tti{tti}")
+            self._on_pusch_fail(tti, p)
         for rnti, pid, rec, _ in self.ack_pending.pop(tti, []):
             self._handle_ack(rnti, pid, rec, False)
+
+    def _on_pusch_fail(self, tti: int, p: _PendingUl):
+        """CRC failure / DTX on a scheduled PUSCH: PHICH NACK at n+4 and
+        a synchronous retransmission slot at n+8 with the next rv
+        (scheduler_harq.cc ul path; softbuffers persist for combining)."""
+        import dataclasses
+
+        from ..mac.harq import MAX_RETX, RV_SEQ
+        from ..models.phich import phich_resource
+
+        g, q = phich_resource(self.cell, p.cfg.prb_start)
+        self.phich_pending.setdefault(tti + 4, []).append((g, q, 0))
+        if p.n_tx >= MAX_RETX:
+            self.events.append(f"ul_harq_max_retx_rnti{p.rnti:#x}")
+            return
+        cfg = dataclasses.replace(p.cfg, sf_idx=(tti + 8) % 10)
+        self.ul_pending.setdefault(tti + 8, []).append(
+            _PendingUl(p.rnti, cfg, p.tbs, rv=RV_SEQ[p.n_tx % 4],
+                       n_tx=p.n_tx + 1, softbuffers=p.softbuffers))
+
+    def _on_pusch_ok(self, tti: int, p: _PendingUl):
+        from ..models.phich import phich_resource
+
+        g, q = phich_resource(self.cell, p.cfg.prb_start)
+        self.phich_pending.setdefault(tti + 4, []).append((g, q, 1))
 
     def _process_ul(self, tti: int, ul_iq):
         sf_idx = tti % 10
@@ -209,8 +244,9 @@ class EnbStack:
                                             pusch_decode_uci)
 
                 plan = UciPlan(p.cfg, p.tbs,
-                               UciData(ack=(1,) * len(items)))
-                out = pusch_decode_uci(grid, p.cfg, plan, noise_est=1e-3)
+                               UciData(ack=(1,) * len(items)), rv=p.rv)
+                out = pusch_decode_uci(grid, p.cfg, plan, noise_est=1e-3,
+                                       softbuffers=p.softbuffers)
                 ok = bool(np.asarray(out["crc_ok"]).all())
                 if ok:
                     acked = [bool(a) for a in out["ack"]]
@@ -221,14 +257,18 @@ class EnbStack:
                     acked = self._decode_pucch_ack(grid, sf_idx, items)
                 for (pid, rec, _), ack in zip(items, acked):
                     self._handle_ack(p.rnti, pid, rec, ack)
-                bits = out["tb"]
+                bits, sbuf = out["tb"], out["softbuffers"]
             else:
-                bits, ok, _ = pusch_decode(grid, p.cfg, p.cfg.plan(p.tbs),
-                                           noise_est=1e-3)
-                ok = bool(np.asarray(ok).all())
+                bits, okc, sbuf = pusch_decode(
+                    grid, p.cfg, p.cfg.plan(p.tbs, rv=p.rv),
+                    noise_est=1e-3, softbuffers=p.softbuffers)
+                ok = bool(np.asarray(okc).all())
             if not ok:
                 self.events.append(f"pusch_crc_fail_tti{tti}")
+                p.softbuffers = sbuf       # combined LLRs for the retx
+                self._on_pusch_fail(tti, p)
                 continue
+            self._on_pusch_ok(tti, p)
             data = np.packbits(np.asarray(bits).ravel()[: p.tbs])
             self._on_mac_pdu(p.rnti, bytes(data.tobytes()))
         # ACKs still unresolved (no PUCCH, no PUSCH): DTX
@@ -261,7 +301,8 @@ class EnbStack:
             p.retx()
             rec = dict(rec, rv=p.rv)
             self.events.append(f"harq_nack_pid{pid}_rnti{rnti:#x}")
-            self.dl_queue.insert(0, (rnti, None, {"retx": rec}))
+            self.dl_queues.setdefault(rnti, []).insert(
+                0, (None, {"retx": rec}))
         elif ack:
             self.events.append(f"harq_ack_pid{pid}_rnti{rnti:#x}")
 
@@ -278,7 +319,7 @@ class EnbStack:
         rar = pack_rar_pdu(rapid, ta=0, rb_start=MSG3_PRB[0],
                            n_prb=MSG3_PRB[1], mcs=MSG3_MCS,
                            t_crnti=t_crnti, nof_prb_ul=self.cell.nof_prb)
-        self.dl_queue.append((ra_rnti, rar, None))
+        self.dl_queues.setdefault(ra_rnti, []).append((rar, None))
         # msg3 reception at tti+1(dl tx)+4
         msg3_tti = tti + 1 + 4
         mod, tbs = ra.mcs_to_tbs(MSG3_MCS, MSG3_PRB[1], dl=False)
@@ -338,7 +379,7 @@ class EnbStack:
         if ue is not None and ue.get("con_res") is not None and srb == 0:
             mac.add_con_res(ue.pop("con_res"))
         mac.add_sdu(0 if srb == 0 else 1, pdu)
-        self.dl_queue.append((rnti, mac, None))
+        self.dl_queues.setdefault(rnti, []).append((mac, None))
         # any DL signalling implies the UE may need to answer: open a
         # standing UL grant window
         if rnti in self.rrc.ues:
@@ -349,34 +390,55 @@ class EnbStack:
         grid = enb_dl_base_grid(self.cell, sf_idx, ())
         grid = put_sync_signals(grid, self.cell, sf_idx)
         grid = pcfich_put(grid, self.cfi, self.cell, sf_idx)
+        for g, q, ack in self.phich_pending.pop(tti, []):
+            from ..models.phich import phich_put
 
-        used_prb = 0
+            grid = phich_put(grid, ack, self.cell, sf_idx, group=g,
+                             seq_idx=q)
+
+        from ..models.regs import pdcch_nof_cces
+
+        n_cce = pdcch_nof_cces(self.cell, self.cfi)
         cce_next = 0          # per-subframe CCE allocator (L=4 slots
-                              # land on common-search-space candidates)
-        if not self.dl_queue and self.active_ues:
-            # opportunistic DRB drain towards connected UEs (round-robin
-            # over UEs with queued downlink data)
-            for rnti in self.active_ues:
-                d = self.drbs.get(rnti)
-                if d is None:
-                    continue
-                rlc_pdu = d["rlc_tx"].read_pdu(200)
-                if rlc_pdu is not None:
-                    mac = MacPdu()
-                    mac.add_sdu(3, rlc_pdu)
-                    self.dl_queue.append((rnti, mac, None))
-                    break
-        if self.dl_queue:
-            rnti, payload, meta = self.dl_queue.pop(0)
+                              # land on common-search-space candidates,
+                              # 36.213 9.1.1: CCE 0/4/8/12)
+        prb_next = 0          # contiguous type-2 PDSCH allocator
+        # opportunistic DRB drain towards connected UEs whose queue ran
+        # empty (mac.cc pulling from rlc buffers)
+        for rnti in self.active_ues:
+            d = self.drbs.get(rnti)
+            if d is None or self.dl_queues.get(rnti):
+                continue
+            rlc_pdu = d["rlc_tx"].read_pdu(200)
+            if rlc_pdu is not None:
+                mac = MacPdu()
+                mac.add_sdu(3, rlc_pdu)
+                self.dl_queues.setdefault(rnti, []).append((mac, None))
+        # scheduling order: RA-RNTIs (RAR/broadcast window) first, then
+        # connected UEs round-robin (dl_metric_rr::new_tti)
+        ras = [r for r, q in self.dl_queues.items() if q and r <= 10]
+        ues = [r for r, q in self.dl_queues.items() if q and r > 10]
+        if ues:
+            rot = self._rr_next % len(ues)
+            ues = ues[rot:] + ues[:rot]
+            self._rr_next += 1
+        n_alloc = 0
+        agent_grants = []
+        for rnti in ras + ues:
+            if cce_next + 4 > min(n_cce, 16):
+                break                         # control region exhausted
+            queue = self.dl_queues[rnti]
+            if not queue:
+                continue
             st = self.active_ues.get(rnti)
+            payload, meta = queue[0]
             retx = (meta or {}).get("retx")
             if retx is not None:
-                # retransmission: same TB, same allocation, next RV
+                # retransmission: same TB (adaptive PRB start), next RV
                 pid, ndi, rv = retx["pid"], retx["ndi"], retx["rv"]
                 n_prb, mod, tbs, mcs = (retx["n_prb"], retx["mod"],
                                         retx["tbs"], retx["mcs"])
                 mac_bytes = retx["mac_bytes"]
-                self.events.append(f"harq_retx_pid{pid}_rv{rv}")
             else:
                 if isinstance(payload, MacPdu):
                     raw_len = sum(len(sp.payload) + 2
@@ -394,6 +456,11 @@ class EnbStack:
                               CQI_TO_MCS[min(max(st["cqi"] - 2, 0), 15)])
                 n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb,
                                                 raw_len, mcs)
+            if prb_next + n_prb > self.cell.nof_prb:
+                continue                      # no PRBs left this tti
+            if retx is not None:
+                self.events.append(f"harq_retx_pid{pid}_rv{rv}")
+            else:
                 mac_bytes = payload.pack(tbs // 8) \
                     if isinstance(payload, MacPdu) \
                     else payload + b"\x00" * (tbs // 8 - len(payload))
@@ -406,14 +473,15 @@ class EnbStack:
                     if p is not None:
                         p.new_tx(tbs, mcs)
                         pid, ndi = p.pid, p.ndi
+            queue.pop(0)
             tb_bits = np.unpackbits(np.frombuffer(mac_bytes, np.uint8))
             dci_bits = dci_mod.pack_format1a(
-                self.cell.nof_prb, 0, n_prb, mcs, harq_pid=pid, ndi=ndi,
-                rv=rv)
+                self.cell.nof_prb, prb_next, n_prb, mcs, harq_pid=pid,
+                ndi=ndi, rv=rv)
             cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
                               rnti=rnti, mod=mod,
                               prb_mask=ra.prb_mask_type2(
-                                  self.cell.nof_prb, 0, n_prb))
+                                  self.cell.nof_prb, prb_next, n_prb))
             plan = cfg.plan(tbs, rv=rv)
             cce_used = cce_next
             grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti,
@@ -422,7 +490,14 @@ class EnbStack:
             cce_next += 4
             grid = grid + pdsch_encode(
                 jnp.asarray(tb_bits.astype(np.int8))[None], cfg, plan)[0]
-            used_prb = n_prb
+            prb_next += n_prb
+            n_alloc += 1
+            if self.agent is not None:
+                from ..mac.scheduler import DlGrant
+
+                agent_grants.append(DlGrant(
+                    rnti=rnti, rbg_bitmap=0, n_prb=n_prb, mcs=mcs,
+                    tbs=tbs, harq_pid=pid, rv=rv, ndi=ndi))
             if st is not None and "harq" in st and rnti in self.rrc.ues:
                 # expect the HARQ-ACK at n+4, on PUCCH n_cce + N1
                 # (36.213 10.1) or multiplexed on a granted PUSCH
@@ -431,6 +506,12 @@ class EnbStack:
                                      n_prb=n_prb, mod=mod, tbs=tbs,
                                      mcs=mcs, mac_bytes=mac_bytes),
                      N1_PUCCH + cce_used))
+
+        if n_alloc > 1:
+            self.events.append(f"dl_multiuser{n_alloc}_tti{tti}")
+        if self.agent is not None:
+            self.agent.process_dl_results(tti, agent_grants,
+                                          self.cell.nof_prb)
 
         # standing UL grants (DCI0) for UEs with pending uplink: each UE
         # gets its own PRB slice and CCE (ul_sched allocating distinct
@@ -443,7 +524,7 @@ class EnbStack:
             start = UL_GRANT_PRB0 + UL_GRANT_N_PRB * ul_slot
             n_prb = UL_GRANT_N_PRB
             if (start + n_prb > self.cell.nof_prb - PUCCH_N_RB_2
-                    or cce_next + 4 > 12):
+                    or cce_next + 4 > min(n_cce, 16)):
                 break                      # out of PRBs/CCEs this tti
             ul_slot += 1
             mod, tbs = ra.mcs_to_tbs(UL_MCS, n_prb, dl=False)
@@ -457,5 +538,8 @@ class EnbStack:
                               n_prb=n_prb)
             self.ul_pending.setdefault(tti + 4, []).append(
                 _PendingUl(rnti, cfg, tbs))
+        if self.agent is not None:
+            self.agent.process_ul_results(
+                tti, UL_GRANT_N_PRB * ul_slot, self.cell.nof_prb)
 
         return np.asarray(enb_dl_gen_signal(grid, self.cell)[0])

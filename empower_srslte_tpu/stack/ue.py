@@ -76,6 +76,11 @@ class UeStack:
         # CCE, 36.213 10.1) or multiplexed onto a granted PUSCH
         self.dl_harq: dict = {}
         self.dl_harq_delivered: dict = {}   # pid -> ndi already delivered
+        # UL HARQ (ul_harq.cc): synchronous non-adaptive FDD processes,
+        # pid = tti % 8; PHICH feedback at n+4, retransmission at n+8
+        # with the next redundancy version
+        self.ul_harq: dict = {}       # pid -> {data, cfg, tbs, n_tx}
+        self.phich_wait: dict = {}    # dl tti -> pid
 
     def _lcid_buffer_state(self, lcid: int) -> int:
         if lcid == 1:
@@ -130,9 +135,10 @@ class UeStack:
         pusch = self.pusch_plan.pop(tti, None)
         acks = self.ack_plan.pop(tti, None)
         if pusch is not None:
-            mac, cfg, tbs = pusch
-            return self._pusch(mac, cfg, tbs,
-                               acks[1] if acks is not None else None)
+            mac, cfg, tbs, rv = pusch
+            return self._pusch(tti, mac, cfg, tbs,
+                               acks[1] if acks is not None else None,
+                               rv=rv)
         if acks is not None:
             n_pucch, bits = acks
             fmt = "1a" if len(bits) == 1 else "1b"
@@ -174,10 +180,21 @@ class UeStack:
         if self.c_rnti:
             rntis.append(("c", self.c_rnti))
         samples = np.asarray(dl_iq).astype(np.complex64)
+        phich_pid = self.phich_wait.pop(tti, None)
         for kind, rnti in rntis:
             harq = self.dl_harq if kind == "c" else None
+            phich = None
+            if kind == "c" and phich_pid is not None \
+                    and phich_pid in self.ul_harq:
+                from ..models.phich import phich_resource
+
+                phich = phich_resource(
+                    self.cell, self.ul_harq[phich_pid]["cfg"].prb_start)
             for r in ue_dl_decode(samples, self.cell, sf_idx, rnti,
-                                  harq_state=harq):
+                                  harq_state=harq, phich=phich):
+                if phich is not None and r.phich_ack is not None:
+                    self._on_phich(tti, phich_pid, r.phich_ack)
+                    phich = None      # handle once
                 self.last_snr_db = r.snr_db      # feeds periodic CQI
                 if r.dci is None:
                     continue
@@ -226,7 +243,7 @@ class UeStack:
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                           rnti=self.c_rnti, mod=mod,
                           prb_start=rar["rb_start"], n_prb=rar["n_prb"])
-        self.pusch_plan[tti + 4] = (mac, cfg, tbs)
+        self.pusch_plan[tti + 4] = (mac, cfg, tbs, 0)
 
     def _on_mac_pdu(self, data: bytes):
         pdu = unpack_pdu(data, ul=False)
@@ -293,8 +310,10 @@ class UeStack:
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                           rnti=self.c_rnti, mod=mod,
                           prb_start=grant.riv_start, n_prb=grant.riv_len)
+        if tti + 4 in self.pusch_plan:
+            return          # a HARQ retransmission owns that subframe
         self.events.append(f"ul_grant_rx_tti{tti + 4}")
-        self.pusch_plan[tti + 4] = (mac, cfg, tbs)
+        self.pusch_plan[tti + 4] = (mac, cfg, tbs, 0)
 
     def _add_bsr_ce(self, mac: MacPdu, bsr) -> int:
         """Append the BSR CE for a procs.Bsr; returns bytes consumed."""
@@ -310,9 +329,16 @@ class UeStack:
             mac.add_short_bsr(lcg, idx[lcg])
         return 2
 
-    def _pusch(self, mac: MacPdu, cfg: PuschConfig, tbs: int,
-               ack_bits: list | None = None):
-        data = mac.pack(tbs // 8)
+    def _pusch(self, tti: int, mac, cfg: PuschConfig, tbs: int,
+               ack_bits: list | None = None, rv: int = 0):
+        data = mac.pack(tbs // 8) if isinstance(mac, MacPdu) else mac
+        # synchronous UL HARQ bookkeeping (ul_harq.cc): remember the TB
+        # for a possible PHICH-NACK-triggered retransmission
+        pid = tti % 8
+        prev = self.ul_harq.get(pid)
+        n_tx = prev["n_tx"] + 1 if prev is not None and rv else 1
+        self.ul_harq[pid] = dict(data=data, cfg=cfg, tbs=tbs, n_tx=n_tx)
+        self.phich_wait[tti + 4] = pid
         bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.int8)
         if ack_bits:
             # HARQ-ACK multiplexed onto the granted PUSCH (36.212 5.2.2;
@@ -320,8 +346,32 @@ class UeStack:
             from ..models.pusch import UciData, UciPlan
 
             self.events.append(f"ack_on_pusch_tti{cfg.sf_idx}")
-            plan = UciPlan(cfg, tbs, UciData(ack=tuple(ack_bits)))
+            plan = UciPlan(cfg, tbs, UciData(ack=tuple(ack_bits)), rv=rv)
         else:
-            plan = cfg.plan(tbs)
+            plan = cfg.plan(tbs, rv=rv)
         return np.asarray(ue_ul_generate(
             self.cell, pusch=(jnp.asarray(bits), cfg, plan)))
+
+    def _on_phich(self, tti: int, pid: int, ack: bool):
+        """PHICH at n+4 for the PUSCH of n: ACK retires the process,
+        NACK triggers the non-adaptive retransmission at n+8 (same PRBs,
+        next rv) unless maxHARQ-Tx is reached (ul_harq.cc)."""
+        from dataclasses import replace
+
+        from ..mac.harq import MAX_RETX, RV_SEQ
+
+        st = self.ul_harq.get(pid)
+        if st is None:
+            return
+        if ack:
+            self.events.append(f"phich_ack_pid{pid}")
+            del self.ul_harq[pid]
+            return
+        if st["n_tx"] >= MAX_RETX:
+            self.events.append(f"ul_harq_max_retx_pid{pid}")
+            del self.ul_harq[pid]
+            return
+        rv = RV_SEQ[st["n_tx"] % 4]
+        self.events.append(f"phich_nack_pid{pid}_rv{rv}")
+        cfg = replace(st["cfg"], sf_idx=(tti + 4) % 10)
+        self.pusch_plan[tti + 4] = (st["data"], cfg, st["tbs"], rv)

@@ -57,7 +57,7 @@ def _clear_jax_caches_between_heavy_tests(request):
             if mod_name.startswith("empower_srslte_tpu"):
                 mod = sys.modules[mod_name]
                 for attr in ("_jit_cache", "_front_cache", "_pdsch_cache",
-                             "_pdcch_llr_cache"):
+                             "_pdcch_llr_cache", "_phich_cache"):
                     cache = getattr(mod, attr, None)
                     if isinstance(cache, dict):
                         cache.clear()

@@ -278,9 +278,10 @@ class TestDlHarqOverTheAir:
         air = Air(cell.sf_sample_len)
         ul_iq, attached_at, sent_at = None, None, None
         for tti in range(140):
-            # fade exactly the first transmission of the data TB
-            air.snr_db = -5.0 if (sent_at is not None
-                                  and tti == sent_at) else None
+            # fade exactly the first transmission of the data TB (deep
+            # enough to break even the lowest-MCS QPSK allocation)
+            air.snr_db = -12.0 if (sent_at is not None
+                                   and tti == sent_at) else None
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
             ul_iq = ue.tti(tti, air.dl(dl_iq))
@@ -306,3 +307,52 @@ class TestDlHarqOverTheAir:
         assert len(ue.rx_ip) == 1          # duplicate-free delivery
         assert any(e.startswith("harq_ack_") for e in enb.events), \
             enb.events[-12:]
+
+
+class TestUlHarqOverTheAir:
+    def test_phich_nack_triggers_retx_and_delivery(self):
+        """An uplink IP packet whose PUSCH is sent through a deep fade:
+        the eNB CRC-fails and NACKs on PHICH at n+4, the UE retransmits
+        the same TB at n+8 with the next rv (non-adaptive synchronous UL
+        HARQ, ul_harq.cc), the eNB soft-combines and the packet reaches
+        the core exactly once."""
+        from tests.test_stack import _epc
+
+        from empower_srslte_tpu.stack import Air, EnbStack, UeStack
+        from empower_srslte_tpu.upper.gtpu import gtpu_unpack
+        from empower_srslte_tpu.utils.cell import Cell
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        air = Air(cell.sf_sample_len)
+        ul_iq, attached_at, fade_at = None, None, None
+        pre_plans: set = set()
+        for tti in range(160):
+            air.snr_db = -12.0 if tti == fade_at else None
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+                pre_plans = set(ue.pusch_plan)   # pre-ping grants
+                ue.send_ip(b"\x45\x00" + bytes(18) + b"UL-HARQ-PAYLOAD")
+            if attached_at is not None and fade_at is None:
+                # first PUSCH planned after the ping was queued carries
+                # it: fade the subframe in which the eNB receives it
+                new = set(ue.pusch_plan) - pre_plans
+                if new:
+                    fade_at = min(new) + 1
+            if enb.ul_gtpu and any(e.startswith("phich_nack")
+                                   for e in ue.events):
+                break
+        assert attached_at is not None and fade_at is not None
+        assert any(e.startswith("pusch_crc_fail") for e in enb.events), \
+            enb.events[-12:]
+        assert any(e.startswith("phich_nack") for e in ue.events), \
+            ue.events[-12:]
+        assert any(e.startswith("phich_ack") for e in ue.events), \
+            ue.events[-12:]
+        payloads = [gtpu_unpack(p)[1][-15:] for p in enb.ul_gtpu]
+        assert payloads.count(b"UL-HARQ-PAYLOAD") == 1, payloads
