@@ -58,6 +58,24 @@ class Mme:
     def handle_ul_nas(self, pdu: bytes, enb_teid: int = 0) -> bytes | None:
         """Process one uplink NAS message; returns the downlink response
         (or None)."""
+        if nas.is_service_request(pdu):
+            # ECM-idle -> connected (srsepc nas.cc service request): find
+            # the attached context whose short MAC verifies, re-activate
+            # its bearers (session persists; same IP/TEID)
+            for ctx in self._by_imsi.values():
+                if ctx.state == "attached" and nas.verify_service_request(
+                        pdu, ctx.k_nas_int, ctx.ul_count):
+                    ctx.ul_count = (ctx.ul_count & ~0x1F) | (pdu[1] & 0x1F)
+                    ctx.ul_count += 1
+                    self.last_ctx = ctx
+                    if enb_teid:
+                        # refresh the eNB S1-U endpoint (modify bearer)
+                        self.gtpc.modify_bearer(ctx.spgw_teid, enb_teid)
+                    out = nas.protect(nas.pack_service_accept(),
+                                      ctx.k_nas_int, ctx.dl_count, 1)
+                    ctx.dl_count += 1
+                    return out
+            return None
         msg_type = pdu[1] if (pdu[0] >> 4) == nas.SH_PLAIN else None
 
         if msg_type == nas.MSG_ATTACH_REQUEST:
@@ -129,10 +147,17 @@ class UeNas:
     ul_count: int = 0
     dl_count: int = 0
     ue_ip: str = ""
+    guti: int = 0
     attached: bool = False
 
     def attach_request(self) -> bytes:
         return nas.pack_attach_request(self.imsi)
+
+    def service_request(self) -> bytes:
+        """ECM-idle -> connected (nas.cc send_service_request)."""
+        pdu = nas.pack_service_request(self.k_nas_int, self.ul_count)
+        self.ul_count += 1
+        return pdu
 
     def handle_dl_nas(self, pdu: bytes,
                       plmn: bytes = b"\x00\xf1\x10") -> bytes | None:
@@ -161,6 +186,6 @@ class UeNas:
             self.ul_count += 1
             return out
         if inner[1] == nas.MSG_ATTACH_ACCEPT:
-            _, self.ue_ip = nas.unpack_attach_accept(inner)
+            self.guti, self.ue_ip = nas.unpack_attach_accept(inner)
             self.attached = True
         return None

@@ -21,11 +21,14 @@ MSG_AUTH_REQUEST = 0x52
 MSG_AUTH_RESPONSE = 0x53
 MSG_SECURITY_MODE_COMMAND = 0x5D
 MSG_SECURITY_MODE_COMPLETE = 0x5E
+MSG_SERVICE_ACCEPT = 0x4F
 
 #: Security header types.
 SH_PLAIN = 0x0
 SH_INTEGRITY = 0x1
 SH_INTEGRITY_CIPHERED = 0x2
+#: Service Request uses its own compact security header (24.301 9.1).
+SH_SERVICE_REQUEST = 0xC
 
 
 def _imsi_to_bcd(imsi: str) -> bytes:
@@ -126,6 +129,44 @@ def unprotect(pdu: bytes, k_nas_int: bytes, count: int,
     exp = security.eia2(k_nas_int, (count & ~0xFF) | seq, 0, direction,
                         bytes([seq]) + inner)
     return inner if mac == exp else None
+
+
+# --- Service Request (24.301 8.2.25: compact 4-byte format) -----------------
+
+
+def service_request_mac(k_nas_int: bytes, count: int) -> bytes:
+    """Short MAC (2 bytes): truncated EIA2 over the KSI|SEQ byte
+    (24.301 9.9.3.28 uses the message short MAC; same construction)."""
+    seq = count & 0x1F
+    mac = security.eia2(k_nas_int, count, 0, 0, bytes([seq]))
+    return mac[2:4]
+
+
+def pack_service_request(k_nas_int: bytes, count: int,
+                         ksi: int = 0) -> bytes:
+    """[SH_SERVICE_REQUEST|PD, KSI|SEQ(5 bits), short MAC(2)]."""
+    seq = count & 0x1F
+    return (bytes([(SH_SERVICE_REQUEST << 4) | PD_EMM,
+                   (ksi << 5) | seq])
+            + service_request_mac(k_nas_int, count))
+
+
+def is_service_request(pdu: bytes) -> bool:
+    return len(pdu) == 4 and (pdu[0] >> 4) == SH_SERVICE_REQUEST \
+        and (pdu[0] & 0xF) == PD_EMM
+
+
+def verify_service_request(pdu: bytes, k_nas_int: bytes,
+                           count: int) -> bool:
+    """Checks the short MAC against the expected UL count (the receiver
+    substitutes the 5-bit SEQ into its local count estimate)."""
+    seq = pdu[1] & 0x1F
+    est = (count & ~0x1F) | seq
+    return service_request_mac(k_nas_int, est) == pdu[2:]
+
+
+def pack_service_accept() -> bytes:
+    return bytes([PD_EMM, MSG_SERVICE_ACCEPT])
 
 
 # --- full attach-accept decode (24.301 8.2.1; liblte_mme.cc parity for the

@@ -183,7 +183,12 @@ class UeRrc:
                    v["rrc_transaction_identifier"],
                    "critical_extensions": ("c1", ("r8", {
                        "selected_plmn_identity": 1,
-                       "dedicated_info_nas": self.nas.attach_request()}))}
+                       # ECM-idle with a registered context re-activates
+                       # via Service Request (nas.cc), otherwise Attach
+                       "dedicated_info_nas":
+                           self.nas.service_request()
+                           if getattr(self.nas, "attached", False)
+                           else self.nas.attach_request()}))}
             return [(SRB1,
                      M.pack_ul_dcch("rrcConnectionSetupComplete", msg))]
         if name == "rrcConnectionReject":
@@ -333,6 +338,9 @@ class UeRrc:
         elif name == "rrcConnectionRelease":
             self.state = "idle"
             self.security_activated = False
+            self.drbs.clear()
+            self.sr_cfg = None
+            self.cqi_cfg = None
             self.events.append("released")
         return out
 
@@ -586,6 +594,20 @@ class EnbRrc:
                        "ciphering_algorithm": "eea0",
                        "integrity_prot_algorithm": "eia2"}}}))}
         return M.pack_dl_dcch("securityModeCommand", msg)
+
+    def release_connection(self, rnti: int) -> tuple[int, int, bytes]:
+        """-> (rnti, srb, pdu) RRCConnectionRelease (36.331 5.3.8); the
+        UE context transitions to idle (rrc.cc rem_user path)."""
+        ue = self.ues[rnti]
+        msg = {"rrc_transaction_identifier": 0,
+               "critical_extensions": ("c1", ("r8", {
+                   "release_cause": 0}))}
+        raw = M.pack_dl_dcch("rrcConnectionRelease", msg)
+        if ue["security_activated"]:
+            raw = self._protect(ue, raw)
+        ue["state"] = "released"
+        self.events.append(f"release_sent_{rnti:#x}")
+        return rnti, SRB1, raw
 
     def send_capability_enquiry(self, rnti: int) -> tuple[int, int, bytes]:
         """-> (rnti, srb, pdu) UECapabilityEnquiry for EUTRA."""

@@ -69,9 +69,12 @@ class _PendingUl:
     softbuffers: object = None    # carried across HARQ retransmissions
 
 
+P_RNTI = 0xFFFE
+
+
 class EnbStack:
     def __init__(self, cell: Cell, mme, rsi: int = 128,
-                 cfi: int = 2, agent=None):
+                 cfi: int = 2, agent=None, paging_cycle: int = 32):
         self.cell = cell
         self.cfi = cfi
         self.rsi = rsi
@@ -94,6 +97,10 @@ class EnbStack:
         self.ack_pending: dict = {}
         # UL HARQ indicators to transmit: tti -> [(group, seq, ack)]
         self.phich_pending: dict = {}
+        # paging scheduler (36.304 occasions; rrc.cc pending_paging)
+        from ..mac.bcch import PagingScheduler
+
+        self.paging = PagingScheduler(t=paging_cycle)
 
     # --- user plane -----------------------------------------------------------
 
@@ -117,6 +124,30 @@ class EnbStack:
             return
         d = self._drb(rnti)
         d["rlc_tx"].write_sdu(d["pdcp_tx"].write_sdu(ip))
+
+    def release_ue(self, rnti: int) -> None:
+        """RRCConnectionRelease towards the UE; the context is purged a
+        few TTIs later (after the release TB has been delivered)."""
+        self.send_dl(*self.rrc.release_connection(rnti))
+        self.active_ues.setdefault(rnti, {})["release_countdown"] = 20
+
+    def page(self, imsi: str, m_tmsi: int) -> None:
+        """Queue an S-TMSI page for the UE's 36.304 paging occasion
+        (mme s1ap paging -> rrc.cc is_paging_opportunity)."""
+        from ..rrc import messages as M
+
+        pcch = M.pack_pcch({"paging_record_list": [
+            {"ue_identity": ("s_tmsi", {"mmec": 0, "m_tmsi": m_tmsi}),
+             "cn_domain": "ps"}]})
+        self.paging.add(imsi, pcch)
+        self.events.append(f"paging_queued_{m_tmsi:#x}")
+
+    def _purge_ue(self, rnti: int) -> None:
+        self.active_ues.pop(rnti, None)
+        self.drbs.pop(rnti, None)
+        self.dl_queues.pop(rnti, None)
+        self.rrc.ues.pop(rnti, None)
+        self.events.append(f"ue_purged_{rnti:#x}")
 
     # --- per-TTI processing ---------------------------------------------------
 
@@ -398,6 +429,18 @@ class EnbStack:
 
         from ..models.regs import pdcch_nof_cces
 
+        # delayed context purge after a release (rrc.cc rem_user)
+        for rnti in list(self.active_ues):
+            cd = self.active_ues[rnti].get("release_countdown")
+            if cd is not None:
+                if cd <= 0:
+                    self._purge_ue(rnti)
+                else:
+                    self.active_ues[rnti]["release_countdown"] = cd - 1
+        # paging occasions due this subframe -> PCCH on the P-RNTI
+        for pcch in self.paging.opportunity(tti):
+            self.dl_queues.setdefault(P_RNTI, []).append((pcch, None))
+
         n_cce = pdcch_nof_cces(self.cell, self.cfi)
         cce_next = 0          # per-subframe CCE allocator (L=4 slots
                               # land on common-search-space candidates,
@@ -416,8 +459,10 @@ class EnbStack:
                 self.dl_queues.setdefault(rnti, []).append((mac, None))
         # scheduling order: RA-RNTIs (RAR/broadcast window) first, then
         # connected UEs round-robin (dl_metric_rr::new_tti)
-        ras = [r for r, q in self.dl_queues.items() if q and r <= 10]
-        ues = [r for r, q in self.dl_queues.items() if q and r > 10]
+        ras = [r for r, q in self.dl_queues.items()
+               if q and (r <= 10 or r == P_RNTI)]
+        ues = [r for r, q in self.dl_queues.items()
+               if q and 10 < r < P_RNTI]
         if ues:
             rot = self._rr_next % len(ues)
             ues = ues[rot:] + ues[:rot]

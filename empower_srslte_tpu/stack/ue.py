@@ -39,6 +39,8 @@ class UeStack:
         self.ra_delay_frames = ra_delay_frames
         self.rrc = UeRrc(nas=nas)
         self.state = "idle"           # idle -> ra -> connected
+        self.connect_pending = True   # RA armed (initial access / paging)
+        self.connect_cause = "mo_Signalling"
         self.c_rnti = 0
         self.ra_rnti = 0
         self.msg3: bytes | None = None
@@ -96,7 +98,10 @@ class UeStack:
     def tti(self, tti: int, dl_iq) -> np.ndarray | None:
         sf_idx = tti % 10
         self._process_dl(tti, dl_iq)
-        if (self.state == "idle" and sf_idx == PRACH_SF
+        if self.state == "connected" and self.rrc.state == "idle":
+            self._to_idle()           # rrcConnectionRelease processed
+        if (self.state == "idle" and self.connect_pending
+                and sf_idx == PRACH_SF
                 and tti >= 10 * self.ra_delay_frames):
             self.state = "ra"
             self.ra_rnti = 1 + sf_idx
@@ -168,6 +173,22 @@ class UeStack:
                 self.cell, pucch=(pcfg, cqi_pack_wideband(cqi))))
         return None
 
+    def _to_idle(self):
+        """Connected -> RRC_IDLE (rrc.cc go_idle): drop the C-RNTI and
+        all PHY/MAC state; NAS registration persists (ECM-idle)."""
+        self.state = "idle"
+        self.connect_pending = False   # wait for data/paging to re-arm
+        self.c_rnti = 0
+        self.msg3 = None
+        self.pusch_plan.clear()
+        self.ack_plan.clear()
+        self.phich_wait.clear()
+        self.ul_harq.clear()
+        self.dl_harq.clear()
+        self.dl_harq_delivered.clear()
+        self.sr.reset()
+        self.events.append("went_idle")
+
     # --- DL processing ----------------------------------------------------------
 
     def _process_dl(self, tti: int, dl_iq):
@@ -179,6 +200,11 @@ class UeStack:
             rntis.append(("ra", self.ra_rnti))
         if self.c_rnti:
             rntis.append(("c", self.c_rnti))
+        if (self.state == "idle" and not self.connect_pending
+                and getattr(self.rrc.nas, "attached", False)):
+            # ECM-idle: monitor P-RNTI for paging (36.304; the reference
+            # wakes only at its paging occasion - we check every sf)
+            rntis.append(("pcch", 0xFFFE))
         samples = np.asarray(dl_iq).astype(np.complex64)
         phich_pid = self.phich_wait.pop(tti, None)
         for kind, rnti in rntis:
@@ -215,6 +241,8 @@ class UeStack:
                         np.asarray(r.tb_bits).ravel()).tobytes()
                     if kind == "ra":
                         self._on_rar(tti, data)
+                    elif kind == "pcch":
+                        self._on_paging(data)
                     else:
                         self._on_mac_pdu(data)
 
@@ -228,6 +256,23 @@ class UeStack:
                                                  (N1_PUCCH + cce, []))
         bits.append(bit)
 
+    def _on_paging(self, data: bytes):
+        """PCCH Paging: an s-TMSI matching our GUTI re-arms random
+        access with cause mt-Access (rrc.cc process_paging)."""
+        from ..rrc import messages as M
+
+        try:
+            msg = M.unpack_pcch(data)
+        except Exception:
+            return
+        for rec in msg.get("paging_record_list") or []:
+            ident = rec.get("ue_identity")
+            if (ident and ident[0] == "s_tmsi"
+                    and ident[1]["m_tmsi"] == self.rrc.nas.guti):
+                self.events.append("paged")
+                self.connect_pending = True
+                self.connect_cause = "mt_Access"
+
     def _on_rar(self, tti: int, data: bytes):
         rar = unpack_rar_pdu(data, self.cell.nof_prb)
         if rar["rapid"] != self.preamble:
@@ -235,7 +280,7 @@ class UeStack:
         self.c_rnti = rar["t_crnti"]
         self.rrc.c_rnti = self.c_rnti
         self.events.append(f"rar_tcrnti{self.c_rnti:#x}")
-        srb, req = self.rrc.connect()
+        srb, req = self.rrc.connect(self.connect_cause)
         mac = MacPdu()
         mac.add_sdu(0, req)
         self.msg3 = req
@@ -253,6 +298,7 @@ class UeStack:
                 con_res_ok = sp.payload[:6] == self.msg3[:6].ljust(6, b"\0")
                 if con_res_ok:
                     self.state = "connected"
+                    self.connect_pending = False
                     self.events.append("contention_resolved")
                 else:
                     self.events.append("contention_lost")

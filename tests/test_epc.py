@@ -264,3 +264,65 @@ class TestGtpc:
         ctx = mme.context(imsi)
         assert ctx.state == "attached" and ctx.spgw_teid > 0
         assert mme.spgw.session_by_teid(ctx.spgw_teid) is not None
+
+
+class TestServiceRequest:
+    def _attached(self):
+        from empower_srslte_tpu.epc import Hss, Subscriber
+        from empower_srslte_tpu.epc.mme import Mme, UeNas
+        from empower_srslte_tpu.upper import security
+
+        k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+        opc = security.milenage_opc(
+            k, bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318"))
+        imsi = "001010123456780"
+        hss = Hss()
+        hss.add_subscriber(Subscriber(name="t", auth_algo="mil",
+                                      imsi=imsi, key=k, opc=opc))
+        mme = Mme(hss)
+        ue = UeNas(imsi=imsi, key=k, opc=opc)
+        pdu = ue.attach_request()
+        for _ in range(6):
+            resp = mme.handle_ul_nas(pdu, enb_teid=0x42)
+            if resp is None:
+                break
+            pdu = ue.handle_dl_nas(resp)
+            if pdu is None:
+                break
+        return mme, ue, imsi
+
+    def test_codec_and_mac(self):
+        from empower_srslte_tpu.epc import nas
+
+        k = bytes(range(16))
+        pdu = nas.pack_service_request(k, count=37)
+        assert len(pdu) == 4 and nas.is_service_request(pdu)
+        assert nas.verify_service_request(pdu, k, count=37)
+        assert nas.verify_service_request(pdu, k, count=32)  # seq resync
+        assert not nas.verify_service_request(pdu, bytes(16), count=37)
+
+    def test_service_request_reactivates_session(self):
+        """ECM-idle -> Service Request: same context, same IP, bearer
+        re-pointed at the new eNB TEID (24.301 5.6.1 / srsepc nas.cc)."""
+        mme, ue, imsi = self._attached()
+        ctx = mme.context(imsi)
+        assert ue.attached and ue.guti == ctx.guti
+        ip0, teid0 = ctx.ue_ip, ctx.spgw_teid
+
+        sr = ue.service_request()
+        resp = mme.handle_ul_nas(sr, enb_teid=0x99)
+        assert resp is not None          # protected Service Accept
+        assert ue.handle_dl_nas(resp) is None
+        ctx = mme.context(imsi)
+        assert ctx.state == "attached"
+        assert ctx.ue_ip == ip0 and ctx.spgw_teid == teid0
+        # downlink now rides the new eNB TEID
+        sess = mme.spgw.session_by_teid(teid0)
+        assert sess.teid_out == 0x99
+
+    def test_service_request_bad_mac_rejected(self):
+        from empower_srslte_tpu.epc import nas
+
+        mme, ue, imsi = self._attached()
+        forged = nas.pack_service_request(bytes(16), count=0)
+        assert mme.handle_ul_nas(forged, enb_teid=0x99) is None
