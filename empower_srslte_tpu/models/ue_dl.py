@@ -241,6 +241,41 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
     return results
 
 
+_mib_full_cache: dict = {}
+
+
+def ue_mib_acquire(samples, cell_geom: Cell, cell_id: int) -> dict | None:
+    """MIB from a full-rate subframe-0 capture: FFT at the receiver's
+    geometry, slice the central 6 PRB, blind PBCH decode (ue_mib.c runs
+    at 1.92 Msps; post-FFT the central 72 subcarriers are identical)."""
+    from ..utils import device_complex
+
+    cell6 = Cell(nof_prb=6, id=cell_id, nof_ports=1)
+    key = (repr(cell_geom), cell_id)
+    if key not in _mib_full_cache:
+        import jax
+
+        def f(samples):
+            grid = ofdm_rx_sf(samples[None], cell_geom)[0]
+            mid = cell_geom.nof_re // 2
+            g6 = grid[..., mid - 36 : mid + 36]
+            h, n0 = estimate_channel(g6[None], cell6, 0)
+            return pbch_decode(g6[None], h[0, 0][None], cell6,
+                               noise_est=n0[0])
+
+        _mib_full_cache[key] = jax.jit(f)
+    bits, q, ports, ok = _mib_full_cache[key](device_complex(samples))
+    if not bool(np.asarray(ok)[0]):
+        return None
+    from .pbch import mib_unpack
+
+    mib = mib_unpack(np.asarray(bits)[0])
+    mib["sfn_mod4"] = int(np.asarray(q)[0])
+    mib["nof_ports"] = int(np.asarray(ports)[0])
+    mib["sfn"] = (mib["sfn_msb"] << 2) | mib["sfn_mod4"]
+    return mib
+
+
 def ue_mib_decode(samples, cell_id: int) -> dict | None:
     """MIB acquisition from a subframe-0 capture at 1.92 Msps
     (ue_mib.c analog): chest on the 6-PRB grid, blind PBCH decode."""

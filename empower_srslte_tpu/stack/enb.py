@@ -59,6 +59,18 @@ def _dl_grant_for(nof_prb: int, payload_len: int, mcs: int = DL_MCS):
     raise ValueError(f"payload {payload_len}B exceeds cell capacity")
 
 
+def _common_grant_for(payload_len: int):
+    """(mcs, n_prb_1a, tpc, mod, tbs) for a common-search-space 1A grant:
+    the TBS column is N_prb_1A in {2, 3} selected by the TPC LSB
+    (36.212 5.3.3.1.3), independent of the RIV allocation."""
+    for n1a, tpc in ((2, 0), (3, 1)):
+        for mcs in range(10):              # QPSK I_MCS range
+            mod, tbs = ra.mcs_to_tbs(mcs, n1a)
+            if tbs >= 8 * payload_len:
+                return mcs, n1a, tpc, mod, tbs
+    raise ValueError(f"SI/RAR payload {payload_len}B exceeds 1A capacity")
+
+
 @dataclass
 class _PendingUl:
     rnti: int
@@ -70,11 +82,13 @@ class _PendingUl:
 
 
 P_RNTI = 0xFFFE
+SI_RNTI = 0xFFFF
 
 
 class EnbStack:
     def __init__(self, cell: Cell, mme, rsi: int = 128,
-                 cfi: int = 2, agent=None, paging_cycle: int = 32):
+                 cfi: int = 2, agent=None, paging_cycle: int = 32,
+                 broadcast: bool = False):
         self.cell = cell
         self.cfi = cfi
         self.rsi = rsi
@@ -101,6 +115,20 @@ class EnbStack:
         from ..mac.bcch import PagingScheduler
 
         self.paging = PagingScheduler(t=paging_cycle)
+        # system information broadcast (rrc.cc generate_sibs +
+        # scheduler.cc dl_sched_bc): MIB on PBCH, SIB1/SIB2 on SI-RNTI
+        self.broadcast = broadcast
+        if broadcast:
+            from ..mac.bcch import SibConfig, SibScheduler
+            from . import si as si_mod
+
+            self.sib_payloads = [si_mod.build_sib1(cell),
+                                 si_mod.build_sib2(rsi)]
+            self.sib_sched = SibScheduler(sibs=[
+                SibConfig(payload_len=len(self.sib_payloads[0]),
+                          period_rf=8),
+                SibConfig(payload_len=len(self.sib_payloads[1]),
+                          period_rf=16)])
 
     # --- user plane -----------------------------------------------------------
 
@@ -421,6 +449,13 @@ class EnbStack:
         grid = enb_dl_base_grid(self.cell, sf_idx, ())
         grid = put_sync_signals(grid, self.cell, sf_idx)
         grid = pcfich_put(grid, self.cfi, self.cell, sf_idx)
+        if self.broadcast and sf_idx == 0:
+            from ..models.pbch import pbch_put
+            from .si import build_mib_bits
+
+            sfn = (tti // 10) % 1024
+            grid = pbch_put(grid, jnp.asarray(
+                build_mib_bits(self.cell, sfn)), self.cell, sfn)
         for g, q, ack in self.phich_pending.pop(tti, []):
             from ..models.phich import phich_put
 
@@ -440,6 +475,11 @@ class EnbStack:
         # paging occasions due this subframe -> PCCH on the P-RNTI
         for pcch in self.paging.opportunity(tti):
             self.dl_queues.setdefault(P_RNTI, []).append((pcch, None))
+        # broadcast: SIB occasions on the SI-RNTI + MIB quarter on PBCH
+        if self.broadcast:
+            for g in self.sib_sched.new_tti(tti):
+                self.dl_queues.setdefault(SI_RNTI, []).append(
+                    (self.sib_payloads[g.sib_index], {"si_rv": g.rv}))
 
         n_cce = pdcch_nof_cces(self.cell, self.cfi)
         cce_next = 0          # per-subframe CCE allocator (L=4 slots
@@ -460,7 +500,7 @@ class EnbStack:
         # scheduling order: RA-RNTIs (RAR/broadcast window) first, then
         # connected UEs round-robin (dl_metric_rr::new_tti)
         ras = [r for r, q in self.dl_queues.items()
-               if q and (r <= 10 or r == P_RNTI)]
+               if q and (r <= 10 or r >= P_RNTI)]
         ues = [r for r, q in self.dl_queues.items()
                if q and 10 < r < P_RNTI]
         if ues:
@@ -490,26 +530,35 @@ class EnbStack:
                                   for sp in payload.subpdus) + 2
                 else:
                     raw_len = len(payload)
-                # CQI-driven link adaptation (scheduler_ue.cc cqi->mcs)
-                mcs = DL_MCS
-                if st is not None and "cqi" in st:
-                    from ..mac.scheduler import CQI_TO_MCS
+                tpc = 0
+                if rnti <= 10 or rnti >= P_RNTI:
+                    # common search space: TBS column is N_prb_1A from
+                    # the TPC LSB (the UE sizes SI/P/RA grants that way)
+                    mcs, n_prb, tpc, mod, tbs = _common_grant_for(raw_len)
+                else:
+                    # CQI-driven link adaptation (scheduler_ue.cc)
+                    mcs = DL_MCS
+                    if st is not None and "cqi" in st:
+                        from ..mac.scheduler import CQI_TO_MCS
 
-                    # 2-step CQI backoff: no outer-loop adjustment here
-                    # (scheduler_ue.cc has max_mcs/fixed_mcs controls)
-                    mcs = max(DL_MCS,
-                              CQI_TO_MCS[min(max(st["cqi"] - 2, 0), 15)])
-                n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb,
-                                                raw_len, mcs)
+                        # 2-step CQI backoff: no outer-loop adjustment
+                        # here (scheduler_ue.cc max_mcs/fixed_mcs)
+                        mcs = max(DL_MCS,
+                                  CQI_TO_MCS[min(max(st["cqi"] - 2, 0),
+                                                 15)])
+                    n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb,
+                                                    raw_len, mcs)
             if prb_next + n_prb > self.cell.nof_prb:
                 continue                      # no PRBs left this tti
             if retx is not None:
                 self.events.append(f"harq_retx_pid{pid}_rv{rv}")
+                tpc = 0
             else:
                 mac_bytes = payload.pack(tbs // 8) \
                     if isinstance(payload, MacPdu) \
                     else payload + b"\x00" * (tbs // 8 - len(payload))
-                pid, ndi, rv = 0, 0, 0
+                pid, ndi = 0, 0
+                rv = (meta or {}).get("si_rv", 0)
                 if st is not None and rnti in self.rrc.ues:
                     from ..mac.harq import DlHarqEntity
 
@@ -522,7 +571,7 @@ class EnbStack:
             tb_bits = np.unpackbits(np.frombuffer(mac_bytes, np.uint8))
             dci_bits = dci_mod.pack_format1a(
                 self.cell.nof_prb, prb_next, n_prb, mcs, harq_pid=pid,
-                ndi=ndi, rv=rv)
+                ndi=ndi, rv=rv, tpc=tpc)
             cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
                               rnti=rnti, mod=mod,
                               prb_mask=ra.prb_mask_type2(

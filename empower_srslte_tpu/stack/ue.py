@@ -32,13 +32,25 @@ PREAMBLE = 7
 class UeStack:
     def __init__(self, cell: Cell, nas, rsi: int = 128,
                  mac_cfg: UlSchConfig | None = None,
-                 preamble: int = PREAMBLE, ra_delay_frames: int = 0):
+                 preamble: int = PREAMBLE, ra_delay_frames: int = 0,
+                 cold_start: bool = False):
+        #: with cold_start the ctor cell is only a geometry hint (the RF
+        #: tuning: sample rate / bandwidth); PCI, SFN, PRB count and the
+        #: PRACH config are acquired over the air (phch_recv.cc
+        #: IDLE -> CELL_SEARCH -> SFN_SYNC -> CAMPING)
         self.cell = cell
         self.rsi = rsi
         self.preamble = preamble
         self.ra_delay_frames = ra_delay_frames
         self.rrc = UeRrc(nas=nas)
-        self.state = "idle"           # idle -> ra -> connected
+        # cold boot: search -> mib -> sib -> idle(ra-armed) -> ...
+        self.state = "search" if cold_start else "idle"
+        self._search_buf: list = []
+        self._found_id: int | None = None
+        self._sf_off = 0              # (tti + _sf_off) % 10 = cell sf_idx
+        self._sfn_off = 0             # cell sfn = (tti + _sfn_off*...)
+        self._sib1 = None
+        self._have_sib2 = False
         self.connect_pending = True   # RA armed (initial access / paging)
         self.connect_cause = "mo_Signalling"
         self.c_rnti = 0
@@ -96,6 +108,9 @@ class UeStack:
         self.drb_rlc_tx.write_sdu(self.drb_pdcp_tx.write_sdu(packet))
 
     def tti(self, tti: int, dl_iq) -> np.ndarray | None:
+        if self.state in ("search", "mib", "sib"):
+            self._acquire(tti, dl_iq)
+            return None
         sf_idx = tti % 10
         self._process_dl(tti, dl_iq)
         if self.state == "connected" and self.rrc.state == "idle":
@@ -172,6 +187,78 @@ class UeStack:
             return np.asarray(ue_ul_generate(
                 self.cell, pucch=(pcfg, cqi_pack_wideband(cqi))))
         return None
+
+    # --- cold-boot acquisition (phch_recv.cc cell_search/sfn_sync) ---------
+
+    def _acquire(self, tti: int, dl_iq) -> None:
+        if dl_iq is None:
+            return
+        samples = np.asarray(dl_iq).astype(np.complex64)
+        if self.state == "search":
+            self._search_buf.append(samples)
+            if len(self._search_buf) < 26:
+                return
+            from ..models.ue_sync import sync_and_align
+
+            stream = np.concatenate(self._search_buf)
+            res = sync_and_align(stream, self.cell.nof_prb)
+            self._found_id = res.cell_id
+            # subframe-synchronous air: the found sf0 offset locates the
+            # cell's subframe 0 relative to our local tti counter
+            sf0_in_buf = res.sf0_offset // self.cell.sf_sample_len
+            buf_start_tti = tti - len(self._search_buf) + 1
+            self._sf_off = (-(buf_start_tti + sf0_in_buf)) % 10
+            self._search_buf = []
+            self.state = "mib"
+            self.events.append(f"cell_found_id{res.cell_id}")
+            return
+        cell_sf = (tti + self._sf_off) % 10
+        if self.state == "mib":
+            if cell_sf != 0:
+                return
+            from ..models.ue_dl import ue_mib_acquire
+
+            mib = ue_mib_acquire(samples, self.cell, self._found_id)
+            if mib is None:
+                return
+            self.cell = Cell(nof_prb=mib["nof_prb"], id=self._found_id)
+            self._sfn_off = (mib["sfn"] - (tti + self._sf_off) // 10) \
+                % 1024
+            self.events.append(
+                f"mib_prb{mib['nof_prb']}_sfn{mib['sfn']}")
+            self.state = "sib"
+            return
+        # SIB acquisition: blind-decode the SI-RNTI (the reference reads
+        # SIB1's si-window schedule; monitoring every subframe is a
+        # functional superset)
+        from ..models.ue_dl import ue_dl_decode
+        from .si import parse_si, sib2_radio_config
+
+        for r in ue_dl_decode(samples, self.cell, cell_sf, 0xFFFF):
+            if not r.crc_ok or r.tb_bits is None:
+                continue
+            tb = np.packbits(np.asarray(r.tb_bits).ravel()).tobytes()
+            try:
+                name, v = parse_si(tb)
+            except Exception:
+                continue
+            if name == "systemInformationBlockType1":
+                self._sib1 = v
+                self.events.append("sib1_acquired")
+            elif name == "systemInformation":
+                for kind, sib in v["critical_extensions"][1][
+                        "sib_type_and_info"]:
+                    if kind != "sib2":
+                        continue
+                    cfg = sib2_radio_config(sib)
+                    self.rsi = cfg["rsi"]
+                    self._have_sib2 = True
+                    self.events.append(
+                        f"sib2_acquired_rsi{cfg['rsi']}")
+            if self._sib1 is not None and self._have_sib2 \
+                    and self.state == "sib":
+                self.state = "idle"           # camped; RA armed
+                self.events.append("camped")
 
     def _to_idle(self):
         """Connected -> RRC_IDLE (rrc.cc go_idle): drop the C-RNTI and
