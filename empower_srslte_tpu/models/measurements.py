@@ -61,3 +61,31 @@ def ue_measurement_report(h, noise_est=1e-3):
     cqi = cqi_from_snr(snr_db)
     pmi = jnp.where(ri == 2, pmi2, pmi1)
     return dict(ri=ri, pmi=pmi, cqi=cqi, snr_db=snr_db)
+
+
+_rsrp_cache: dict = {}
+
+
+def cell_rsrp(samples, cell, sf_idx: int) -> float:
+    """RSRP of a (serving or neighbour) cell from one subframe: LS
+    channel estimate at that cell's CRS positions, mean |h|^2 in dB
+    (chest_dl.c get_rsrp; srsue intra-frequency neighbour measurement).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.chest import chest_dl
+    from ..ops.ofdm import ofdm_rx_sf
+    from ..utils import device_complex
+
+    key = (repr(cell), sf_idx)
+    if key not in _rsrp_cache:
+        def f(x):
+            grid = ofdm_rx_sf(x[None], cell)[0]
+            h = chest_dl(grid[None], cell, sf_idx, port=0)
+            return jnp.mean(jnp.abs(h) ** 2)
+
+        _rsrp_cache[key] = jax.jit(f)
+    p = float(np.asarray(_rsrp_cache[key](device_complex(samples))))
+    return 10.0 * np.log10(max(p, 1e-12))

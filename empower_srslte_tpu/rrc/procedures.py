@@ -108,6 +108,8 @@ class UeRrc:
     #: dedicated PUCCH resources from PhysicalConfigDedicated
     sr_cfg: dict | None = None
     cqi_cfg: dict | None = None
+    #: pending handover execution (mobilityControlInfo) for the stack
+    ho_info: dict | None = None
 
     # --- connection establishment -------------------------------------------
 
@@ -294,6 +296,16 @@ class UeRrc:
                 self.srb1_pdcp_rx = PdcpEntity(
                     _srb_pdcp(k_rrc_int, k_rrc_enc))
                 self.events.append(f"handover_to_{mci['target_pci']}")
+                # execution info for the PHY/MAC stack (36.331 5.3.5.4:
+                # T304, retune, dedicated RA at the target)
+                self.ho_info = {
+                    "pci": mci["target_pci"],
+                    "rnti": mci["new_ue_identity"],
+                    "preamble": (mci.get("rach_config_dedicated")
+                                 or {}).get("ra_preamble_index", 4),
+                    "rsi": (mci.get("radio_resource_config_common")
+                            or {}).get("prach_config", {}).get(
+                                "root_sequence_index", 128)}
             for nas_pdu in r8.get("dedicated_info_nas_list") or []:
                 resp = self.nas.handle_dl_nas(nas_pdu)
                 if resp is not None:
@@ -305,8 +317,14 @@ class UeRrc:
             msg = {"rrc_transaction_identifier":
                    v["rrc_transaction_identifier"],
                    "critical_extensions": ("r8", {})}
-            out.append(self._ul(SRB1, M.pack_ul_dcch(
-                "rrcConnectionReconfigurationComplete", msg)))
+            comp = self._ul(SRB1, M.pack_ul_dcch(
+                "rrcConnectionReconfigurationComplete", msg))
+            if self.ho_info is not None and "complete" not in self.ho_info:
+                # 36.331 5.3.5.4: the complete is submitted to lower
+                # layers only after random access at the TARGET; the
+                # stack seeds the re-established RLC with it
+                self.ho_info["complete"] = comp[1]
+            out.append(comp)
         elif name == "ueCapabilityEnquiry":
             caps = M.pack_eutra_capability({
                 "access_stratum_release": 0,        # rel8
@@ -663,7 +681,8 @@ class EnbRrc:
         mci = {"target_pci": target_pci, "t304": 4,
                "new_ue_identity": new_rnti,
                "radio_resource_config_common": {
-                   "prach_config": {"root_sequence_index": 128},
+                   "prach_config": {"root_sequence_index":
+                                    getattr(self, "rsi", 128)},
                    "pusch_config_common": {
                        "pusch_config_basic": {
                            "n_sb": 1, "hopping_mode": 0,

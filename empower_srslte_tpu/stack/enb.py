@@ -36,7 +36,7 @@ from ..models.pusch import PuschConfig, pusch_decode
 from ..rrc.procedures import EnbRrc
 from ..upper.gtpu import gtpu_pack, gtpu_unpack
 from ..upper.pdcp import PdcpConfig, PdcpEntity
-from ..upper.rlc import RlcUm
+from ..upper.rlc import RlcAm, RlcUm
 from ..utils.cell import Cell
 from .params import (MSG3_MCS, MSG3_PRB, N1_PUCCH, PRACH_FREQ_OFFSET,
                      PRACH_SF, PUCCH_N_RB_2, UL_GRANT_N_PRB, UL_GRANT_PRB0)
@@ -111,6 +111,9 @@ class EnbStack:
         self.ack_pending: dict = {}
         # UL HARQ indicators to transmit: tti -> [(group, seq, ack)]
         self.phich_pending: dict = {}
+        #: dedicated RA preambles reserved for incoming handovers:
+        #: rapid -> pre-allocated C-RNTI (rach_config_dedicated)
+        self.dedicated_preambles: dict = {}
         # paging scheduler (36.304 occasions; rrc.cc pending_paging)
         from ..mac.bcch import PagingScheduler
 
@@ -132,6 +135,15 @@ class EnbStack:
 
     # --- user plane -----------------------------------------------------------
 
+    def _srb1(self, rnti: int) -> RlcAm:
+        """Per-UE SRB1 RLC AM entity (the reference's rlc.cc per-user
+        bearer array; SRB1/2 are acknowledged mode)."""
+        st = self.active_ues.setdefault(rnti, {})
+        rlc = st.get("srb1_rlc")
+        if rlc is None:
+            rlc = st["srb1_rlc"] = RlcAm()
+        return rlc
+
     def _drb(self, rnti: int) -> dict:
         d = self.drbs.get(rnti)
         if d is None:
@@ -152,6 +164,18 @@ class EnbStack:
             return
         d = self._drb(rnti)
         d["rlc_tx"].write_sdu(d["pdcp_tx"].write_sdu(ip))
+
+    def admit_handover(self, req: dict) -> bytes:
+        """Target-side admission (36.413 HandoverRequest -> rrc
+        prepare_handover): reserve the dedicated preamble and open a
+        standing UL window for the arriving UE's complete."""
+        self.rrc.rsi = self.rsi       # advertise OUR prach root in mci
+        cmd = self.rrc.prepare_handover(req)
+        rnti = self.rrc.next_c_rnti - 1       # allocated by prepare
+        self.dedicated_preambles[4] = rnti    # ra_preamble_index (rrc)
+        self.active_ues.setdefault(rnti, {})["want_ul"] = True
+        self.events.append(f"ho_admit_rnti{rnti:#x}")
+        return cmd
 
     def release_ue(self, rnti: int) -> None:
         """RRCConnectionRelease towards the UE; the context is purged a
@@ -372,7 +396,10 @@ class EnbStack:
             jnp.asarray(np.asarray(ul_iq).astype(np.complex64)), self.cell)
 
     def _on_prach(self, tti: int, rapid: int):
-        t_crnti = self.rrc.next_c_rnti      # RRC will allocate this rnti
+        # dedicated preamble (incoming handover) -> the reserved C-RNTI;
+        # otherwise RRC will allocate the next one on msg3
+        t_crnti = self.dedicated_preambles.pop(
+            rapid, self.rrc.next_c_rnti)
         self.events.append(f"prach_rapid{rapid}")
         ra_rnti = 1 + (tti % 10)
         rar = pack_rar_pdu(rapid, ta=0, rb_start=MSG3_PRB[0],
@@ -421,24 +448,44 @@ class EnbStack:
                             "spgw_teid", 1)
                         self.ul_gtpu.append(gtpu_pack(teid, ip))
                 continue
-            srb = 0 if sp.lcid == 0 else 1
-            if srb == 0 and rnti not in self.rrc.ues:
+            if sp.lcid == 1:
+                rlc = self._srb1(rnti)
+                rlc.write_pdu(sp.payload)
+                n_ev = len(self.rrc.events)
+                while rlc.rx_sdus:
+                    sdu = rlc.rx_sdus.pop(0)
+                    for m_rnti, m_srb, m_pdu in self.rrc.handle_ul(
+                            rnti if rnti in self.rrc.ues else 0, 1, sdu):
+                        self.send_dl(m_rnti, m_srb, m_pdu)
+                if any(e in ("s1_handover_cmd",) or
+                       e.startswith("handover_decision")
+                       for e in self.rrc.events[n_ev:]):
+                    # source side: the UE departs once the command is
+                    # delivered; schedule the context purge
+                    st = self.active_ues.setdefault(rnti, {})
+                    st.setdefault("release_countdown", 30)
+                continue
+            if rnti not in self.rrc.ues:
                 # msg3: contention resolution identity = first 6 bytes
                 self.active_ues[rnti] = {"con_res": sp.payload[:6]}
             responses = self.rrc.handle_ul(
-                rnti if rnti in self.rrc.ues else 0, srb, sp.payload)
+                rnti if rnti in self.rrc.ues else 0, 0, sp.payload)
             for m_rnti, m_srb, m_pdu in responses:
                 self.send_dl(m_rnti, m_srb, m_pdu)
 
     # --- DL path ----------------------------------------------------------------
 
     def send_dl(self, rnti: int, srb: int, pdu: bytes):
-        mac = MacPdu()
-        ue = self.active_ues.get(rnti)
-        if ue is not None and ue.get("con_res") is not None and srb == 0:
-            mac.add_con_res(ue.pop("con_res"))
-        mac.add_sdu(0 if srb == 0 else 1, pdu)
-        self.dl_queues.setdefault(rnti, []).append((mac, None))
+        if srb == 1:
+            # SRB1 rides RLC AM; drained into MAC PDUs by _compose_dl
+            self._srb1(rnti).write_sdu(pdu)
+        else:
+            mac = MacPdu()
+            ue = self.active_ues.get(rnti)
+            if ue is not None and ue.get("con_res") is not None:
+                mac.add_con_res(ue.pop("con_res"))
+            mac.add_sdu(0, pdu)
+            self.dl_queues.setdefault(rnti, []).append((mac, None))
         # any DL signalling implies the UE may need to answer: open a
         # standing UL grant window
         if rnti in self.rrc.ues:
@@ -486,11 +533,26 @@ class EnbStack:
                               # land on common-search-space candidates,
                               # 36.213 9.1.1: CCE 0/4/8/12)
         prb_next = 0          # contiguous type-2 PDSCH allocator
-        # opportunistic DRB drain towards connected UEs whose queue ran
-        # empty (mac.cc pulling from rlc buffers)
-        for rnti in self.active_ues:
+        # drain per-UE RLC buffers into MAC PDUs (mac.cc pulling from
+        # rlc.cc): SRB1 (AM status + data) has priority over the DRB
+        for rnti, st in self.active_ues.items():
+            if self.dl_queues.get(rnti):
+                continue
+            rlc = st.get("srb1_rlc")
+            if rlc is not None:
+                mac = MacPdu()
+                status = rlc.get_status_pdu()
+                if status is not None:
+                    mac.add_sdu(1, status)
+                pdu1 = rlc.read_pdu(120)
+                if pdu1 is not None:
+                    mac.add_sdu(1, pdu1)
+                if mac.subpdus:
+                    self.dl_queues.setdefault(rnti, []).append(
+                        (mac, None))
+                    continue
             d = self.drbs.get(rnti)
-            if d is None or self.dl_queues.get(rnti):
+            if d is None:
                 continue
             rlc_pdu = d["rlc_tx"].read_pdu(200)
             if rlc_pdu is not None:

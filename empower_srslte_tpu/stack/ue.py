@@ -22,7 +22,7 @@ from ..models.ue_dl import ue_dl_decode
 from ..models.ue_ul import ue_ul_generate
 from ..rrc.procedures import UeRrc
 from ..upper.pdcp import PdcpConfig, PdcpEntity
-from ..upper.rlc import RlcUm
+from ..upper.rlc import RlcAm, RlcUm
 from ..utils.cell import Cell
 from .params import (N1_PUCCH, PRACH_FREQ_OFFSET, PRACH_SF, PUCCH_N_RB_2)
 
@@ -33,7 +33,8 @@ class UeStack:
     def __init__(self, cell: Cell, nas, rsi: int = 128,
                  mac_cfg: UlSchConfig | None = None,
                  preamble: int = PREAMBLE, ra_delay_frames: int = 0,
-                 cold_start: bool = False):
+                 cold_start: bool = False,
+                 neighbor_pcis: tuple = ()):
         #: with cold_start the ctor cell is only a geometry hint (the RF
         #: tuning: sample rate / bandwidth); PCI, SFN, PRB count and the
         #: PRACH config are acquired over the air (phch_recv.cc
@@ -51,12 +52,21 @@ class UeStack:
         self._sfn_off = 0             # cell sfn = (tti + _sfn_off*...)
         self._sib1 = None
         self._have_sib2 = False
+        #: intra-frequency neighbours the UE measures (the reference UE
+        #: detects these by PSS search; here the detected set is given)
+        self.neighbor_pcis = tuple(neighbor_pcis)
+        self._meas_sent = 0
+        self.ho_pending: dict | None = None
+        self._last_dl = None
         self.connect_pending = True   # RA armed (initial access / paging)
         self.connect_cause = "mo_Signalling"
         self.c_rnti = 0
         self.ra_rnti = 0
         self.msg3: bytes | None = None
-        self.ul_queue: list = []      # (srb, pdu) awaiting a grant
+        self.ul_queue: list = []      # (srb, pdu) awaiting a grant (SRB0)
+        # SRB1 rides RLC AM (rlc_am.cc: the reference maps SRB1/2 onto
+        # acknowledged mode with segmentation + status/retx)
+        self.srb1_rlc = RlcAm()
         self.pusch_plan: dict = {}    # tti -> (mac, cfg, tbs)
         self.ack_plan: dict = {}      # tti -> (n_pucch, [ack bits])
         self.events: list = []
@@ -98,7 +108,10 @@ class UeStack:
 
     def _lcid_buffer_state(self, lcid: int) -> int:
         if lcid == 1:
-            return sum(len(p) for _s, p in self.ul_queue)
+            return (sum(len(p) for _s, p in self.ul_queue)
+                    + self.srb1_rlc.buffer_state()
+                    + (6 if self.srb1_rlc.status_pending() else 0)
+                    + (4 if self.srb1_rlc.retx_pending() else 0))
         if lcid == 3:
             return self.drb_rlc_tx.buffer_state()
         return 0
@@ -115,7 +128,11 @@ class UeStack:
         self._process_dl(tti, dl_iq)
         if self.state == "connected" and self.rrc.state == "idle":
             self._to_idle()           # rrcConnectionRelease processed
-        if (self.state == "idle" and self.connect_pending
+        if self.rrc.ho_info is not None:
+            ho, self.rrc.ho_info = self.rrc.ho_info, None
+            self._execute_handover(ho)
+        if (self.state in ("idle", "ho_ra")
+                and (self.connect_pending or self.state == "ho_ra")
                 and sf_idx == PRACH_SF
                 and tti >= 10 * self.ra_delay_frames):
             self.state = "ra"
@@ -152,6 +169,9 @@ class UeStack:
                 # dsr-TransMax exhausted: PUCCH released, redo RA
                 self.events.append("sr_failed_ra")
                 self.state = "idle"
+        if (self.state == "connected" and self.neighbor_pcis
+                and tti % 10 == 3 and self._last_dl is not None):
+            self._measure_and_report(tti)
         pusch = self.pusch_plan.pop(tti, None)
         acks = self.ack_plan.pop(tti, None)
         if pusch is not None:
@@ -260,6 +280,53 @@ class UeStack:
                 self.state = "idle"           # camped; RA armed
                 self.events.append("camped")
 
+    def _measure_and_report(self, tti: int) -> None:
+        """Serving + neighbour RSRP from the live subframe; an A3-style
+        entry condition sends a measurementReport on SRB1 (srsue rrc.cc
+        measurement procedures; the eNB applies its own margin)."""
+        from ..models.measurements import cell_rsrp
+
+        sf_idx = tti % 10
+        serving = cell_rsrp(self._last_dl, self.cell, sf_idx)
+
+        def scale(db):
+            return max(0, min(97, int(db + 80)))
+
+        neigh = []
+        for pci in self.neighbor_pcis:
+            ncell = Cell(nof_prb=self.cell.nof_prb, id=pci)
+            n_db = cell_rsrp(self._last_dl, ncell, sf_idx)
+            if n_db > serving + 3.0:          # A3 entry, 3 dB offset
+                neigh.append((pci, scale(n_db), 20))
+        if neigh and tti - self._meas_sent > 20:
+            self._meas_sent = tti
+            self.events.append(f"meas_report_{neigh[0][0]}")
+            _srb, pdu = self.rrc.send_measurement_report(
+                scale(serving), 20, neigh)
+            self.srb1_rlc.write_sdu(pdu)
+
+    def _execute_handover(self, ho: dict) -> None:
+        """36.331 5.3.5.4: retune to the target PCI, re-establish RLC
+        carrying the pending ReconfigurationComplete, run dedicated
+        random access at the target."""
+        self.cell = Cell(nof_prb=self.cell.nof_prb, id=ho["pci"])
+        self.rsi = ho["rsi"]
+        self.preamble = ho["preamble"]
+        self.ho_pending = ho
+        self.srb1_rlc = RlcAm()               # RLC re-establishment
+        if ho.get("complete") is not None:
+            self.srb1_rlc.write_sdu(ho["complete"])
+        self.pusch_plan.clear()
+        self.ack_plan.clear()
+        self.phich_wait.clear()
+        self.ul_harq.clear()
+        self.dl_harq.clear()
+        self.dl_harq_delivered.clear()
+        self.c_rnti = 0
+        self.msg3 = None              # fresh RA (non-contention)
+        self.state = "ho_ra"
+        self.events.append(f"ho_exec_pci{ho['pci']}")
+
     def _to_idle(self):
         """Connected -> RRC_IDLE (rrc.cc go_idle): drop the C-RNTI and
         all PHY/MAC state; NAS registration persists (ECM-idle)."""
@@ -274,14 +341,17 @@ class UeStack:
         self.dl_harq.clear()
         self.dl_harq_delivered.clear()
         self.sr.reset()
+        self.srb1_rlc = RlcAm()        # SRB1 RLC re-established
         self.events.append("went_idle")
 
     # --- DL processing ----------------------------------------------------------
 
     def _process_dl(self, tti: int, dl_iq):
         if dl_iq is None:
+            self._last_dl = None
             return
         sf_idx = tti % 10
+        self._last_dl = np.asarray(dl_iq).astype(np.complex64)
         rntis = []
         if self.state == "ra" and self.msg3 is None:
             rntis.append(("ra", self.ra_rnti))
@@ -367,6 +437,31 @@ class UeStack:
         self.c_rnti = rar["t_crnti"]
         self.rrc.c_rnti = self.c_rnti
         self.events.append(f"rar_tcrnti{self.c_rnti:#x}")
+        if self.ho_pending is not None:
+            # non-contention RA (handover): the msg3 grant carries the
+            # ReconfigurationComplete already waiting in SRB1 RLC
+            self.ho_pending = None
+            self.state = "connected"
+            self.events.append("ho_ra_complete")
+            mod, tbs = ra.mcs_to_tbs(rar["mcs"], rar["n_prb"], dl=False)
+            mac = MacPdu()
+            room = tbs // 8 - 2
+            status = self.srb1_rlc.get_status_pdu()
+            if status is not None:
+                mac.add_sdu(1, status)
+                room -= len(status) + 3
+            while room > 8:
+                pdu1 = self.srb1_rlc.read_pdu(room - 3)
+                if pdu1 is None:
+                    break
+                mac.add_sdu(1, pdu1)
+                room -= len(pdu1) + 3
+            cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
+                              rnti=self.c_rnti, mod=mod,
+                              prb_start=rar["rb_start"],
+                              n_prb=rar["n_prb"])
+            self.pusch_plan[tti + 4] = (mac, cfg, tbs, 0)
+            return
         srb, req = self.rrc.connect(self.connect_cause)
         mac = MacPdu()
         mac.add_sdu(0, req)
@@ -403,9 +498,23 @@ class UeStack:
                     if ip is not None:
                         self.rx_ip.append(ip)
                 continue
-            srb = 0 if sp.lcid == 0 else 1
-            for u_srb, u_pdu in self.rrc.handle_dl(srb, sp.payload):
-                self.ul_queue.append((u_srb, u_pdu))
+            if sp.lcid == 1:
+                # SRB1: through RLC AM reassembly (status PDUs handled
+                # inside write_pdu)
+                self.srb1_rlc.write_pdu(sp.payload)
+                while self.srb1_rlc.rx_sdus:
+                    sdu = self.srb1_rlc.rx_sdus.pop(0)
+                    for u_srb, u_pdu in self.rrc.handle_dl(1, sdu):
+                        self._queue_ul(u_srb, u_pdu)
+                continue
+            for u_srb, u_pdu in self.rrc.handle_dl(0, sp.payload):
+                self._queue_ul(u_srb, u_pdu)
+
+    def _queue_ul(self, srb: int, pdu: bytes) -> None:
+        if srb == 1:
+            self.srb1_rlc.write_sdu(pdu)
+        else:
+            self.ul_queue.append((srb, pdu))
 
     def _on_ul_grant(self, tti: int, grant):
         mod, tbs = ra.mcs_to_tbs(grant.mcs, grant.riv_len, dl=False)
@@ -426,6 +535,17 @@ class UeStack:
             self.ul_queue.pop(0)
             mac.add_sdu(0 if srb == 0 else 1, pdu)
             room -= len(pdu) + 3
+        # SRB1 over RLC AM: status first, then (segmented) data
+        status = self.srb1_rlc.get_status_pdu() if room > 9 else None
+        if status is not None:
+            mac.add_sdu(1, status)
+            room -= len(status) + 3
+        while room > 8:
+            rlc_pdu = self.srb1_rlc.read_pdu(room - 3)
+            if rlc_pdu is None:
+                break
+            mac.add_sdu(1, rlc_pdu)
+            room -= len(rlc_pdu) + 3
         # fill remaining room with DRB data
         while room > 8:
             rlc_pdu = self.drb_rlc_tx.read_pdu(room - 3)

@@ -149,9 +149,14 @@ class RlcAm:
     """Acknowledged mode (rlc_am.cc): segmentation, in-order delivery,
     STATUS PDUs with NACKs, retransmission, poll bit."""
 
-    MAX_RETX = 8
+    MAX_RETX = 16
 
-    def __init__(self, poll_pdu: int = 4):
+    def __init__(self, poll_pdu: int = 4, poll_retx: int = 40):
+        #: t-PollRetransmit analog, counted in read_pdu opportunities
+        #: (~TTIs): pace the nothing-else-to-send re-poll so a long
+        #: outage does not burn MAX_RETX in consecutive subframes
+        self._poll_retx = poll_retx
+        self._poll_retx_cnt = 0
         self.vt_s = 0                      # next new SN
         self.vt_a = 0                      # lowest unacked SN
         self._tx_q: list[bytes] = []
@@ -192,9 +197,13 @@ class RlcAm:
         if not self._tx_q or nof_bytes < 3:
             # t-PollRetransmit fallback: data outstanding, nothing else to
             # send -> re-poll with the oldest unacked PDU (rlc_am.cc
-            # poll_retx timer expiry)
+            # poll_retx timer expiry), paced by the timer analog
             if (not self._tx_q and (self.vt_s - self.vt_a) % MOD_AM
                     and self.vt_a in self._tx_window):
+                self._poll_retx_cnt += 1
+                if self._poll_retx_cnt < self._poll_retx:
+                    return None
+                self._poll_retx_cnt = 0
                 ent = self._tx_window[self.vt_a]
                 if ent.retx_count < self.MAX_RETX and len(ent.pdu) <= nof_bytes:
                     ent.retx_count += 1
@@ -275,6 +284,15 @@ class RlcAm:
             if h["last"]:
                 self.rx_sdus.append(b"".join(self._segments))
                 self._segments = []
+
+    def retx_pending(self) -> bool:
+        """Unacknowledged PDUs outstanding (keeps the MAC asking for
+        grants so poll-retransmit opportunities exist)."""
+        return (self.vt_s - self.vt_a) % MOD_AM > 0
+
+    def status_pending(self) -> bool:
+        """A STATUS PDU is owed to the peer (drives BSR/SR triggers)."""
+        return self._status_requested
 
     def get_status_pdu(self) -> bytes | None:
         """Build STATUS (ACK up to highest received + NACK holes) when

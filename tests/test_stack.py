@@ -101,3 +101,46 @@ class TestFullStackAttach:
         assert ue.rx_ip[0].endswith(b"PONG-TO-THE-UE!")
         # SP-GW forwards the uplink out its SGi side
         assert mme.spgw.uplink(enb.ul_gtpu[0]).endswith(b"PING-FROM-UE-01")
+
+
+class TestSrb1RlcAm:
+    def test_signalling_survives_harq_exhaustion(self):
+        """SRB1 rides RLC AM (rlc_am.cc): an RRC message whose every
+        HARQ attempt dies in a long fade is recovered by the AM layer's
+        poll/status retransmission once the channel returns."""
+        cell = Cell(nof_prb=25, id=1)
+        mme, nas = _epc()
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        air = Air(cell.sf_sample_len)
+        import jax
+
+        ul_iq, attached_at, sent_at = None, None, None
+        for tti in range(220):
+            if tti and tti % 50 == 0:
+                jax.clear_caches()   # XLA-CPU loader fatigue (conftest)
+            # 30-tti blackout right after the enquiry is queued: deeper
+            # and longer than DL HARQ's 4 attempts can bridge
+            air.snr_db = -20.0 if (sent_at is not None
+                                   and sent_at <= tti < sent_at + 30) \
+                else None
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+            if (attached_at is not None and sent_at is None
+                    and tti == attached_at + 10):
+                enb.send_dl(*enb.rrc.send_capability_enquiry(ue.c_rnti))
+                sent_at = tti + 1
+            if sent_at is not None and any(
+                    e.startswith("ue_cat") for e in enb.rrc.events):
+                break
+        assert attached_at is not None and sent_at is not None
+        # the enquiry was lost at the MAC during the fade...
+        assert any(e.startswith("ul_harq_max_retx")
+                   or e.startswith("harq_nack") for e in enb.events)
+        # ...but RLC AM recovered it and the UE answered
+        assert "capability_sent" in ue.rrc.events, ue.rrc.events[-8:]
+        assert any(e.startswith("ue_cat") for e in enb.rrc.events), \
+            enb.rrc.events[-8:]
