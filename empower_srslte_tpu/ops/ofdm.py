@@ -150,6 +150,42 @@ def ofdm_tx_sf(grid, cell: Cell, *, normalize: bool = False):
     return jnp.concatenate(pieces, axis=-1)
 
 
+def ofdm_tx_sf_mbsfn(grid, cell: Cell, non_mbsfn_region: int = 2,
+                     *, normalize: bool = False):
+    """MBSFN subframe modulation: grid [..., 12, nre] -> samples.
+
+    Inverse of ofdm_rx_sf_mbsfn (srslte_ofdm_tx_slot_mbsfn): the first
+    ``non_mbsfn_region`` symbols keep normal-CP lengths, the guard gap
+    extends the first extended-CP symbol's cyclic prefix, the remaining
+    symbols use extended CP. Total length = 12*(fft+cp_ext) =
+    sf_sample_len.
+    """
+    from ..utils.scatter import place
+
+    fft = cell.fft_size
+    bins = _grid_to_bins(cell.nof_prb, reduced=cell.reduced_rates)
+    spec = place(grid, bins, fft)
+    sym = jnp.fft.ifft(spec, axis=-1)                       # [..., 12, fft]
+    if normalize:
+        sym = sym * np.float32(np.sqrt(fft))
+    cp_norm = lambda i: (160 if i == 0 else 144) * fft // 2048
+    cp_ext = 512 * fft // 2048
+    guard = (non_mbsfn_region * cp_ext
+             - sum(cp_norm(i) for i in range(non_mbsfn_region)))
+    pieces = []
+    for i in range(12):
+        s = sym[..., i, :]
+        if i < non_mbsfn_region:
+            cp = cp_norm(i)
+        elif i == non_mbsfn_region:
+            cp = cp_ext + guard     # guard filled cyclically
+        else:
+            cp = cp_ext
+        pieces.append(s[..., fft - cp :])
+        pieces.append(s)
+    return jnp.concatenate(pieces, axis=-1)
+
+
 def freq_shift_half_subcarrier(samples, cell: Cell, direction: int = 1):
     """Multiply by exp(j*2*pi*0.5*n/fft): the UL half-subcarrier shift
     (ofdm.c:363-381). direction=+1 TX, -1 RX."""

@@ -121,6 +121,7 @@ class EnbStack:
         # system information broadcast (rrc.cc generate_sibs +
         # scheduler.cc dl_sched_bc): MIB on PBCH, SIB1/SIB2 on SI-RNTI
         self.broadcast = broadcast
+        self.mbms: dict | None = None
         if broadcast:
             from ..mac.bcch import SibConfig, SibScheduler
             from . import si as si_mod
@@ -164,6 +165,82 @@ class EnbStack:
             return
         d = self._drb(rnti)
         d["rlc_tx"].write_sdu(d["pdcp_tx"].write_sdu(ip))
+
+    def enable_mbms(self, area_id: int = 1, data_mcs: int = 9) -> None:
+        """Start eMBMS on this cell: SIB13 joins the broadcast schedule,
+        subframe 3 of every frame becomes an MBSFN subframe carrying
+        MCCH (at its occasions) or MTCH data from the MBMS-GW (M1)."""
+        from . import mbms as mb
+
+        self.mbms = {"area": area_id, "data_mcs": data_mcs,
+                     "queue": [], "mcch": mb.build_mcch(data_mcs),
+                     "cell": mb.mbsfn_cell(self.cell)}
+        if self.broadcast:
+            from ..mac.bcch import SibConfig
+
+            sib13 = mb.build_sib13(area_id)
+            self.sib_payloads.append(sib13)
+            self.sib_sched.sibs.append(
+                SibConfig(payload_len=len(sib13), period_rf=16))
+        self.events.append(f"mbms_enabled_area{area_id}")
+
+    def deliver_m1(self, gtpu_pdu: bytes) -> None:
+        """M1 user plane from the MBMS-GW (mbms-gw.cc fan-out)."""
+        from ..epc.mbms_gw import m1_ingest
+
+        ip = m1_ingest(gtpu_pdu)
+        if ip is not None and self.mbms is not None:
+            self.mbms["queue"].append(ip)
+
+    def _compose_mbsfn(self, tti: int) -> np.ndarray:
+        """One MBSFN subframe: normal-CP control region (CRS/PCFICH/
+        PHICH) + extended-CP PMCH region with MBSFN RS (enb_dl.c
+        put_mbsfn_base + srslte_pmch_encode)."""
+        from ..models.pmch import PmchConfig, pmch_encode
+        from ..ops.ofdm import ofdm_tx_sf_mbsfn
+        from . import mbms as mb
+
+        sf_idx = tti % 10
+        base = enb_dl_base_grid(self.cell, sf_idx, ())
+        base = pcfich_put(base, self.cfi, self.cell, sf_idx)
+        for g, q, ack in self.phich_pending.pop(tti, []):
+            from ..models.phich import phich_put
+
+            base = phich_put(base, ack, self.cell, sf_idx, group=g,
+                             seq_idx=q)
+        mcch = mb.is_mcch_occasion(tti)
+        if mcch:
+            lcid, payload, mcs = mb.LCID_MCCH, self.mbms["mcch"],                 mb.MCCH_MCS
+        elif self.mbms["queue"]:
+            lcid, payload, mcs = mb.LCID_MTCH,                 self.mbms["queue"].pop(0), self.mbms["data_mcs"]
+        else:
+            payload = None
+        mcell = self.mbms["cell"]
+        if payload is not None:
+            mod, tbs = mb.pmch_tbs(mcell, mcs)
+            mac = MacPdu()
+            mac.add_sdu(lcid, payload)
+            tb_bits = np.unpackbits(
+                np.frombuffer(mac.pack(tbs // 8), np.uint8))
+            cfg = PmchConfig(cell=mcell, area_id=self.mbms["area"],
+                             sf_idx=mb.MBSFN_SF, cfi=self.cfi, mod=mod)
+            grid12 = pmch_encode(
+                jnp.asarray(tb_bits.astype(np.int8))[None], cfg,
+                cfg.plan(tbs))[0]
+            self.events.append(
+                f"pmch_tx_{'mcch' if mcch else 'mtch'}_tti{tti}")
+        else:
+            from ..models.pmch import pmch_put_rs
+
+            cfg = PmchConfig(cell=mcell, area_id=self.mbms["area"],
+                             sf_idx=mb.MBSFN_SF, cfi=self.cfi)
+            grid12 = pmch_put_rs(
+                jnp.zeros((12, mcell.nof_re), jnp.complex64), cfg)
+        # control region (port 0) over the first cfi symbols
+        grid12 = jnp.concatenate([base[0, : self.cfi], grid12[self.cfi :]],
+                                 axis=0)
+        return np.asarray(ofdm_tx_sf_mbsfn(grid12, self.cell,
+                                           non_mbsfn_region=self.cfi))
 
     def admit_handover(self, req: dict) -> bytes:
         """Target-side admission (36.413 HandoverRequest -> rrc
@@ -493,6 +570,8 @@ class EnbStack:
 
     def _compose_dl(self, tti: int) -> np.ndarray:
         sf_idx = tti % 10
+        if self.mbms is not None and sf_idx == 3:
+            return self._compose_mbsfn(tti)
         grid = enb_dl_base_grid(self.cell, sf_idx, ())
         grid = put_sync_signals(grid, self.cell, sf_idx)
         grid = pcfich_put(grid, self.cfi, self.cell, sf_idx)

@@ -57,6 +57,8 @@ class UeStack:
         self.neighbor_pcis = tuple(neighbor_pcis)
         self._meas_sent = 0
         self.ho_pending: dict | None = None
+        self.mbms: dict | None = None
+        self.rx_mbms: list = []       # delivered MTCH IP packets
         self._last_dl = None
         self.connect_pending = True   # RA armed (initial access / paging)
         self.connect_cause = "mo_Signalling"
@@ -170,7 +172,7 @@ class UeStack:
                 self.events.append("sr_failed_ra")
                 self.state = "idle"
         if (self.state == "connected" and self.neighbor_pcis
-                and tti % 10 == 3 and self._last_dl is not None):
+                and tti % 10 == 2 and self._last_dl is not None):
             self._measure_and_report(tti)
         pusch = self.pusch_plan.pop(tti, None)
         acks = self.ack_plan.pop(tti, None)
@@ -352,6 +354,9 @@ class UeStack:
             return
         sf_idx = tti % 10
         self._last_dl = np.asarray(dl_iq).astype(np.complex64)
+        if self.mbms is not None and sf_idx == 3:
+            self._decode_mbsfn(tti, self._last_dl)
+            return                    # MBSFN subframe: no unicast DL
         rntis = []
         if self.state == "ra" and self.msg3 is None:
             rntis.append(("ra", self.ra_rnti))
@@ -509,6 +514,50 @@ class UeStack:
                 continue
             for u_srb, u_pdu in self.rrc.handle_dl(0, sp.payload):
                 self._queue_ul(u_srb, u_pdu)
+
+    def enable_mbms(self, area_id: int = 1) -> None:
+        """Join the MBSFN area (srsue mbms service interest): decode
+        subframe 3 as PMCH — MCCH at the signalling MCS announces the
+        data MCS for the MTCH occasions."""
+        from . import mbms as mb
+
+        self.mbms = {"area": area_id, "data_mcs": None,
+                     "cell": mb.mbsfn_cell(self.cell)}
+
+    def _decode_mbsfn(self, tti: int, samples) -> None:
+        from ..mac.pdu import unpack_pdu as unpack_mch
+        from ..models.pmch import PmchConfig, pmch_chest, pmch_decode
+        from ..ops.ofdm import ofdm_rx_sf_mbsfn
+        from . import mbms as mb
+
+        mcch = mb.is_mcch_occasion(tti)
+        mcs = mb.MCCH_MCS if mcch else self.mbms["data_mcs"]
+        if mcs is None:
+            return                   # no MCCH yet: data MCS unknown
+        mcell = self.mbms["cell"]
+        mod, tbs = mb.pmch_tbs(mcell, mcs)
+        cfg = PmchConfig(cell=mcell, area_id=self.mbms["area"],
+                         sf_idx=mb.MBSFN_SF, cfi=2, mod=mod)
+        grid = ofdm_rx_sf_mbsfn(jnp.asarray(samples), self.cell,
+                                non_mbsfn_region=2)
+        bits, ok, _ = pmch_decode(grid[None], cfg, cfg.plan(tbs),
+                                  noise_est=1e-3)
+        if not bool(np.asarray(ok).all()):
+            return
+        data = np.packbits(np.asarray(bits).ravel()[:tbs]).tobytes()
+        pdu = unpack_mch(data, ul=False)
+        for sp in pdu.subpdus:
+            if not sp.payload:
+                continue
+            if sp.lcid == mb.LCID_MCCH:
+                info = mb.parse_mcch(sp.payload)
+                if self.mbms["data_mcs"] != info["data_mcs"]:
+                    self.mbms["data_mcs"] = info["data_mcs"]
+                    self.events.append(
+                        f"mcch_acquired_mcs{info['data_mcs']}")
+            elif sp.lcid == mb.LCID_MTCH:
+                self.rx_mbms.append(sp.payload)
+                self.events.append(f"mtch_rx_tti{tti}")
 
     def _queue_ul(self, srb: int, pdu: bytes) -> None:
         if srb == 1:

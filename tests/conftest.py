@@ -45,7 +45,8 @@ def rng():
 #: keeps the loader healthy; the persistent compilation cache (above)
 #: makes the recompiles cheap.
 _HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs",
-                  "test_multi_ue", "test_idle_paging", "test_cold_boot")
+                  "test_multi_ue", "test_idle_paging", "test_cold_boot",
+                  "test_handover_ota", "test_mbms_ota")
 
 
 @pytest.fixture(autouse=True)
