@@ -9,12 +9,18 @@ import numpy as np
 
 class Air:
     def __init__(self, sf_len: int, snr_db: float | None = None,
-                 h_dl: complex = 1.0, h_ul: complex = 1.0, seed: int = 0):
+                 h_dl: complex = 1.0, h_ul: complex = 1.0, seed: int = 0,
+                 delay_samples: int = 0):
         self.sf_len = sf_len
         self.snr_db = snr_db
         self.h_dl = h_dl
         self.h_ul = h_ul
         self.rng = np.random.default_rng(seed)
+        #: one-way propagation delay on the uplink (streaming delay
+        #: line): what the eNB's PRACH offset detection measures and
+        #: the RAR timing-advance command compensates
+        self.delay = int(delay_samples)
+        self._ul_tail = np.zeros(self.delay, np.complex64)
 
     def _impair(self, iq, h):
         if iq is None:
@@ -32,5 +38,16 @@ class Air:
     def dl(self, iq):
         return self._impair(iq, self.h_dl)
 
-    def ul(self, iq):
-        return self._impair(iq, self.h_ul)
+    def ul(self, iq, advance: int = 0):
+        """``advance``: the UE's timed-TX advance (radio.cc tx_adv /
+        the RAR timing-advance command) — it cancels the propagation
+        delay at the receiver."""
+        out = self._impair(iq, self.h_ul)
+        d = max(0, self.delay - int(advance))
+        if d != len(self._ul_tail):
+            self._ul_tail = np.zeros(d, np.complex64)
+        if d:
+            spill = out[-d:].copy()
+            out = np.concatenate([self._ul_tail, out[:-d]])
+            self._ul_tail = spill
+        return out

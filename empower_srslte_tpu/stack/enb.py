@@ -39,7 +39,8 @@ from ..upper.pdcp import PdcpConfig, PdcpEntity
 from ..upper.rlc import RlcAm, RlcUm
 from ..utils.cell import Cell
 from .params import (MSG3_MCS, MSG3_PRB, N1_PUCCH, PRACH_FREQ_OFFSET,
-                     PRACH_SF, PUCCH_N_RB_2, UL_GRANT_N_PRB, UL_GRANT_PRB0)
+                     PRACH_SF, PRACH_ZCZ, PUCCH_N_RB_2, UL_GRANT_N_PRB,
+                     UL_GRANT_PRB0)
 
 UL_MCS = 4
 DL_MCS = 5
@@ -332,10 +333,12 @@ class EnbStack:
             cp = len(win) - seq_len if len(win) > seq_len else 0
             det, offs, metric = prach_detect(
                 jnp.asarray(win[None, cp : cp + seq_len]), self.cell,
-                self.rsi, freq_offset_prb=PRACH_FREQ_OFFSET)
+                self.rsi, zcz=PRACH_ZCZ,
+                freq_offset_prb=PRACH_FREQ_OFFSET)
             det = np.asarray(det)[0]
+            offs = np.asarray(offs)[0]
             for rapid in np.nonzero(det)[0]:
-                self._on_prach(tti, int(rapid))
+                self._on_prach(tti, int(rapid), int(offs[rapid]))
         expected = {p.rnti for p in self.ul_pending.get(tti, [])}
         # SR detection on PUCCH format 1 (eNB side of proc_sr): checked
         # for connected UEs on their occasion, unless a PUSCH is due
@@ -472,14 +475,18 @@ class EnbStack:
         return enb_ul_receive_grid(
             jnp.asarray(np.asarray(ul_iq).astype(np.complex64)), self.cell)
 
-    def _on_prach(self, tti: int, rapid: int):
+    def _on_prach(self, tti: int, rapid: int, offset: int = 0):
         # dedicated preamble (incoming handover) -> the reserved C-RNTI;
         # otherwise RRC will allocate the next one on msg3
         t_crnti = self.dedicated_preambles.pop(
             rapid, self.rrc.next_c_rnti)
-        self.events.append(f"prach_rapid{rapid}")
+        # timing advance from the detected preamble delay (36.213 4.2.3:
+        # TA command in units of 16 Ts = 16 * fft/2048 samples)
+        ta_unit = 16 * self.cell.fft_size // 2048
+        ta = min(0x7FF, (offset + ta_unit // 2) // ta_unit)
+        self.events.append(f"prach_rapid{rapid}_ta{ta}")
         ra_rnti = 1 + (tti % 10)
-        rar = pack_rar_pdu(rapid, ta=0, rb_start=MSG3_PRB[0],
+        rar = pack_rar_pdu(rapid, ta=ta, rb_start=MSG3_PRB[0],
                            n_prb=MSG3_PRB[1], mcs=MSG3_MCS,
                            t_crnti=t_crnti, nof_prb_ul=self.cell.nof_prb)
         self.dl_queues.setdefault(ra_rnti, []).append((rar, None))

@@ -28,3 +28,7 @@ PUCCH_N_RB_2 = 1
 #: n1PUCCH-AN: HARQ-ACK resource = N1_PUCCH + first CCE of the DL grant
 #: (36.213 10.1) — distinct per UE since CCEs are distinct per subframe.
 N1_PUCCH = 2
+#: zeroCorrelationZoneConfig (36.211 Table 5.7.2-2): N_cs=119 supports
+#: delays up to ~871 samples (~17 km cells) before zone ambiguity —
+#: the reference's sib.conf default (zero_correlation_zone_config 11).
+PRACH_ZCZ = 11

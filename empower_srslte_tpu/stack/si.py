@@ -70,7 +70,7 @@ def build_sib2(rsi: int, prach_freq_offset: int = PRACH_FREQ_OFFSET,
                     "root_sequence_index": rsi,
                     "prach_config_info": {
                         "prach_config_index": 3, "high_speed_flag": False,
-                        "zero_correlation_zone_config": 1,
+                        "zero_correlation_zone_config": 11,
                         "prach_freq_offset": prach_freq_offset}},
                 "pdsch_config_common": {"reference_signal_power": 18,
                                         "p_b": 0},

@@ -24,7 +24,8 @@ from ..rrc.procedures import UeRrc
 from ..upper.pdcp import PdcpConfig, PdcpEntity
 from ..upper.rlc import RlcAm, RlcUm
 from ..utils.cell import Cell
-from .params import (N1_PUCCH, PRACH_FREQ_OFFSET, PRACH_SF, PUCCH_N_RB_2)
+from .params import (N1_PUCCH, PRACH_FREQ_OFFSET, PRACH_SF, PRACH_ZCZ,
+                     PUCCH_N_RB_2)
 
 PREAMBLE = 7
 
@@ -57,6 +58,10 @@ class UeStack:
         self.neighbor_pcis = tuple(neighbor_pcis)
         self._meas_sent = 0
         self.ho_pending: dict | None = None
+        #: timing advance in samples (RAR TA command * 16 Ts units);
+        #: applied by the radio as a timed-TX advance (radio.cc tx_adv /
+        #: Air.ul(advance=...)) — drivers pass ue.timing_advance there
+        self.timing_advance = 0
         self.mbms: dict | None = None
         self.rx_mbms: list = []       # delivered MTCH IP packets
         self._last_dl = None
@@ -141,6 +146,7 @@ class UeStack:
             self.ra_rnti = 1 + sf_idx
             self.events.append("prach_tx")
             pre = prach_gen(self.cell, self.rsi, self.preamble,
+                            zcz=PRACH_ZCZ,
                             freq_offset_prb=PRACH_FREQ_OFFSET)
             out = np.zeros(self.cell.sf_sample_len, np.complex64)
             n = min(len(pre), len(out))
@@ -326,6 +332,7 @@ class UeStack:
         self.dl_harq_delivered.clear()
         self.c_rnti = 0
         self.msg3 = None              # fresh RA (non-contention)
+        self.timing_advance = 0       # re-acquired from the target RAR
         self.state = "ho_ra"
         self.events.append(f"ho_exec_pci{ho['pci']}")
 
@@ -344,6 +351,7 @@ class UeStack:
         self.dl_harq_delivered.clear()
         self.sr.reset()
         self.srb1_rlc = RlcAm()        # SRB1 RLC re-established
+        self.timing_advance = 0
         self.events.append("went_idle")
 
     # --- DL processing ----------------------------------------------------------
@@ -441,6 +449,10 @@ class UeStack:
             return
         self.c_rnti = rar["t_crnti"]
         self.rrc.c_rnti = self.c_rnti
+        ta_unit = 16 * self.cell.fft_size // 2048
+        self.timing_advance = rar["ta"] * ta_unit
+        if rar["ta"]:
+            self.events.append(f"ta_applied_{rar['ta']}")
         self.events.append(f"rar_tcrnti{self.c_rnti:#x}")
         if self.ho_pending is not None:
             # non-contention RA (handover): the msg3 grant carries the
