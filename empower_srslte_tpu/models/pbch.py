@@ -90,8 +90,9 @@ def pbch_encode_period(mib_bits, cell: Cell):
 
 
 def pbch_put(grid, mib_bits, cell: Cell, sfn: int):
-    """Insert this frame's PBCH quarter into the port-0 grid
-    [..., P, nsymb, nre] (subframe 0 grids only)."""
+    """Insert this frame's PBCH quarter into the grid
+    [..., P, nsymb, nre] (subframe 0 grids only): single port or 2-port
+    SFBC (srslte_pbch_encode layer map + diversity precoding)."""
     from ..utils.scatter import overlay
 
     coded = pbch_encode_period(mib_bits, cell)
@@ -100,8 +101,19 @@ def pbch_put(grid, mib_bits, cell: Cell, sfn: int):
     idx = pbch_re_indices(cell)
     lead = grid.shape[:-3]
     flat = grid.reshape(*lead, grid.shape[-3], -1)
-    p0 = overlay(flat[..., 0, :], syms, idx)
-    flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]], axis=-2)
+    if cell.nof_ports >= 2:
+        from ..ops.equalizer import precode_sfbc
+
+        layers = jnp.stack([syms[..., 0::2], syms[..., 1::2]], axis=-2)
+        ps = precode_sfbc(layers)
+        p0 = overlay(flat[..., 0, :], ps[..., 0, :], idx)
+        p1 = overlay(flat[..., 1, :], ps[..., 1, :], idx)
+        flat = jnp.concatenate([p0[..., None, :], p1[..., None, :],
+                                flat[..., 2:, :]], axis=-2)
+    else:
+        p0 = overlay(flat[..., 0, :], syms, idx)
+        flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]],
+                               axis=-2)
     return flat.reshape(grid.shape)
 
 
@@ -118,11 +130,26 @@ def pbch_decode(grid, h, cell: Cell, noise_est=0.0):
     cell_id = cell.id
     idx = jnp.asarray(pbch_re_indices(cell))
     flat = grid.reshape(*grid.shape[:-2], -1)
-    hf = h.reshape(*h.shape[:-2], -1)
     y = flat[..., idx]
-    hh = hf[..., idx]
-    x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est, 1e-12)
-    llr480 = demod_soft(x, Mod.QPSK) * jnp.abs(hh).repeat(2, axis=-1) ** 2
+    if h.ndim == grid.ndim + 1 and h.shape[-3] >= 2:
+        # 2-port SFBC combining (the transmit-diversity PBCH)
+        from ..ops.equalizer import eq_sfbc
+
+        hf = h.reshape(*h.shape[:-2], -1)
+        h0 = hf[..., 0, :][..., idx]
+        h1 = hf[..., 1, :][..., idx]
+        x, csi = eq_sfbc(y[..., None, :], h0[..., None, :],
+                         h1[..., None, :])
+        llr480 = demod_soft(x, Mod.QPSK) * jnp.repeat(csi, 2, axis=-1)
+    else:
+        if h.ndim == grid.ndim + 1:
+            h = h[..., 0, :, :]
+        hf = h.reshape(*h.shape[:-2], -1)
+        hh = hf[..., idx]
+        x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est,
+                                           1e-12)
+        llr480 = demod_soft(x, Mod.QPSK) \
+            * jnp.abs(hh).repeat(2, axis=-1) ** 2
 
     lead = llr480.shape[:-1]
     outs_bits, outs_ok = [], []

@@ -92,25 +92,52 @@ def pdcch_encode(dci_bits, rnti: int, cce: int, l: int, cell: Cell,
     idx = idx_all[cce * RE_PER_CCE : (cce + l) * RE_PER_CCE]
     lead = syms.shape[:-1]
     flat_len = cell.nsymb_sf * cell.nof_re
-    p0 = place(syms, idx, flat_len)
-    grid = jnp.concatenate(
-        [p0[..., None, :],
-         jnp.zeros((*lead, cell.nof_ports - 1, flat_len), jnp.complex64)]
-        if cell.nof_ports > 1 else [p0[..., None, :]], axis=-2)
+    if cell.nof_ports >= 2:
+        # 2-port SFBC over the candidate's REs (pdcch.c layer map +
+        # diversity precoding; REG quadruplets pair cleanly)
+        from ..ops.equalizer import precode_sfbc
+
+        layers = jnp.stack([syms[..., 0::2], syms[..., 1::2]], axis=-2)
+        ps = precode_sfbc(layers)
+        planes = [place(ps[..., 0, :], idx, flat_len)[..., None, :],
+                  place(ps[..., 1, :], idx, flat_len)[..., None, :]]
+        if cell.nof_ports > 2:
+            planes.append(jnp.zeros(
+                (*lead, cell.nof_ports - 2, flat_len), jnp.complex64))
+        grid = jnp.concatenate(planes, axis=-2)
+    else:
+        grid = place(syms, idx, flat_len)[..., None, :]
     return grid.reshape(*lead, cell.nof_ports, cell.nsymb_sf, cell.nof_re)
 
 
 def pdcch_extract_llr(grid, h, cell: Cell, cfi: int, sf_idx: int,
                       noise_est=0.0, ng: float = 1.0):
     """Equalize + demap + descramble the whole region once
-    (srslte_pdcch_extract_llr_multi): -> llr [..., n_cce*72]."""
+    (srslte_pdcch_extract_llr_multi): -> llr [..., n_cce*72].
+
+    ``h``: [..., nsymb, nre] single-port or [..., P, nsymb, nre] for
+    SFBC diversity cells."""
     idx = jnp.asarray(_region_re_indices(cell, cfi, ng))
     flat = grid.reshape(*grid.shape[:-2], -1)
-    hf = h.reshape(*h.shape[:-2], -1)
     y = flat[..., idx]
-    hh = hf[..., idx]
-    x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est, 1e-12)
-    llr = demod_soft(x, Mod.QPSK) * jnp.repeat(jnp.abs(hh) ** 2, 2, axis=-1)
+    if h.ndim == grid.ndim + 1 and h.shape[-3] >= 2:
+        from ..ops.equalizer import eq_sfbc
+
+        hf = h.reshape(*h.shape[:-2], -1)
+        h0 = hf[..., 0, :][..., idx]
+        h1 = hf[..., 1, :][..., idx]
+        x, csi = eq_sfbc(y[..., None, :], h0[..., None, :],
+                         h1[..., None, :])
+        llr = demod_soft(x, Mod.QPSK) * jnp.repeat(csi, 2, axis=-1)
+    else:
+        if h.ndim == grid.ndim + 1:
+            h = h[..., 0, :, :]
+        hf = h.reshape(*h.shape[:-2], -1)
+        hh = hf[..., idx]
+        x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est,
+                                           1e-12)
+        llr = demod_soft(x, Mod.QPSK) \
+            * jnp.repeat(jnp.abs(hh) ** 2, 2, axis=-1)
     return descramble_llrs(llr, cinit_pdcch(2 * sf_idx, cell.id))
 
 

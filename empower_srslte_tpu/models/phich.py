@@ -54,7 +54,8 @@ def _scramble_seq(cell: Cell, sf_idx: int) -> np.ndarray:
 
 def phich_put(grid, ack: int, cell: Cell, sf_idx: int, group: int = 0,
               seq_idx: int = 0, ng: float = 1.0):
-    """Insert one ACK(1)/NACK(0) indicator into the port-0 grid."""
+    """Insert one ACK(1)/NACK(0) indicator into the grid: single port or
+    2-port SFBC (36.211 6.9.2 precoding for two antenna ports)."""
     from ..utils.scatter import overlay
 
     bpsk = 1.0 if ack else -1.0
@@ -63,19 +64,47 @@ def phich_put(grid, ack: int, cell: Cell, sf_idx: int, group: int = 0,
     idx = _group_re_indices(cell, ng, group)    # symbol-0 subcarriers
     lead = grid.shape[:-3]
     flat = grid.reshape(*lead, grid.shape[-3], -1)
-    cur = flat[..., 0, jnp.asarray(idx)]
-    p0 = overlay(flat[..., 0, :], cur + jnp.asarray(z).astype(grid.dtype), idx)
-    flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]], axis=-2)
+    if cell.nof_ports >= 2:
+        from ..ops.equalizer import precode_sfbc
+
+        zt = jnp.asarray(z).astype(grid.dtype)
+        layers = jnp.stack([zt[..., 0::2], zt[..., 1::2]], axis=-2)
+        ps = precode_sfbc(layers)
+        cur0 = flat[..., 0, jnp.asarray(idx)]
+        cur1 = flat[..., 1, jnp.asarray(idx)]
+        p0 = overlay(flat[..., 0, :], cur0 + ps[..., 0, :], idx)
+        p1 = overlay(flat[..., 1, :], cur1 + ps[..., 1, :], idx)
+        flat = jnp.concatenate([p0[..., None, :], p1[..., None, :],
+                                flat[..., 2:, :]], axis=-2)
+    else:
+        cur = flat[..., 0, jnp.asarray(idx)]
+        p0 = overlay(flat[..., 0, :],
+                     cur + jnp.asarray(z).astype(grid.dtype), idx)
+        flat = jnp.concatenate([p0[..., None, :], flat[..., 1:, :]],
+                               axis=-2)
     return flat.reshape(grid.shape)
 
 
 def phich_decode(grid, h, cell: Cell, sf_idx: int, group: int = 0,
                  seq_idx: int = 0, ng: float = 1.0, noise_est=0.0):
-    """Decode one indicator: -> (ack [...] bool, metric [...])."""
+    """Decode one indicator: -> (ack [...] bool, metric [...]).
+
+    ``h``: [..., nsymb, nre] single-port or [..., P, nsymb, nre]."""
     idx = jnp.asarray(_group_re_indices(cell, ng, group))
     y = grid[..., 0, :][..., idx]
-    hh = h[..., 0, :][..., idx]
-    x = y * jnp.conj(hh) / jnp.maximum(jnp.abs(hh) ** 2 + noise_est, 1e-12)
+    if h.ndim == grid.ndim + 1 and h.shape[-3] >= 2:
+        from ..ops.equalizer import eq_sfbc
+
+        h0 = h[..., 0, 0, :][..., idx]
+        h1 = h[..., 1, 0, :][..., idx]
+        x, _ = eq_sfbc(y[..., None, :], h0[..., None, :],
+                       h1[..., None, :])
+    else:
+        if h.ndim == grid.ndim + 1:
+            h = h[..., 0, :, :]
+        hh = h[..., 0, :][..., idx]
+        x = y * jnp.conj(hh) / jnp.maximum(
+            jnp.abs(hh) ** 2 + noise_est, 1e-12)
     x = x * jnp.asarray(_scramble_seq(cell, sf_idx))
     w = jnp.asarray(np.tile(np.conj(_W[seq_idx]), 3))
     corr = jnp.real(jnp.sum(x * w, axis=-1)) / 12.0

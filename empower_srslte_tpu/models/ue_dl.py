@@ -139,7 +139,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                                     group=_g, seq_idx=_s, noise_est=noise)
 
             _phich_cache[pkey] = jax.jit(_ph)
-        h0 = h[0, 0] if h.ndim == 4 else h[0]
+        h0 = h if (h.ndim == 3 and cell.nof_ports >= 2) \
+            else (h[0, 0] if h.ndim == 4 else h[0])
         ak, _ = _phich_cache[pkey](grid, h0, noise)
         phich_ack = bool(np.asarray(ak)[0])
 
@@ -161,8 +162,10 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
 
         _pdcch_llr_cache[key] = jax.jit(_ex)
     h1 = h[0, 0] if h.ndim == 4 else h[0]
-    llr = np.asarray(_pdcch_llr_cache[key](grid, h1, noise))
-    hits = pdcch_blind_decode(grid, h1, cell, cfi, sf_idx, rnti, sizes,
+    # diversity cells: the control region is SFBC across 2 ports
+    hreg = h if (h.ndim == 3 and cell.nof_ports >= 2) else h1
+    llr = np.asarray(_pdcch_llr_cache[key](grid, hreg, noise))
+    hits = pdcch_blind_decode(grid, hreg, cell, cfi, sf_idx, rnti, sizes,
                               noise_est=noise, llr=llr)
 
     results: list[UeDlResult] = []

@@ -25,7 +25,15 @@ class Air:
     def _impair(self, iq, h):
         if iq is None:
             iq = np.zeros(self.sf_len, np.complex64)
-        out = np.asarray(iq).astype(np.complex64) * h
+        iq = np.asarray(iq).astype(np.complex64)
+        if iq.ndim == 2:
+            # multi-port TX: combine with per-port channel coefficients
+            hs = h if isinstance(h, (tuple, list)) else (h,) * iq.shape[0]
+            assert len(hs) >= iq.shape[0], "need one h per TX port"
+            out = sum(hs[p] * iq[p] for p in range(iq.shape[0]))
+            out = out.astype(np.complex64)
+        else:
+            out = iq * (h[0] if isinstance(h, (tuple, list)) else h)
         if self.snr_db is not None:
             p = np.mean(np.abs(out) ** 2)
             if p > 0:

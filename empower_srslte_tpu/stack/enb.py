@@ -720,8 +720,13 @@ class EnbStack:
             dci_bits = dci_mod.pack_format1a(
                 self.cell.nof_prb, prb_next, n_prb, mcs, harq_pid=pid,
                 ndi=ndi, rv=rv, tpc=tpc)
+            from ..ops.equalizer import MimoType
+
             cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
                               rnti=rnti, mod=mod,
+                              mimo=(MimoType.DIVERSITY
+                                    if self.cell.nof_ports >= 2
+                                    else MimoType.SINGLE),
                               prb_mask=ra.prb_mask_type2(
                                   self.cell.nof_prb, prb_next, n_prb))
             plan = cfg.plan(tbs, rv=rv)
@@ -784,4 +789,7 @@ class EnbStack:
             self.agent.process_ul_results(
                 tti, UL_GRANT_N_PRB * ul_slot, self.cell.nof_prb)
 
-        return np.asarray(enb_dl_gen_signal(grid, self.cell)[0])
+        sig = enb_dl_gen_signal(grid, self.cell)
+        if self.cell.nof_ports == 1:
+            return np.asarray(sig[0])
+        return np.asarray(sig)        # [P, sf_len]: the air combines

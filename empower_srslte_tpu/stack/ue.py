@@ -375,6 +375,10 @@ class UeStack:
             # ECM-idle: monitor P-RNTI for paging (36.304; the reference
             # wakes only at its paging occasion - we check every sf)
             rntis.append(("pcch", 0xFFFE))
+        from ..ops.equalizer import MimoType
+
+        mimo = (MimoType.DIVERSITY if self.cell.nof_ports >= 2
+                else MimoType.SINGLE)
         samples = np.asarray(dl_iq).astype(np.complex64)
         phich_pid = self.phich_wait.pop(tti, None)
         for kind, rnti in rntis:
@@ -387,7 +391,8 @@ class UeStack:
                 phich = phich_resource(
                     self.cell, self.ul_harq[phich_pid]["cfg"].prb_start)
             for r in ue_dl_decode(samples, self.cell, sf_idx, rnti,
-                                  harq_state=harq, phich=phich):
+                                  mimo=mimo, harq_state=harq,
+                                  phich=phich):
                 if phich is not None and r.phich_ack is not None:
                     self._on_phich(tti, phich_pid, r.phich_ack)
                     phich = None      # handle once

@@ -46,7 +46,7 @@ def rng():
 #: makes the recompiles cheap.
 _HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs",
                   "test_multi_ue", "test_idle_paging", "test_cold_boot",
-                  "test_handover_ota", "test_mbms_ota")
+                  "test_handover_ota", "test_mbms_ota", "test_mimo_stack")
 
 
 @pytest.fixture(autouse=True)
