@@ -44,6 +44,7 @@ class UeDlResult:
                                  # 10.1 ACK resource: n_pucch = n_cce + N1)
     phich_ack: bool | None = None  # UL HARQ indicator when one was
                                    # expected this subframe (ul_harq.cc)
+    cw: int = 0                    # codeword index (format 2 grants)
 
 
 def estimate_channel(grid, cell: Cell, sf_idx: int):
@@ -80,6 +81,20 @@ def _front_fn(cell: Cell, sf_idx: int):
 
         _front_cache[key] = jax.jit(f)
     return _front_cache[key]
+
+
+def _pdsch_fn2(cfg: PdschConfig, plan, plan2):
+    """2-codeword decode (format 2 grants): returns per-cw tuples."""
+    key = (repr(cfg), repr(plan), repr(plan2), "cw2")
+    if key not in _pdsch_cache:
+        import jax
+
+        def f(grid, h, noise):
+            return pdsch_decode(grid[None, None], h[None, None], cfg,
+                                plan, noise_est=noise, plan2=plan2)
+
+        _pdsch_cache[key] = jax.jit(f)
+    return _pdsch_cache[key]
 
 
 def _pdsch_fn(cfg: PdschConfig, plan, with_soft: bool = False):
@@ -151,6 +166,12 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
              dci_mod.format1_size(cell.nof_prb))
     if common_ss:
         sizes = sizes + (dci_mod.format1c_size(cell.nof_prb),)
+    f2_size = None
+    if cell.nof_ports >= 2 and not common_ss:
+        # TM4-configured UEs additionally monitor format 2 in their
+        # UE-specific space (ue_dl.c dci_format per transmission mode)
+        f2_size = dci_mod.format2_size(cell.nof_prb)
+        sizes = sizes + (f2_size,)
     from .pdcch import pdcch_extract_llr
 
     key = (repr(cell), cfi, sf_idx)
@@ -199,6 +220,31 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                 cfi=cfi, dci=d1c, tb_bits=np.asarray(bits)[0],
                 crc_ok=bool(np.asarray(ok)[0]), noise_est=noise,
                 snr_db=snr_db, cce=hit.cce))
+            continue
+        if f2_size is not None and len(hit.payload) == f2_size:
+            d2 = dci_mod.unpack_format2(hit.payload, cell.nof_prb)
+            if d2 is None:
+                continue
+            # equal-MCS constraint across codewords (one Mod per cfg)
+            mod2, tbs0 = ra.mcs_to_tbs(d2.mcs[0], d2.n_prb)
+            _, tbs1 = ra.mcs_to_tbs(d2.mcs[1], d2.n_prb)
+            cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi,
+                              rnti=rnti, mod=mod2,
+                              mimo=MimoType.SPATIAL_MUX, nof_layers=2,
+                              nof_codewords=2, pmi=d2.pmi,
+                              prb_mask=d2.prb_mask)
+            plan0 = cfg.plan(tbs0, rv=d2.rv[0],
+                             max_iterations=max_iterations)
+            plan1 = cfg.plan(tbs1, rv=d2.rv[1],
+                             max_iterations=max_iterations)
+            bits2, ok2, _ = _pdsch_fn2(cfg, plan0, plan1)(grid, h, noise)
+            for cw in range(2):
+                results.append(UeDlResult(
+                    cfi=cfi, dci=d2,
+                    tb_bits=np.asarray(bits2[cw])[0],
+                    crc_ok=bool(np.asarray(ok2[cw])[0]),
+                    noise_est=noise, snr_db=snr_db, cce=hit.cce,
+                    cw=cw))
             continue
         if d is None:
             continue

@@ -193,6 +193,78 @@ class EnbStack:
         if ip is not None and self.mbms is not None:
             self.mbms["queue"].append(ip)
 
+    def _compose_tm4(self, tti: int, rnti: int, macs, prb_next: int,
+                     cce: int):
+        """One 2-codeword TM4 (closed-loop spatial multiplexing) grant:
+        format-2 DCI with an RBG type-0 allocation, two transport
+        blocks layer-mapped over 2 ports (srsenb phch_worker TM3/TM4
+        path). Returns (grid contribution, PRBs used) or None."""
+        import math
+
+        from ..mac.harq import DlHarqEntity
+        from ..ops.equalizer import MimoType
+
+        sf_idx = tti % 10
+        st = self.active_ues.get(rnti)
+        if st is None or rnti not in self.rrc.ues:
+            return None
+        mac1, mac2 = macs
+        raw = max(sum(len(sp.payload) + 2 for sp in m.subpdus) + 2
+                  for m in (mac1, mac2))
+        mcs = DL_MCS
+        if "cqi" in st:
+            from ..mac.scheduler import CQI_TO_MCS
+
+            mcs = max(DL_MCS, CQI_TO_MCS[min(max(st["cqi"] - 2, 0), 15)])
+        n_prb, _, _ = _dl_grant_for(self.cell.nof_prb, raw, mcs)
+        rbg = ra.rbg_size(self.cell.nof_prb)
+        n_rbg_tot = math.ceil(self.cell.nof_prb / rbg)
+        first = math.ceil(prb_next / rbg)
+        k = math.ceil(n_prb / rbg)
+        if (first + k) * rbg - rbg >= self.cell.nof_prb:
+            pass                         # last RBG may be short: ok
+        if first + k > n_rbg_tot:
+            return None                  # no RBGs left this tti
+        bitmap = ((1 << k) - 1) << (n_rbg_tot - first - k)
+        mask = ra.prb_mask_type0(self.cell.nof_prb, bitmap)
+        mod, tbs = ra.mcs_to_tbs(mcs, sum(mask))
+        harq = st.setdefault("harq", DlHarqEntity())
+        procs = [harq.get_empty()]
+        if procs[0] is not None:
+            procs[0].new_tx(tbs, mcs)
+        procs.append(harq.get_empty())
+        if procs[1] is not None:
+            procs[1].new_tx(tbs, mcs)
+        pid0 = procs[0].pid if procs[0] else 0
+        ndis = tuple(p.ndi if p else 0 for p in procs)
+        dci_bits = dci_mod.pack_format2(
+            self.cell.nof_prb, bitmap, (mcs, mcs), harq_pid=pid0,
+            ndi=ndis, rv=(0, 0), pmi=0)
+        cfg = PdschConfig(cell=self.cell, sf_idx=sf_idx, cfi=self.cfi,
+                          rnti=rnti, mod=mod, mimo=MimoType.SPATIAL_MUX,
+                          nof_layers=2, nof_codewords=2, pmi=0,
+                          prb_mask=mask)
+        plan = cfg.plan(tbs)
+        grid = pdcch_encode(jnp.asarray(dci_bits), rnti, cce, 4,
+                            self.cell, self.cfi, sf_idx)
+        byts = [m.pack(tbs // 8) for m in (mac1, mac2)]
+        tb = [np.unpackbits(np.frombuffer(b, np.uint8)).astype(np.int8)
+              for b in byts]
+        grid = grid + pdsch_encode(jnp.asarray(tb[0])[None], cfg, plan,
+                                   jnp.asarray(tb[1])[None], plan)[0]
+        self.events.append(f"tm4_tx_rnti{rnti:#x}_tti{tti}")
+        # per-codeword ACKs at n+4 (PUCCH 1b / 2-bit UCI); a NACKed TB
+        # retransmits standalone through the 1A fallback path
+        for cw, (p, b) in enumerate(zip(procs, byts)):
+            if p is None:
+                continue
+            self.ack_pending.setdefault(tti + 4, []).append(
+                (rnti, p.pid, dict(pid=p.pid, ndi=p.ndi, rv=p.rv,
+                                   n_prb=sum(mask), mod=mod, tbs=tbs,
+                                   mcs=mcs, mac_bytes=b),
+                 N1_PUCCH + cce))
+        return grid, sum(mask)
+
     def _compose_mbsfn(self, tti: int) -> np.ndarray:
         """One MBSFN subframe: normal-CP control region (CRS/PCFICH/
         PHICH) + extended-CP PMCH region with MBSFN RS (enb_dl.c
@@ -641,10 +713,21 @@ class EnbStack:
             if d is None:
                 continue
             rlc_pdu = d["rlc_tx"].read_pdu(200)
-            if rlc_pdu is not None:
-                mac = MacPdu()
-                mac.add_sdu(3, rlc_pdu)
-                self.dl_queues.setdefault(rnti, []).append((mac, None))
+            if rlc_pdu is None:
+                continue
+            mac = MacPdu()
+            mac.add_sdu(3, rlc_pdu)
+            if self.cell.nof_ports >= 2:
+                # TM4: pair a second transport block when more data
+                # waits (two codewords on one spatial-multiplexed grant)
+                rlc_pdu2 = d["rlc_tx"].read_pdu(200)
+                if rlc_pdu2 is not None:
+                    mac2 = MacPdu()
+                    mac2.add_sdu(3, rlc_pdu2)
+                    self.dl_queues.setdefault(rnti, []).append(
+                        ((mac, mac2), {"tm4": True}))
+                    continue
+            self.dl_queues.setdefault(rnti, []).append((mac, None))
         # scheduling order: RA-RNTIs (RAR/broadcast window) first, then
         # connected UEs round-robin (dl_metric_rr::new_tti)
         ras = [r for r, q in self.dl_queues.items()
@@ -665,6 +748,17 @@ class EnbStack:
                 continue
             st = self.active_ues.get(rnti)
             payload, meta = queue[0]
+            if (meta or {}).get("tm4"):
+                used = self._compose_tm4(tti, rnti, payload, prb_next,
+                                         cce_next)
+                if used is None:
+                    continue
+                grid = grid + used[0]
+                prb_next += used[1]
+                cce_next += 4
+                n_alloc += 1
+                queue.pop(0)
+                continue
             retx = (meta or {}).get("retx")
             if retx is not None:
                 # retransmission: same TB (adaptive PRB start), next RV

@@ -404,7 +404,7 @@ class UeStack:
                     continue
                 dup = False
                 if kind == "c" and hasattr(r.dci, "harq_pid"):
-                    pid, ndi = r.dci.harq_pid, r.dci.ndi
+                    pid, ndi = (r.dci.harq_pid, r.cw), r.dci.ndi
                     if r.crc_ok:
                         # re-ACK duplicates (lost ACK -> eNB retx) but
                         # deliver once per NDI toggle (dl_harq.cc)

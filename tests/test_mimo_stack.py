@@ -53,3 +53,42 @@ class TestMimoStack:
         assert enb.ul_gtpu and \
             gtpu_unpack(enb.ul_gtpu[0])[1].endswith(b"PING-OVER-SFBC!")
         assert ue.rx_ip and ue.rx_ip[0].endswith(b"PONG-OVER-SFBC!")
+
+    def test_tm4_two_codewords(self):
+        """Two queued downlink packets ride ONE spatial-multiplexed
+        format-2 grant (TM4, 2 layers / 2 codewords); the UE blind-
+        decodes the format-2 DCI and both transport blocks."""
+        import jax
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1, nof_ports=2)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        air = Air(cell.sf_sample_len, h_dl=(1.0, 0.45 - 0.62j))
+
+        ul_iq, attached_at, pushed = None, None, False
+        for tti in range(140):
+            if tti and tti % 50 == 0:
+                jax.clear_caches()
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+            if attached_at is not None and not pushed \
+                    and tti == attached_at + 12:
+                pushed = True
+                for tag in (b"TB0-OVER-LAYER0", b"TB1-OVER-LAYER1"):
+                    pong = (b"\x45\x00" + bytes(14)
+                            + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                            + tag)
+                    fwd = mme.spgw.downlink(pong)
+                    enb.deliver_gtpu(fwd[1])
+            if pushed and len(ue.rx_ip) >= 2:
+                break
+
+        assert any(e.startswith("tm4_tx") for e in enb.events), \
+            [e for e in enb.events if "tm4" in e][-4:] or enb.events[-8:]
+        assert len(ue.rx_ip) >= 2, (ue.events[-10:], enb.events[-10:])
+        tails = {p[-15:] for p in ue.rx_ip}
+        assert tails == {b"TB0-OVER-LAYER0", b"TB1-OVER-LAYER1"}
