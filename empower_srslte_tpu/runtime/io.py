@@ -68,44 +68,85 @@ class FileSink:
 
 
 class NetSource:
-    """UDP IQ stream receiver (netsource.c analog)."""
+    """Network IQ stream receiver (netsource.c analog).
+
+    Supports both transports the reference does (netsource.c
+    SRSLTE_NETSOURCE_UDP / SRSLTE_NETSOURCE_TCP): UDP datagrams, or a
+    listening TCP socket that accepts one sender on first read.
+    """
 
     def __init__(self, addr: str = "0.0.0.0", port: int = 2001,
-                 timeout: float | None = 1.0):
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.bind((addr, port))
-        if timeout is not None:
-            self.sock.settimeout(timeout)
+                 timeout: float | None = 1.0, transport: str = "udp"):
+        assert transport in ("udp", "tcp")
+        self.transport = transport
+        self._timeout = timeout
         self._residue = b""
+        self._conn = None
+        if transport == "udp":
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self.sock.bind((addr, port))
+            if timeout is not None:
+                self.sock.settimeout(timeout)
+        else:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self.sock.bind((addr, port))
+            self.sock.listen(1)
+            if timeout is not None:
+                self.sock.settimeout(timeout)
+
+    def _recv(self) -> bytes:
+        if self.transport == "udp":
+            pkt, _ = self.sock.recvfrom(65536)
+            return pkt
+        if self._conn is None:
+            self._conn, _ = self.sock.accept()
+            if self._timeout is not None:
+                self._conn.settimeout(self._timeout)
+        return self._conn.recv(65536)
 
     def read(self, n: int) -> np.ndarray:
         need = n * 8
         buf = self._residue
         while len(buf) < need:
             try:
-                pkt, _ = self.sock.recvfrom(65536)
+                pkt = self._recv()
             except socket.timeout:
                 break
+            if not pkt and self.transport == "tcp":
+                break  # sender closed
             buf += pkt
         self._residue = buf[need:]
         data = np.frombuffer(buf[:need].ljust(need, b"\0"), np.complex64)
         return data.copy()
 
     def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
         self.sock.close()
 
 
 class NetSink:
-    """UDP IQ stream transmitter (netsink.c analog)."""
+    """Network IQ stream transmitter (netsink.c analog): UDP or TCP."""
 
-    MTU_SAMPLES = 1024  # samples per datagram
+    MTU_SAMPLES = 1024  # samples per datagram (UDP only)
 
-    def __init__(self, addr: str = "127.0.0.1", port: int = 2001):
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.dest = (addr, port)
+    def __init__(self, addr: str = "127.0.0.1", port: int = 2001,
+                 transport: str = "udp"):
+        assert transport in ("udp", "tcp")
+        self.transport = transport
+        if transport == "udp":
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self.dest = (addr, port)
+        else:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.connect((addr, port))
 
     def write(self, samples: np.ndarray) -> None:
         data = np.ascontiguousarray(samples, np.complex64)
+        if self.transport == "tcp":
+            self.sock.sendall(data.tobytes())
+            return
         for i in range(0, len(data), self.MTU_SAMPLES):
             self.sock.sendto(data[i : i + self.MTU_SAMPLES].tobytes(), self.dest)
 

@@ -153,6 +153,17 @@ class TestRuntime:
         assert np.array_equal(out, data)
         src.close(); sink.close()
 
+    def test_net_io_tcp_roundtrip(self, rng):
+        # netsource.c SRSLTE_NETSOURCE_TCP: listening receiver, one sender
+        data = (rng.normal(size=4096) + 1j * rng.normal(size=4096)).astype(np.complex64)
+        src = NetSource(port=0, timeout=2.0, transport="tcp")
+        port = src.sock.getsockname()[1]
+        sink = NetSink("127.0.0.1", port, transport="tcp")
+        sink.write(data)
+        out = src.read(4096)
+        assert np.array_equal(out, data)
+        src.close(); sink.close()
+
     def test_config_ini_and_overrides(self, tmp_path):
         ini = tmp_path / "enb.conf"
         ini.write_text("[cell]\nnof_prb = 100\ncell_id = 3\n[log]\nphy_level = debug\n")

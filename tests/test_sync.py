@@ -145,6 +145,32 @@ class TestCaptureAlignment:
         assert bool(np.asarray(ok)[0])
         assert np.array_equal(np.asarray(bits)[0], tb[0])
 
+    def test_cell_measurement_app(self, rng):
+        # cell_measurement.c analog: sync then averaged RSRP/RSRQ/RSSI/SNR
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                               / "apps"))
+        from cell_measurement import measure
+
+        cell = Cell(nof_prb=6, id=31)
+        ms = []
+        for snr_db in (25.0, 13.0):
+            sig = self._build_capture(cell, rng, nof_sf=22, offset=400,
+                                      snr_db=snr_db)
+            res = sync_and_align(sig, cell_prb=6)
+            assert res.cell_id == 31
+            ms.append(measure(np.asarray(res.subframes), 6, res.cell_id))
+        # 12 dB more injected noise -> ~12 dB lower pilot-estimated SNR
+        delta = 10 * np.log10(ms[0]["snr"] / ms[1]["snr"])
+        assert abs(delta - 12.0) < 2.0
+        # RSRP (per-pilot-RE power) tracks the unchanged signal level
+        assert abs(10 * np.log10(ms[0]["rsrp"] / ms[1]["rsrp"])) < 1.0
+        # base grid is mostly empty: mean-RE power (RSSI) sits between the
+        # noise floor and the per-pilot-RE power (RSRP)
+        assert ms[0]["rsrp"] > ms[0]["rssi"] > ms[0]["rsrp"] / ms[0]["snr"]
+
 
 class TestSfoEstimate:
     def test_known_drift_recovered(self):
