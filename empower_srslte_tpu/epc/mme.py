@@ -105,6 +105,35 @@ class Mme:
             ctx.dl_count += 1
             return out
 
+        # integrity-protected uplink from an attached UE (detach request /
+        # detach accept for a network-initiated detach)
+        for ctx in list(self._by_imsi.values()):
+            if ctx.state not in ("attached", "detaching"):
+                continue
+            inner = nas.unprotect(pdu, ctx.k_nas_int, ctx.ul_count,
+                                  direction=0)
+            if inner is None:
+                continue
+            ctx.ul_count += 1
+            self.last_ctx = ctx
+            if inner[1] == nas.MSG_DETACH_REQUEST and ctx.state == "attached":
+                # srsepc nas.cc detach handling: tear the session down
+                switch_off, _, _ = nas.unpack_detach_request_ue(inner)
+                if ctx.spgw_teid:
+                    self.gtpc.delete_session(ctx.spgw_teid)
+                ctx.state = "deregistered"
+                ctx.spgw_teid = 0
+                if switch_off:
+                    return None      # no accept for switch-off (24.301)
+                out = nas.protect(nas.pack_detach_accept(), ctx.k_nas_int,
+                                  ctx.dl_count, 1)
+                ctx.dl_count += 1
+                return out
+            if inner[1] == nas.MSG_DETACH_ACCEPT and ctx.state == "detaching":
+                ctx.state = "deregistered"
+                return None
+            break
+
         # integrity-protected uplink (security mode complete)
         ctx = self._ctx_in_state("smc")
         if ctx is not None:
@@ -124,6 +153,21 @@ class Mme:
                 ctx.dl_count += 1
                 return out
         return None
+
+    def detach_ue(self, imsi: str, detach_type: int = 2) -> bytes | None:
+        """Network-initiated detach (srsepc nas.cc): tears the session down
+        and returns the protected Detach Request to deliver downlink."""
+        ctx = self._by_imsi.get(imsi)
+        if ctx is None or ctx.state != "attached":
+            return None
+        if ctx.spgw_teid:
+            self.gtpc.delete_session(ctx.spgw_teid)
+            ctx.spgw_teid = 0
+        ctx.state = "detaching"
+        out = nas.protect(nas.pack_detach_request_net(detach_type),
+                          ctx.k_nas_int, ctx.dl_count, 1)
+        ctx.dl_count += 1
+        return out
 
     def _ctx_in_state(self, state: str) -> UeContext | None:
         for ctx in self._by_imsi.values():
@@ -159,6 +203,15 @@ class UeNas:
         self.ul_count += 1
         return pdu
 
+    def detach_request(self, switch_off: bool = True) -> bytes:
+        """UE-initiated detach (nas.cc:175 detach_request / :1164
+        send_detach_request)."""
+        req = nas.pack_detach_request_ue(self.guti, switch_off)
+        pdu = nas.protect(req, self.k_nas_int, self.ul_count, 0)
+        self.ul_count += 1
+        self.attached = False
+        return pdu
+
     def handle_dl_nas(self, pdu: bytes,
                       plmn: bytes = b"\x00\xf1\x10") -> bytes | None:
         if (pdu[0] >> 4) == nas.SH_PLAIN and pdu[1] == nas.MSG_AUTH_REQUEST:
@@ -188,4 +241,11 @@ class UeNas:
         if inner[1] == nas.MSG_ATTACH_ACCEPT:
             self.guti, self.ue_ip = nas.unpack_attach_accept(inner)
             self.attached = True
+        if inner[1] == nas.MSG_DETACH_REQUEST:
+            # network-initiated detach (nas.cc:974 parse_detach_request)
+            self.attached = False
+            out = nas.protect(nas.pack_detach_accept(), self.k_nas_int,
+                              self.ul_count, 0)
+            self.ul_count += 1
+            return out
         return None

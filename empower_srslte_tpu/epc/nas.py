@@ -22,6 +22,8 @@ MSG_AUTH_RESPONSE = 0x53
 MSG_SECURITY_MODE_COMMAND = 0x5D
 MSG_SECURITY_MODE_COMPLETE = 0x5E
 MSG_SERVICE_ACCEPT = 0x4F
+MSG_DETACH_REQUEST = 0x45
+MSG_DETACH_ACCEPT = 0x46
 
 #: Security header types.
 SH_PLAIN = 0x0
@@ -167,6 +169,33 @@ def verify_service_request(pdu: bytes, k_nas_int: bytes,
 
 def pack_service_accept() -> bytes:
     return bytes([PD_EMM, MSG_SERVICE_ACCEPT])
+
+
+# --- detach (24.301 8.2.11/8.2.10; nas.cc:175 send_detach_request,
+# --- nas.cc:974 parse_detach_request -> send_detach_accept) -----------------
+
+def pack_detach_request_ue(guti: int, switch_off: bool = True,
+                           detach_type: int = 1) -> bytes:
+    """UE-originating Detach Request: detach-type IE (bit 4 = switch off,
+    bits 1-3 = type, 1 = EPS detach) + KSI nibble + GUTI identity."""
+    dt = ((0x8 if switch_off else 0) | (detach_type & 0x7))
+    return bytes([PD_EMM, MSG_DETACH_REQUEST, dt]) + guti.to_bytes(4, "big")
+
+
+def unpack_detach_request_ue(msg: bytes) -> tuple[bool, int, int]:
+    """-> (switch_off, detach_type, guti)."""
+    dt = msg[2]
+    return bool(dt & 0x8), dt & 0x7, int.from_bytes(msg[3:7], "big")
+
+
+def pack_detach_request_net(detach_type: int = 1) -> bytes:
+    """Network-originating Detach Request (type 1 = re-attach required,
+    2 = re-attach not required, 3 = IMSI detach)."""
+    return bytes([PD_EMM, MSG_DETACH_REQUEST, detach_type & 0x7])
+
+
+def pack_detach_accept() -> bytes:
+    return bytes([PD_EMM, MSG_DETACH_ACCEPT])
 
 
 # --- full attach-accept decode (24.301 8.2.1; liblte_mme.cc parity for the

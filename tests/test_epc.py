@@ -326,3 +326,51 @@ class TestServiceRequest:
         mme, ue, imsi = self._attached()
         forged = nas.pack_service_request(bytes(16), count=0)
         assert mme.handle_ul_nas(forged, enb_teid=0x99) is None
+
+
+class TestDetach:
+    _attached = TestServiceRequest._attached
+
+    def test_ue_initiated_switch_off(self):
+        """nas.cc:175 detach_request: session deleted, no accept for
+        switch-off, context deregistered."""
+        mme, ue, imsi = self._attached()
+        ctx = mme.context(imsi)
+        teid = ctx.spgw_teid
+        assert mme.spgw.session_by_teid(teid) is not None
+
+        req = ue.detach_request(switch_off=True)
+        assert mme.handle_ul_nas(req) is None
+        ctx = mme.context(imsi)
+        assert ctx.state == "deregistered" and ctx.spgw_teid == 0
+        assert mme.spgw.session_by_teid(teid) is None
+        assert not ue.attached
+
+    def test_ue_initiated_with_accept(self):
+        mme, ue, imsi = self._attached()
+        req = ue.detach_request(switch_off=False)
+        acc = mme.handle_ul_nas(req)
+        assert acc is not None           # protected Detach Accept
+        assert ue.handle_dl_nas(acc) is None
+        assert mme.context(imsi).state == "deregistered"
+
+    def test_network_initiated(self):
+        """nas.cc:974 parse_detach_request -> send_detach_accept."""
+        mme, ue, imsi = self._attached()
+        teid = mme.context(imsi).spgw_teid
+        dl = mme.detach_ue(imsi)
+        assert dl is not None
+        acc = ue.handle_dl_nas(dl)
+        assert not ue.attached and acc is not None
+        assert mme.handle_ul_nas(acc) is None
+        assert mme.context(imsi).state == "deregistered"
+        assert mme.spgw.session_by_teid(teid) is None
+
+    def test_forged_detach_ignored(self):
+        from empower_srslte_tpu.epc import nas
+
+        mme, ue, imsi = self._attached()
+        forged = nas.protect(nas.pack_detach_request_ue(ue.guti),
+                             bytes(16), 0, 0)
+        assert mme.handle_ul_nas(forged) is None
+        assert mme.context(imsi).state == "attached"
