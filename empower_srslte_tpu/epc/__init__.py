@@ -1,16 +1,20 @@
-"""EPC components: HSS and SP-GW (srsepc/ parity, host-side).
+"""EPC components (srsepc/ parity, host-side).
 
 The reference's srsEPC bundles MME, HSS, SP-GW and MBMS-GW in one binary
-(srsepc/src/main.cc). Here the data-plane and authentication pieces are
-provided: HSS with a CSV subscriber database and Milenage/XOR EPS
-authentication vectors (srsepc/src/hss/hss.cc:808), and an SP-GW with
-TEID allocation and GTP-U tunnel forwarding (srsepc/src/spgw/spgw.cc).
-The MME's S1AP/NAS signalling codecs are future work (they are pure
-message packing over these primitives).
+(srsepc/src/main.cc). Provided here: the MME NAS EMM/ESM state machines
+on the real 24.301 wire format (epc/mme.py + epc/nas.py, oracle-checked
+against lib/src/asn1/liblte_mme.cc), HSS with a CSV subscriber database
+and Milenage/XOR EPS authentication vectors (srsepc/src/hss/hss.cc:808),
+an SP-GW with TEID allocation and GTP-U tunnel forwarding
+(srsepc/src/spgw/spgw.cc), S11 GTPv2-C between them (epc/gtpc.py), and
+the MBMS gateway (epc/mbms_gw.py).
 """
 
 from .hss import Hss, Subscriber
+from .mbms_gw import MbmsGw, m1_ingest
+from .mme import Mme, UeNas
+from .nas import Guti
 from .spgw import SpGw
 
-__all__ = ["Hss", "Subscriber", "SpGw"]
-from .mbms_gw import MbmsGw, m1_ingest  # noqa: F401,E402
+__all__ = ["Hss", "Subscriber", "SpGw", "Mme", "UeNas", "Guti",
+           "MbmsGw", "m1_ingest"]

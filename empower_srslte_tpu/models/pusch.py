@@ -103,6 +103,11 @@ class PuschConfig:
     #: second-slot PRB start when frequency hopping (36.211 5.3.4);
     #: None = no hop
     prb_start_slot1: int | None = None
+    #: DMRS group/sequence hopping (36.211 5.5.1.3/5.5.1.4;
+    #: refsignal_ul.c:229,368)
+    delta_ss: int = 0
+    group_hopping: bool = False
+    sequence_hopping: bool = False
 
     def __post_init__(self):
         assert valid_prb(self.n_prb), f"n_prb={self.n_prb} not 2^a 3^b 5^c"
@@ -162,7 +167,10 @@ def pusch_encode(tb_bits, cfg: PuschConfig, plan: DlschPlan):
         return 12 * (st0 if sym < half else st1)
 
     l0, l1 = pusch_dmrs_symbols(cell)
-    dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift)
+    dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift,
+                      delta_ss=cfg.delta_ss, sf_idx=cfg.sf_idx,
+                      group_hopping=cfg.group_hopping,
+                      sequence_hopping=cfg.sequence_hopping)
     data_idx = np.concatenate(
         [s * cell.nof_re + k0_of(s) + np.arange(cfg.m_sc)
          for s in cfg.data_symbol_indices])
@@ -189,7 +197,10 @@ def pusch_decode(grid, cfg: PuschConfig, plan: DlschPlan, noise_est=0.0,
     st0, st1 = cfg.slot_starts()
     h = chest_ul_pusch(grid, cell, cfg.prb_start, cfg.n_prb,
                        cfg.cyclic_shift,
-                       prb_start_slot1=cfg.prb_start_slot1)
+                       prb_start_slot1=cfg.prb_start_slot1,
+                       sf_idx=cfg.sf_idx, delta_ss=cfg.delta_ss,
+                       group_hopping=cfg.group_hopping,
+                       sequence_hopping=cfg.sequence_hopping)
     if st0 == st1:
         alloc = grid[..., 12 * st0 : 12 * st0 + cfg.m_sc]
     else:
@@ -379,7 +390,10 @@ def pusch_encode_uci(tb_bits, cfg: PuschConfig, plan: UciPlan):
         return 12 * (st0 if sym < half else st1)
 
     l0, l1 = pusch_dmrs_symbols(cell)
-    dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift)
+    dmrs = pusch_dmrs(cell, cfg.n_prb, cfg.cyclic_shift,
+                      delta_ss=cfg.delta_ss, sf_idx=cfg.sf_idx,
+                      group_hopping=cfg.group_hopping,
+                      sequence_hopping=cfg.sequence_hopping)
     data_idx = np.concatenate(
         [s * cell.nof_re + k0_of(s) + np.arange(cfg.m_sc)
          for s in cfg.data_symbol_indices])
@@ -445,7 +459,10 @@ def pusch_decode_uci(grid, cfg: PuschConfig, plan: UciPlan, noise_est=0.0,
     st0, st1 = cfg.slot_starts()
     h = chest_ul_pusch(grid, cell, cfg.prb_start, cfg.n_prb,
                        cfg.cyclic_shift,
-                       prb_start_slot1=cfg.prb_start_slot1)
+                       prb_start_slot1=cfg.prb_start_slot1,
+                       sf_idx=cfg.sf_idx, delta_ss=cfg.delta_ss,
+                       group_hopping=cfg.group_hopping,
+                       sequence_hopping=cfg.sequence_hopping)
     if st0 == st1:
         alloc = grid[..., 12 * st0 : 12 * st0 + cfg.m_sc]
     else:

@@ -5,8 +5,10 @@ Capability parity with lib/src/phy/ch_estimation/refsignal_ul.c and
 ul_rs_tables.h: Zadoff-Chu base sequences with cyclic extension for
 allocations >= 3 PRB, the 30 special QPSK-phase sequences for 1-2 PRB
 (binary spec tables in empower_srslte_tpu/data/), group assignment
-u = f_ss mod 30, cyclic shifts, and PUSCH DMRS placement on the middle
-SC-FDMA symbol of each slot.
+u = (f_gh + f_ss) mod 30 with **group hopping** (phy_common.c:342) and
+**sequence hopping** v (refsignal_ul.c:154) — both checked against
+reference-generated goldens — cyclic shifts, and PUSCH DMRS placement on
+the middle SC-FDMA symbol of each slot.
 """
 
 from __future__ import annotations
@@ -57,6 +59,45 @@ def base_sequence(u: int, v: int, m_sc: int) -> np.ndarray:
     return xq[n % nzc].astype(np.complex64)
 
 
+# --- group / sequence hopping (36.211 5.5.1.3/5.5.1.4;
+# --- phy_common.c:342 srslte_group_hopping_f_gh and
+# --- refsignal_ul.c:154 generate_srslte_sequence_hopping_v) -----------------
+
+
+@functools.lru_cache(maxsize=64)
+def group_hopping_f_gh(cell_id: int) -> np.ndarray:
+    """f_gh(ns) mod 30 for the 20 slots of a frame: 8 Gold bits per slot
+    with c_init = floor(cell_id/30)."""
+    from ..utils.sequence import gold_sequence
+
+    c = gold_sequence(cell_id // 30, 160)
+    weights = (1 << np.arange(8)).astype(np.int64)
+    return (c.reshape(20, 8) @ weights) % 30
+
+
+@functools.lru_cache(maxsize=64)
+def sequence_hopping_v(cell_id: int, delta_ss: int = 0) -> np.ndarray:
+    """v(ns) for the 20 slots: one Gold bit per slot with
+    c_init = floor(cell_id/30)*2^5 + f_ss (applies when m_sc >= 6 PRB)."""
+    from ..utils.sequence import gold_sequence
+
+    c_init = ((cell_id // 30) << 5) + ((cell_id % 30) + delta_ss) % 30
+    return gold_sequence(c_init, 20).astype(np.int64)
+
+
+def dmrs_u_v(cell_id: int, ns: int, n_prb: int, delta_ss: int = 0,
+             group_hopping: bool = False,
+             sequence_hopping: bool = False) -> tuple[int, int]:
+    """(u, v) for slot ns (refsignal_ul.c compute path: u = (f_gh + f_ss)
+    mod 30; v from the hopping sequence for >= 6-PRB allocations)."""
+    f_gh = int(group_hopping_f_gh(cell_id)[ns]) if group_hopping else 0
+    u = (f_gh + (cell_id % 30) + delta_ss) % 30
+    v = 0
+    if n_prb >= 6 and sequence_hopping and not group_hopping:
+        v = int(sequence_hopping_v(cell_id, delta_ss)[ns])
+    return u, v
+
+
 def pusch_dmrs_symbols(cell: Cell) -> tuple[int, int]:
     """Subframe-symbol indices carrying PUSCH DMRS (symbol 3 of each slot
     for normal CP, 36.211 5.5.2.1.2)."""
@@ -65,24 +106,34 @@ def pusch_dmrs_symbols(cell: Cell) -> tuple[int, int]:
 
 
 def pusch_dmrs(cell: Cell, n_prb: int, cyclic_shift: int = 0,
-               delta_ss: int = 0) -> np.ndarray:
-    """[2, 12*n_prb] DMRS sequences for the two slots (no group hopping).
+               delta_ss: int = 0, sf_idx: int = 0,
+               group_hopping: bool = False,
+               sequence_hopping: bool = False) -> np.ndarray:
+    """[2, 12*n_prb] DMRS sequences for the two slots of subframe
+    ``sf_idx`` (36.211 5.5.1.3/5.5.2.1.1; refsignal_ul.c:368 pregen).
 
-    u = (cell_id + delta_ss) mod 30 (36.211 5.5.1.3 with hopping off);
-    alpha = 2*pi*cyclic_shift/12.
+    With hopping off both slots use u = (cell_id + delta_ss) mod 30;
+    with group/sequence hopping on, (u, v) follow the per-slot hopping
+    patterns. alpha = 2*pi*cyclic_shift/12.
     """
     m_sc = 12 * n_prb
-    u = (cell.id + delta_ss) % 30
-    r = base_sequence(u, 0, m_sc)
     n = np.arange(m_sc)
     alpha = 2 * np.pi * cyclic_shift / 12.0
-    seq = (np.exp(1j * alpha * n) * r).astype(np.complex64)
-    return np.stack([seq, seq])
+    slots = []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        u, v = dmrs_u_v(cell.id, ns, n_prb, delta_ss, group_hopping,
+                        sequence_hopping)
+        r = base_sequence(u, v, m_sc)
+        slots.append((np.exp(1j * alpha * n) * r).astype(np.complex64))
+    return np.stack(slots)
 
 
 def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
                    cyclic_shift: int = 0,
-                   prb_start_slot1: int | None = None):
+                   prb_start_slot1: int | None = None, sf_idx: int = 0,
+                   delta_ss: int = 0, group_hopping: bool = False,
+                   sequence_hopping: bool = False):
     """LS channel estimate over the PUSCH allocation from the two DMRS
     symbols, time-interpolated to all symbols (chest_ul.c analog).
 
@@ -94,7 +145,9 @@ def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
     m_sc = 12 * n_prb
     k0 = 12 * prb_start
     k1 = 12 * (prb_start if prb_start_slot1 is None else prb_start_slot1)
-    dmrs = jnp.asarray(pusch_dmrs(cell, n_prb, cyclic_shift))
+    dmrs = jnp.asarray(pusch_dmrs(
+        cell, n_prb, cyclic_shift, delta_ss=delta_ss, sf_idx=sf_idx,
+        group_hopping=group_hopping, sequence_hopping=sequence_hopping))
     l0, l1 = pusch_dmrs_symbols(cell)
     y0 = grid[..., l0, k0 : k0 + m_sc]
     y1 = grid[..., l1, k1 : k1 + m_sc]
@@ -122,11 +175,14 @@ def chest_ul_pusch(grid, cell: Cell, prb_start: int, n_prb: int,
 # --- SRS: sounding reference signals (36.211 5.5.3) -------------------------
 
 
-def srs_sequence(cell: Cell, n_prb_srs: int, cyclic_shift: int = 0) -> np.ndarray:
+def srs_sequence(cell: Cell, n_prb_srs: int, cyclic_shift: int = 0,
+                 sf_idx: int = 0,
+                 group_hopping: bool = False) -> np.ndarray:
     """r_SRS over the sounding bandwidth: comb-2 -> M_sc = 12*n_prb/2
-    subcarriers (refsignal_ul.c srs path)."""
+    subcarriers (refsignal_ul.c srs path; SRS rides slot 2*sf with the
+    same f_gh group hopping as PUSCH DMRS)."""
     m_sc = 12 * n_prb_srs // 2
-    u = cell.id % 30
+    u, _ = dmrs_u_v(cell.id, 2 * sf_idx, 0, 0, group_hopping, False)
     r = base_sequence(u, 0, m_sc)
     n = np.arange(m_sc)
     alpha = 2 * np.pi * cyclic_shift / 8.0

@@ -75,12 +75,47 @@ def _interp_plan(cell: Cell, sf_idx: int, port: int):
 SMOOTH_3TAP = np.array([0.3333, 0.3334, 0.3333], np.float32)
 
 
+def gauss_taps(std_dev: float, order: int = 4) -> np.ndarray:
+    """Gaussian frequency-smoothing taps, sum-normalized
+    (chest_dl.c:475-494 set_smooth_filter_gauss)."""
+    std_dev = max(float(std_dev), 1e-4)
+    n = order + 1
+    center = (n - 1) // 2
+    taps = np.exp(-((np.arange(n) - center) ** 2) / (2.0 * std_dev ** 2))
+    return (taps / taps.sum()).astype(np.float32)
+
+
+def auto_gauss_std(noise_est: float) -> float:
+    """SNR-adaptive Gaussian bandwidth: std = N0 * 200 (the reference's
+    feedback rule at chest_dl.c:616-618 — narrower smoothing at high
+    SNR, wider at low SNR; fed from the previous subframe's estimate)."""
+    return float(noise_est) * 200.0
+
+
+def _smooth_taps(h_p, taps: np.ndarray):
+    """Edge-replicated FIR along the pilot axis with static taps."""
+    n = len(taps)
+    half = (n - 1) // 2
+    padded = jnp.concatenate([jnp.repeat(h_p[..., :1], half, axis=-1),
+                              h_p,
+                              jnp.repeat(h_p[..., -1:], n - 1 - half,
+                                         axis=-1)], axis=-1)
+    acc = None
+    for i, w in enumerate(taps):
+        term = float(w) * padded[..., i : i + h_p.shape[-1]]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def chest_dl(grid, cell: Cell, sf_idx: int, port: int = 0,
-             smooth: bool = True):
+             smooth: bool = True, gauss_std: float | None = None):
     """Estimate h for one TX port: grid [..., nsymb, nre] -> same shape.
 
-    LS at pilots, optional 3-tap freq smoothing, then freq + time linear
-    interpolation. Batched over all leading dims (subframes, rx antennas).
+    LS at pilots, 3-tap freq smoothing (or an SNR-adaptive Gaussian when
+    ``gauss_std`` is given — chest_dl.c:616 smooth_filter_auto, fed from
+    the previous subframe's noise estimate via :func:`auto_gauss_std`),
+    then freq + time linear interpolation. Batched over all leading dims
+    (subframes, rx antennas).
     """
     plan = _interp_plan(cell, sf_idx, port)
     re_idx = jnp.asarray(plan["re_idx"])
@@ -93,14 +128,11 @@ def chest_dl(grid, cell: Cell, sf_idx: int, port: int = 0,
         rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
         axis=-1) * cvals
 
-    if smooth:
+    if gauss_std is not None:
+        h_p = _smooth_taps(h_p, gauss_taps(gauss_std))
+    elif smooth:
         # 3-tap moving average along pilot axis with edge replication
-        left = h_p[..., :1]
-        right = h_p[..., -1:]
-        padded = jnp.concatenate([left, h_p, right], axis=-1)
-        h_p = (SMOOTH_3TAP[0] * padded[..., :-2]
-               + SMOOTH_3TAP[1] * padded[..., 1:-1]
-               + SMOOTH_3TAP[2] * padded[..., 2:])
+        h_p = _smooth_taps(h_p, SMOOTH_3TAP)
 
     # frequency interpolation to all subcarriers
     h0 = jnp.take_along_axis(
@@ -162,6 +194,25 @@ def noise_est_pilots(grid, cell: Cell, sf_idx: int, port: int = 0):
     # var(resid) = N0 * (1 - 1/3 - ...): residual of a 3-tap mean keeps
     # 2/3 of the noise power -> unbias by 3/2
     return jnp.mean(jnp.abs(resid) ** 2, axis=(-1, -2)) * 1.5
+
+
+def noise_est_pss(grid, ce, cell: Cell):
+    """Noise power from the PSS residual (chest_dl.c:331-348
+    estimate_noise_pss): reconstruct the known PSS through the channel
+    estimate and measure the residual against the received symbols.
+
+    grid/ce [..., nsymb, nre] (subframe 0 or 5); returns [...].
+    """
+    from .sync import pss_freq
+
+    sym = cell.nsymb_slot - 1                 # last symbol of slot 0
+    k0 = cell.nof_re // 2 - 31
+    rx = grid[..., sym, k0 : k0 + 62]
+    h = ce[..., sym, k0 : k0 + 62]
+    pss = jnp.asarray(pss_freq(cell.id % 3))
+    resid = h * pss - rx
+    power = jnp.mean(jnp.abs(resid) ** 2, axis=-1)
+    return cell.nof_ports * power / np.sqrt(2.0)
 
 
 def rsrp(grid, cell: Cell, sf_idx: int, port: int = 0):

@@ -130,6 +130,17 @@ def layermap(cw_symbols, nof_layers: int, nof_codewords: int = 1):
         # 4-layer diversity: x^(l)(i) = d(4i + l) (36.211 Table 6.3.3.3-1)
         x = cw_symbols[0]
         return jnp.stack([x[..., l::4] for l in range(4)], axis=-2)
+    if nof_codewords == 2 and nof_layers == 3:
+        # spatial multiplexing 2cw->3 layers: cw0 -> layer 0, cw1 ->
+        # layers 1/2 even-odd (36.211 Table 6.3.3.2-1; layermap.c:112)
+        x0, x1 = cw_symbols
+        return jnp.stack([x0, x1[..., 0::2], x1[..., 1::2]], axis=-2)
+    if nof_codewords == 2 and nof_layers == 4:
+        # 2cw->4 layers: each codeword even-odd onto two layers
+        # (layermap.c:112 layermap_multiplex)
+        x0, x1 = cw_symbols
+        return jnp.stack([x0[..., 0::2], x0[..., 1::2],
+                          x1[..., 0::2], x1[..., 1::2]], axis=-2)
     raise NotImplementedError((nof_codewords, nof_layers))
 
 
@@ -146,6 +157,14 @@ def layerdemap(layers, nof_codewords: int = 1):
     if nof_codewords == 1 and n_layers == 4:
         x = jnp.stack([layers[..., l, :] for l in range(4)], axis=-1)
         return [x.reshape(*layers.shape[:-2], -1)]
+    if nof_codewords == 2 and n_layers == 3:
+        x1 = jnp.stack([layers[..., 1, :], layers[..., 2, :]], axis=-1)
+        return [layers[..., 0, :], x1.reshape(*layers.shape[:-2], -1)]
+    if nof_codewords == 2 and n_layers == 4:
+        x0 = jnp.stack([layers[..., 0, :], layers[..., 1, :]], axis=-1)
+        x1 = jnp.stack([layers[..., 2, :], layers[..., 3, :]], axis=-1)
+        return [x0.reshape(*layers.shape[:-2], -1),
+                x1.reshape(*layers.shape[:-2], -1)]
     raise NotImplementedError((nof_codewords, n_layers))
 
 

@@ -382,6 +382,13 @@ class UeRrc:
             return srb, self.srb1_pdcp_tx.write_sdu(raw, direction=0)
         return srb, raw
 
+    def send_ul_nas(self, nas_pdu: bytes) -> tuple[int, bytes]:
+        """NAS-initiated uplink (srsue rrc.cc write_sdu ->
+        ULInformationTransfer), e.g. T3411 attach retries or TAU."""
+        msg = {"critical_extensions": ("c1", ("r8", {
+            "dedicated_info_type": ("dedicatedInfoNAS", nas_pdu)}))}
+        return self._ul(SRB1, M.pack_ul_dcch("ulInformationTransfer", msg))
+
 
 @dataclass
 class EnbRrc:

@@ -39,7 +39,9 @@ class DirectMmeAdapter:
 
     def _directives(self, resp):
         ctx = getattr(self.mme, "last_ctx", None)
-        if ctx is not None and ctx.state == "attached" and resp is not None:
+        if ctx is not None and getattr(ctx, "pending_ctx_setup", False) \
+                and resp is not None:
+            ctx.pending_ctx_setup = False
             k_enb = security.generate_k_enb(ctx.kasme, 0)
             return [("ctx_setup", k_enb, resp, ctx.spgw_teid)]
         if resp is not None:
@@ -232,7 +234,9 @@ class MmeS1ap:
         resp = self.mme.handle_ul_nas(nas_pdu)
         mme_ue = self.ue_ids.get(enb_ue, 0)
         ctx = getattr(self.mme, "last_ctx", None)
-        if ctx is not None and ctx.state == "attached" and resp is not None:
+        if ctx is not None and getattr(ctx, "pending_ctx_setup", False) \
+                and resp is not None:
+            ctx.pending_ctx_setup = False
             k_enb = security.generate_k_enb(ctx.kasme, 0)
             sess = None
             spgw = getattr(self.mme, "spgw", None)

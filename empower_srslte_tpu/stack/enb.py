@@ -698,6 +698,7 @@ class EnbStack:
                 continue
             rlc = st.get("srb1_rlc")
             if rlc is not None:
+                rlc.tick()             # t-Reordering, per TTI
                 mac = MacPdu()
                 status = rlc.get_status_pdu()
                 if status is not None:

@@ -133,6 +133,14 @@ class UeStack:
             return None
         sf_idx = tti % 10
         self._process_dl(tti, dl_iq)
+        # NAS retry timers (24.301 T3410/T3411/T3421; srsue nas.cc
+        # timer_expired): an expiry yields an attach retransmission that
+        # rides the next RRC connection
+        retry = getattr(self.rrc.nas, "tick_ms", lambda: None)()
+        if retry is not None and self.state == "connected" \
+                and self.rrc.state == "connected":
+            _, pdu = self.rrc.send_ul_nas(retry)
+            self.srb1_rlc.write_sdu(pdu)
         if self.state == "connected" and self.rrc.state == "idle":
             self._to_idle()           # rrcConnectionRelease processed
         if self.rrc.ho_info is not None:
@@ -442,8 +450,9 @@ class UeStack:
             return
         for rec in msg.get("paging_record_list") or []:
             ident = rec.get("ue_identity")
-            if (ident and ident[0] == "s_tmsi"
-                    and ident[1]["m_tmsi"] == self.rrc.nas.guti):
+            guti = self.rrc.nas.guti
+            if (ident and ident[0] == "s_tmsi" and guti is not None
+                    and ident[1]["m_tmsi"] == guti.m_tmsi):
                 self.events.append("paged")
                 self.connect_pending = True
                 self.connect_cause = "mt_Access"
@@ -468,6 +477,7 @@ class UeStack:
             mod, tbs = ra.mcs_to_tbs(rar["mcs"], rar["n_prb"], dl=False)
             mac = MacPdu()
             room = tbs // 8 - 2
+            self.srb1_rlc.tick()       # t-Reordering, per TTI
             status = self.srb1_rlc.get_status_pdu()
             if status is not None:
                 mac.add_sdu(1, status)

@@ -48,6 +48,25 @@ _HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs",
                   "test_multi_ue", "test_idle_paging", "test_cold_boot",
                   "test_handover_ota", "test_mbms_ota", "test_mimo_stack")
 
+#: Modules excluded from the fast tier (`-m "not slow"`): the heavy
+#: full-stack modules above plus compile-bound kernel/integration sweeps.
+_SLOW_MODULES = _HEAVY_MODULES + (
+    "test_turbo", "test_parallel", "test_reference_vectors",
+    "test_ue_dl", "test_uplink", "test_pdsch", "test_pmch",
+    "test_control_channels", "test_sync", "test_chest_eq",
+    "test_rate_matching", "test_measurements", "test_pucch_uci",
+    "test_ofdm_modem", "test_mimo_stack", "test_rrc")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier markers: `pytest -m "not slow"` is the <60 s fast tier
+    covering the host-side protocol stack (NAS/RLC/PDCP/S1AP/GTP/RRC
+    codecs, MME/HSS/SP-GW, scheduler, config, IO framing)."""
+    for item in items:
+        mod = item.module.__name__.split(".")[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True)
 def _clear_jax_caches_between_heavy_tests(request):

@@ -148,7 +148,9 @@ class TestAttachFlow:
         mme = Mme(hss)
         mme.handle_ul_nas(nas.pack_attach_request(imsi))
         bad = nas.pack_auth_response(b"\x00" * 8)
-        assert mme.handle_ul_nas(bad) is None
+        # wrong RES -> Authentication Reject (24.301 5.4.2.5)
+        resp = mme.handle_ul_nas(bad)
+        assert resp == nas.pack_auth_reject()
         assert mme.context(imsi).state == "idle"
 
 
@@ -185,16 +187,15 @@ class TestNasFullDecode:
         from empower_srslte_tpu.epc import nas
 
         inner = self.GOLDEN[6:]       # strip sec header + MAC + seq
-        v = nas.unpack_attach_accept_full(inner)
-        assert v["attach_result"] == 1          # EPS only
-        assert v["tai_list"]["plmn"] == "00f110"
-        esm = v["esm"]
-        assert esm["eps_bearer_id"] == 5
-        assert esm["msg_type"] == 0xC1          # activate default bearer
+        v = nas.unpack_attach_accept(inner)
+        assert v["result"] == 1                 # EPS only
+        assert v["tai_list"] == [("00101", 0x3132)]
+        esm = nas.unpack_activate_default_bearer_request(v["esm"])
+        assert esm["ebi"] == 5
         assert esm["apn"] == "vzwinternet"
-        assert esm["pdn_address"] == "14.14.14.1"
-        assert v["guti"]["plmn"] == "00f110"
-        assert v["guti"]["mme_code"] == 1
+        assert esm["addr"][:4] == bytes([14, 14, 14, 1])
+        assert v["guti"].plmn == "00101"
+        assert v["guti"].mme_code == 1
 
 
 class TestGtpc:

@@ -51,7 +51,7 @@ class TestIdlePaging:
                     and ue.state == "idle" and tti >= released_at + 25:
                 # downlink data for an idle UE: the MME pages (mme s1ap
                 # paging; here driven directly)
-                enb.page(nas.imsi, m_tmsi=nas.guti)
+                enb.page(nas.imsi, m_tmsi=nas.guti.m_tmsi)
                 paged_at = tti
             if paged_at is not None and ue.rrc.drbs \
                     and ue.state == "connected":

@@ -78,7 +78,11 @@ class TestMimoStack:
             if attached_at is not None and not pushed \
                     and tti == attached_at + 12:
                 pushed = True
-                for tag in (b"TB0-OVER-LAYER0", b"TB1-OVER-LAYER1"):
+                # payloads sized so RLC concatenation cannot fold both
+                # into one 200-byte PDU (36.322 LI concat would otherwise
+                # fill a single grant and leave nothing for codeword 2)
+                for tag in (b"TB0-OVER-LAYER0" + b"0" * 140,
+                            b"TB1-OVER-LAYER1" + b"1" * 140):
                     pong = (b"\x45\x00" + bytes(14)
                             + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
                             + tag)
@@ -90,5 +94,5 @@ class TestMimoStack:
         assert any(e.startswith("tm4_tx") for e in enb.events), \
             [e for e in enb.events if "tm4" in e][-4:] or enb.events[-8:]
         assert len(ue.rx_ip) >= 2, (ue.events[-10:], enb.events[-10:])
-        tails = {p[-15:] for p in ue.rx_ip}
-        assert tails == {b"TB0-OVER-LAYER0", b"TB1-OVER-LAYER1"}
+        tags = {p[20:35] for p in ue.rx_ip}
+        assert tags == {b"TB0-OVER-LAYER0", b"TB1-OVER-LAYER1"}

@@ -68,6 +68,7 @@ class TestRlc:
             pdu = tx.read_pdu(60)
             if pdu is not None and rng.uniform() > 0.3:
                 rx.write_pdu(pdu)
+            rx.tick()                  # t-Reordering (36.322 5.1.3.2.4)
             status = rx.get_status_pdu()
             if status is not None:
                 tx.write_pdu(status)
