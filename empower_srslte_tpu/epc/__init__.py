@@ -11,10 +11,10 @@ the MBMS gateway (epc/mbms_gw.py).
 """
 
 from .hss import Hss, Subscriber
-from .mbms_gw import MbmsGw, m1_ingest
+from .mbms_gw import M1uReceiver, MbmsGw, m1_ingest
 from .mme import Mme, UeNas
 from .nas import Guti
 from .spgw import SpGw
 
 __all__ = ["Hss", "Subscriber", "SpGw", "Mme", "UeNas", "Guti",
-           "MbmsGw", "m1_ingest"]
+           "MbmsGw", "M1uReceiver", "m1_ingest"]

@@ -29,7 +29,8 @@ from .scheduler import UeState
 def _rr_users(users: list[UeState], rbgs: list[int], state: dict,
               n_rbg_total: int) -> dict[int, int]:
     """Round-robin the given RBG indices among the slice's active users."""
-    active = [u for u in users if u.buffer_bytes > 0]
+    active = [u for u in users
+              if u.buffer_bytes > 0 or u.harq.pending_retx() is not None]
     if not active or not rbgs:
         return {}
     key = tuple(sorted(u.rnti for u in active))

@@ -11,6 +11,7 @@ candidate of an aggregation level decodes as one Viterbi batch.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -141,6 +142,20 @@ def pdcch_extract_llr(grid, h, cell: Cell, cfi: int, sf_idx: int,
     return descramble_llrs(llr, cinit_pdcch(2 * sf_idx, cell.id))
 
 
+@functools.lru_cache(maxsize=None)
+def _derm_viterbi(n_cand: int, e: int, k: int):
+    """Cached jitted (de-rate-match -> Viterbi) program per candidate
+    shape: the blind search runs this for every (L, DCI size) pair every
+    subframe, so eager scans here would re-trace/re-lower each TTI."""
+    import jax
+
+    @jax.jit
+    def f(seg):
+        return viterbi_decode(rm_conv_rx(seg, k), wrap=1)
+
+    return f
+
+
 @dataclass
 class DciHit:
     payload: np.ndarray
@@ -176,8 +191,7 @@ def pdcch_blind_decode(grid, h, cell: Cell, cfi: int, sf_idx: int,
                          for c in cces])
         for size in dci_sizes:
             k = size + 16
-            d_llr = rm_conv_rx(seg, k)
-            bits = np.asarray(viterbi_decode(d_llr, wrap=1))  # [n_cand, K]
+            bits = np.asarray(_derm_viterbi(len(cces), e, k)(seg))
             for row, cce in enumerate(cces):
                 b = bits[row]
                 unmasked = np.concatenate([b[:size], b[size:] ^ mask])

@@ -446,6 +446,38 @@ def _decode_ri_ack_field(llr, plan: UciPlan, positions: np.ndarray,
     return [(best >> 1).astype(jnp.int8), (best & 1).astype(jnp.int8)]
 
 
+@functools.lru_cache(maxsize=None)
+def pusch_decode_jit(cfg: PuschConfig, tbs: int, rv: int = 0,
+                     with_soft: bool = False):
+    """Cached jitted PUSCH decode program for one (config, TBS, rv).
+
+    The eNB stack receives PUSCH every granted TTI; running the chain
+    eagerly re-traces/re-lowers the turbo scans per call (the dominant
+    cost of a CPU TTI). Call as ``fn(grid, noise)`` or, with_soft,
+    ``fn(grid, noise, softbuffers)``."""
+    import jax
+
+    plan = cfg.plan(tbs, rv=rv)
+    if with_soft:
+        return jax.jit(lambda grid, noise, soft: pusch_decode(
+            grid, cfg, plan, noise_est=noise, softbuffers=soft))
+    return jax.jit(lambda grid, noise: pusch_decode(
+        grid, cfg, plan, noise_est=noise))
+
+
+@functools.lru_cache(maxsize=None)
+def pusch_decode_uci_jit(cfg: PuschConfig, plan: UciPlan,
+                         with_soft: bool = False):
+    """Cached jitted PUSCH+UCI decode program (see pusch_decode_jit)."""
+    import jax
+
+    if with_soft:
+        return jax.jit(lambda grid, noise, soft: pusch_decode_uci(
+            grid, cfg, plan, noise_est=noise, softbuffers=soft))
+    return jax.jit(lambda grid, noise: pusch_decode_uci(
+        grid, cfg, plan, noise_est=noise))
+
+
 def pusch_decode_uci(grid, cfg: PuschConfig, plan: UciPlan, noise_est=0.0,
                      softbuffers=None):
     """eNB receive with UCI demux (srslte_ulsch_uci_decode sch.c:884-985).
@@ -481,13 +513,18 @@ def pusch_decode_uci(grid, cfg: PuschConfig, plan: UciPlan, noise_est=0.0,
     llr = llr * jnp.repeat(csi, cfg.mod.bits_per_symbol, axis=-1)
     llr = descramble_llrs(llr, cfg.cinit())
 
+    import jax
+
+    # under jit (pusch_decode_uci_jit) leave results as traced arrays;
+    # eager callers keep getting Python ints
+    _py = lambda v: v if isinstance(v, jax.core.Tracer) else int(v)
     out = {"ri": None, "ack": (), "cqi_bits": None, "cqi_ok": None,
            "tb": None, "crc_ok": None, "softbuffers": None}
     cinit = cfg.cinit()
     if plan.q_ack:
         bits = _decode_ri_ack_field(llr, plan, plan.ack_pos, plan.q_ack,
                                     len(plan.uci.ack), cinit)
-        out["ack"] = tuple(int(b) for b in bits)
+        out["ack"] = tuple(_py(b) for b in bits)
         # zero punctured positions before data demux (sch.c:925-928)
         zmask = np.ones(plan.nb_q, np.float32)
         zmask[plan.ack_pos] = 0.0
@@ -495,13 +532,14 @@ def pusch_decode_uci(grid, cfg: PuschConfig, plan: UciPlan, noise_est=0.0,
     if plan.q_ri:
         bits = _decode_ri_ack_field(llr, plan, plan.ri_pos, plan.q_ri, 1,
                                     cinit)
-        out["ri"] = int(bits[0])
+        out["ri"] = _py(bits[0])
     g = llr[..., plan.perm]
     n_cqi = plan.q_cqi * plan.qm
     if plan.q_cqi:
         cqi_bits, ok = uci_mod.decode_cqi_pusch(
             g[..., :n_cqi], len(plan.uci.cqi_bits), n_cqi)
-        out["cqi_bits"] = np.asarray(cqi_bits)
+        out["cqi_bits"] = (cqi_bits if isinstance(cqi_bits, jax.core.Tracer)
+                           else np.asarray(cqi_bits))
         out["cqi_ok"] = ok
     if plan.tbs > 0:
         tb, crc_ok, sbuf = dlsch_decode(g[..., n_cqi:], plan.data_plan,

@@ -392,20 +392,24 @@ class TurboDecoder:
         dec = lambda u, p, ut, pt, a, bb: map_decode_nii(
             u, p, ut, pt, a, bb, l=l, lanes=lanes, interpret=interpret)
 
-        def iteration(state):
+        def iteration(state, with_llr=True):
             ext2, a1, b1, a2, b2 = state
             u1 = sys_t + ext2
             ext1, a1, b1 = dec(u1, par1_t, ut1, pt1, a1, b1)
             u2 = (sys_t + ext1)[:, pi]
             ext2i, a2, b2 = dec(u2, par2_t, ut2, pt2, a2, b2)
-            llr_nat = (u2 + ext2i)[:, pinv]
+            # the a-posteriori deinterleave is only materialized when the
+            # caller needs this iteration's LLRs (last fixed iteration, or
+            # every iteration under CRC early-stop) — one full-size
+            # add+gather of glue traffic saved per skipped iteration
+            llr_nat = (u2 + ext2i)[:, pinv] if with_llr else None
             return (ext2i[:, pinv], a1, b1, a2, b2), llr_nat
 
         state = (jnp.zeros_like(sys_t), zst, zst, zst, zst)
         if crc is None:
             llr_full = None
-            for _ in range(iters):
-                state, llr_full = iteration(state)
+            for it in range(iters):
+                state, llr_full = iteration(state, with_llr=it == iters - 1)
         else:
             def bits_of(llr_full):
                 llr2d = from_tiles(llr_full)[:, :b] if bp \

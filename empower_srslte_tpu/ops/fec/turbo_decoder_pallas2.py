@@ -135,16 +135,21 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype):
             for j in range(group):
                 g = gammas(u_blk[j], p_blk[j])
                 bk1 = [bblk[j, s] for s in range(8)]
+                # Branch metrics br_u[s] = alpha[s] + gamma(s, u) are shared
+                # between the LLR totals and the alpha update (the update's
+                # alpha[ps[s,u]] + gamma(ps[s,u], u) IS br_u[ps[s,u]], since
+                # pp[s,u] = par[ps[s,u], u]) — 16 adds saved per step.
+                br0 = [alpha[s] + g[(0, par[s, 0])] for s in range(8)]
+                br1 = [alpha[s] + g[(1, par[s, 1])] for s in range(8)]
                 tot0 = tot1 = None
                 for s in range(8):
-                    t0 = alpha[s] + g[(0, par[s, 0])] + bk1[ns[s, 0]]
-                    t1 = alpha[s] + g[(1, par[s, 1])] + bk1[ns[s, 1]]
+                    t0 = br0[s] + bk1[ns[s, 0]]
+                    t1 = br1[s] + bk1[ns[s, 1]]
                     tot0 = t0 if tot0 is None else jnp.maximum(tot0, t0)
                     tot1 = t1 if tot1 is None else jnp.maximum(tot1, t1)
                 outs.append(tot0 - tot1 - u_blk[j])   # llr - input = ext
                 alpha = [
-                    jnp.maximum(alpha[ps[s, 0]] + g[(0, pp[s, 0])],
-                                alpha[ps[s, 1]] + g[(1, pp[s, 1])])
+                    jnp.maximum(br0[ps[s, 0]], br1[ps[s, 1]])
                     for s in range(8)
                 ]
             alpha = norm8(alpha)

@@ -554,13 +554,20 @@ class EnbRrc:
         ue["pdcp_tx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
         ue["pdcp_rx"] = PdcpEntity(_srb_pdcp(k_rrc_int, k_rrc_enc))
         ue["security_activated"] = True
+        # The reestablishing UE arrived through a fresh random access, so
+        # its context migrates to the new C-RNTI (srsenb rrc.cc moves the
+        # user context on reestablishment); the reply is addressed there.
+        new_rnti = self.next_c_rnti
+        self.next_c_rnti += 1
+        self.ues[new_rnti] = self.ues.pop(rnti)
         self.events.append("reestablishment_ok")
+        self.events.append(f"reestablish_migrated_{rnti:#x}_{new_rnti:#x}")
         msg = {"rrc_transaction_identifier": 0,
                "critical_extensions": ("c1", ("r8", {
                    "radio_resource_config_dedicated": {
                        "srb_to_add_mod_list": [_DEFAULT_SRB1]},
                    "next_hop_chaining_count": 1}))}
-        return [(rnti, SRB0,
+        return [(new_rnti, SRB0,
                  M.pack_dl_ccch("rrcConnectionReestablishment", msg))]
 
     # --- message builders -----------------------------------------------------

@@ -1253,3 +1253,235 @@ def unpack_erab_modify_response(ies: dict[int, bytes]) -> dict:
     mme_ue, enb_ue = get_ue_ids(ies)
     return dict(mme_ue_id=mme_ue, enb_ue_id=enb_ue,
                 modified=_dec_erab_list(ies[IE_ERAB_MODIFY_LIST], body))
+
+
+# --- configuration update / overload / warning / NAS non-delivery -----------
+# (36.413 8.7.4-8.7.7, 8.6.2.4; procedure codes from liblte_s1ap.h:89-109)
+
+PROC_NAS_NON_DELIVERY = 16
+PROC_ENB_CONFIGURATION_UPDATE = 29
+PROC_MME_CONFIGURATION_UPDATE = 30
+PROC_OVERLOAD_START = 34
+PROC_OVERLOAD_STOP = 35
+PROC_WRITE_REPLACE_WARNING = 36
+
+IE_OVERLOAD_RESPONSE = 101          # liblte_s1ap.h:285
+IE_MESSAGE_IDENTIFIER = 111         # liblte_s1ap.h:295
+IE_SERIAL_NUMBER = 112
+IE_REPETITION_PERIOD = 114
+IE_NUMBER_OF_BROADCAST_REQUEST = 115
+IE_DATA_CODING_SCHEME = 118
+IE_WARNING_MESSAGE_CONTENTS = 119
+IE_BROADCAST_COMPLETED_AREA_LIST = 120
+
+#: OverloadAction (36.413 9.2.3.19): reject all / reject non-emergency MO
+#: data / permit emergency and MT only
+OVERLOAD_REJECT_ALL = 0
+OVERLOAD_REJECT_NON_EMERGENCY_MO = 1
+OVERLOAD_PERMIT_EMERGENCY_AND_MT = 2
+
+
+def pack_nas_non_delivery_indication(mme_ue_id: int, enb_ue_id: int,
+                                     nas_pdu: bytes,
+                                     cause: tuple[int, int] = (0, 25)
+                                     ) -> bytes:
+    """NAS NON DELIVERY INDICATION (36.413 8.6.2.4; eNB -> MME when a
+    DownlinkNASTransport PDU could not be delivered to the UE)."""
+    ies = [(IE_MME_UE_S1AP_ID, CRIT_REJECT, _enc_big(mme_ue_id)),
+           (IE_ENB_UE_S1AP_ID, CRIT_REJECT, _enc_big(enb_ue_id)),
+           (IE_NAS_PDU, CRIT_IGNORE, _enc_nas(nas_pdu)),
+           (IE_CAUSE, CRIT_IGNORE, _enc_cause(*cause))]
+    return _pdu(INITIATING, PROC_NAS_NON_DELIVERY, CRIT_IGNORE,
+                _enc_ies(ies))
+
+
+def unpack_nas_non_delivery_indication(ies: dict[int, bytes]) -> dict:
+    mme_ue, enb_ue = get_ue_ids(ies)
+    return dict(mme_ue_id=mme_ue, enb_ue_id=enb_ue,
+                nas_pdu=_dec_nas(ies[IE_NAS_PDU]),
+                cause=_dec_cause(ies[IE_CAUSE]))
+
+
+def pack_enb_configuration_update(enb_name: str | None = None,
+                                  tac: int | None = None,
+                                  mcc: str = "001", mnc: str = "01",
+                                  paging_drx: int | None = None) -> bytes:
+    """ENB CONFIGURATION UPDATE (36.413 8.7.4; all IEs optional)."""
+    ies = []
+    if enb_name is not None:
+        nb = enb_name.encode()
+        ies.append((IE_ENB_NAME, CRIT_IGNORE, bytes([len(nb)]) + nb))
+    if tac is not None:
+        w = AWriter()
+        w.put(0, 8)
+        w.put(0, 1)
+        w.put(0, 1)
+        w.put_bytes(tac.to_bytes(2, "big"))
+        w.put(0, 8)
+        w.put_bytes(_plmn_bytes(mcc, mnc))
+        ies.append((IE_SUPPORTED_TAS, CRIT_REJECT, w.to_bytes()))
+    if paging_drx is not None:
+        ies.append((IE_DEFAULT_PAGING_DRX, CRIT_IGNORE,
+                    bytes([paging_drx])))
+    return _pdu(INITIATING, PROC_ENB_CONFIGURATION_UPDATE, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_enb_configuration_update(ies: dict[int, bytes]) -> dict:
+    out: dict = {}
+    if IE_ENB_NAME in ies:
+        nb = ies[IE_ENB_NAME]
+        out["enb_name"] = nb[1 : 1 + nb[0]].decode()
+    if IE_SUPPORTED_TAS in ies:
+        r = AReader(ies[IE_SUPPORTED_TAS])
+        r.get(8)
+        r.get(2)
+        out["tac"] = int.from_bytes(r.get_bytes(2), "big")
+        r.get(8)
+        out["mcc"], out["mnc"] = _plmn_parse(r.get_bytes(3))
+    if IE_DEFAULT_PAGING_DRX in ies:
+        out["paging_drx"] = ies[IE_DEFAULT_PAGING_DRX][0]
+    return out
+
+
+def pack_enb_configuration_update_ack() -> bytes:
+    return _pdu(SUCCESSFUL, PROC_ENB_CONFIGURATION_UPDATE, CRIT_REJECT,
+                _enc_ies([]))
+
+
+def pack_mme_configuration_update(mme_name: str | None = None,
+                                  mcc: str | None = None,
+                                  mnc: str | None = None,
+                                  mme_group: int = 1, mme_code: int = 1,
+                                  capacity: int | None = None) -> bytes:
+    """MME CONFIGURATION UPDATE (36.413 8.7.5; all IEs optional)."""
+    ies = []
+    if mme_name is not None:
+        nb = mme_name.encode()
+        ies.append((IE_MME_NAME, CRIT_IGNORE, bytes([len(nb)]) + nb))
+    if mcc is not None:
+        w = AWriter()
+        w.put(0, 3)
+        w.put(0, 1)
+        w.put(0, 1)
+        w.put(0, 8)
+        w.put_bytes(_plmn_bytes(mcc, mnc))
+        w.put(0, 16)
+        w.put_bytes(mme_group.to_bytes(2, "big"))
+        w.put(0, 8)
+        w.put_bytes(bytes([mme_code]))
+        ies.append((IE_SERVED_GUMMEIS, CRIT_REJECT, w.to_bytes()))
+    if capacity is not None:
+        ies.append((IE_RELATIVE_MME_CAPACITY, CRIT_IGNORE,
+                    bytes([capacity])))
+    return _pdu(INITIATING, PROC_MME_CONFIGURATION_UPDATE, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_mme_configuration_update(ies: dict[int, bytes]) -> dict:
+    out: dict = {}
+    if IE_MME_NAME in ies:
+        nb = ies[IE_MME_NAME]
+        out["mme_name"] = nb[1 : 1 + nb[0]].decode()
+    if IE_SERVED_GUMMEIS in ies:
+        r = AReader(ies[IE_SERVED_GUMMEIS])
+        r.get(3)
+        r.get(2)
+        r.get(8)
+        out["mcc"], out["mnc"] = _plmn_parse(r.get_bytes(3))
+        r.get(16)
+        out["mme_group"] = int.from_bytes(r.get_bytes(2), "big")
+        r.get(8)
+        out["mme_code"] = r.get_bytes(1)[0]
+    if IE_RELATIVE_MME_CAPACITY in ies:
+        out["capacity"] = ies[IE_RELATIVE_MME_CAPACITY][0]
+    return out
+
+
+def pack_mme_configuration_update_ack() -> bytes:
+    return _pdu(SUCCESSFUL, PROC_MME_CONFIGURATION_UPDATE, CRIT_REJECT,
+                _enc_ies([]))
+
+
+def pack_overload_start(action: int = OVERLOAD_REJECT_NON_EMERGENCY_MO
+                        ) -> bytes:
+    """OVERLOAD START (36.413 8.7.6): OverloadResponse ::= CHOICE
+    {overloadAction ENUMERATED{...,ext}}."""
+    w = AWriter()
+    w.put(0, 1)          # choice ext
+    # single choice alternative: no index bits; ENUM(3, ext)
+    w.put(0, 1)          # enum ext
+    w.put(action, 2)
+    ies = [(IE_OVERLOAD_RESPONSE, CRIT_REJECT, w.to_bytes())]
+    return _pdu(INITIATING, PROC_OVERLOAD_START, CRIT_IGNORE,
+                _enc_ies(ies))
+
+
+def unpack_overload_start(ies: dict[int, bytes]) -> dict:
+    r = AReader(ies[IE_OVERLOAD_RESPONSE])
+    r.get(2)
+    return dict(action=r.get(2))
+
+
+def pack_overload_stop() -> bytes:
+    """OVERLOAD STOP (36.413 8.7.7): no mandatory IEs."""
+    return _pdu(INITIATING, PROC_OVERLOAD_STOP, CRIT_REJECT, _enc_ies([]))
+
+
+def pack_write_replace_warning_request(message_id: int, serial: int,
+                                       repetition_period: int = 0,
+                                       num_broadcast: int = 1,
+                                       coding_scheme: int | None = None,
+                                       contents: bytes | None = None
+                                       ) -> bytes:
+    """WRITE-REPLACE WARNING REQUEST (36.413 9.1.13.1; PWS/ETWS/CMAS).
+
+    message_id/serial are 16-bit BIT STRINGs (liblte_s1ap.cc:2824
+    static bit string), repetition period INTEGER(0..4095), number of
+    broadcasts INTEGER(0..65535)."""
+    ies = [(IE_MESSAGE_IDENTIFIER, CRIT_REJECT,
+            message_id.to_bytes(2, "big")),
+           (IE_SERIAL_NUMBER, CRIT_REJECT, serial.to_bytes(2, "big")),
+           (IE_REPETITION_PERIOD, CRIT_REJECT,
+            repetition_period.to_bytes(2, "big")),
+           (IE_NUMBER_OF_BROADCAST_REQUEST, CRIT_REJECT,
+            num_broadcast.to_bytes(2, "big"))]
+    if coding_scheme is not None:
+        ies.append((IE_DATA_CODING_SCHEME, CRIT_IGNORE,
+                    bytes([coding_scheme])))
+    if contents is not None:
+        w = AWriter()
+        w.put_open(contents)
+        ies.append((IE_WARNING_MESSAGE_CONTENTS, CRIT_IGNORE,
+                    w.to_bytes()))
+    return _pdu(INITIATING, PROC_WRITE_REPLACE_WARNING, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_write_replace_warning_request(ies: dict[int, bytes]) -> dict:
+    out = dict(
+        message_id=int.from_bytes(ies[IE_MESSAGE_IDENTIFIER], "big"),
+        serial=int.from_bytes(ies[IE_SERIAL_NUMBER], "big"),
+        repetition_period=int.from_bytes(ies[IE_REPETITION_PERIOD], "big"),
+        num_broadcast=int.from_bytes(
+            ies[IE_NUMBER_OF_BROADCAST_REQUEST], "big"))
+    if IE_DATA_CODING_SCHEME in ies:
+        out["coding_scheme"] = ies[IE_DATA_CODING_SCHEME][0]
+    if IE_WARNING_MESSAGE_CONTENTS in ies:
+        out["contents"] = AReader(ies[IE_WARNING_MESSAGE_CONTENTS]).get_open()
+    return out
+
+
+def pack_write_replace_warning_response(message_id: int,
+                                        serial: int) -> bytes:
+    ies = [(IE_MESSAGE_IDENTIFIER, CRIT_REJECT,
+            message_id.to_bytes(2, "big")),
+           (IE_SERIAL_NUMBER, CRIT_REJECT, serial.to_bytes(2, "big"))]
+    return _pdu(SUCCESSFUL, PROC_WRITE_REPLACE_WARNING, CRIT_REJECT,
+                _enc_ies(ies))
+
+
+def unpack_write_replace_warning_response(ies: dict[int, bytes]) -> dict:
+    return dict(
+        message_id=int.from_bytes(ies[IE_MESSAGE_IDENTIFIER], "big"),
+        serial=int.from_bytes(ies[IE_SERIAL_NUMBER], "big"))

@@ -144,11 +144,58 @@ class MmeS1ap:
             res = S.unpack_erab_modify_response(ies)
             self.events.append(f"erab_modified_{res['modified']}")
             return []
+        if proc == S.PROC_NAS_NON_DELIVERY:
+            nd = S.unpack_nas_non_delivery_indication(ies)
+            # srsepc logs the undelivered PDU; the NAS layer's own retry
+            # timers (T3413 paging etc.) drive any retransmission
+            self.events.append(
+                f"nas_non_delivery_ue{nd['mme_ue_id']}_{nd['cause']}")
+            return []
+        if proc == S.PROC_ENB_CONFIGURATION_UPDATE and kind == S.INITIATING:
+            upd = S.unpack_enb_configuration_update(ies)
+            self.events.append(f"enb_config_update_{sorted(upd)}")
+            return [S.pack_enb_configuration_update_ack()]
+        if proc == S.PROC_MME_CONFIGURATION_UPDATE and kind == S.SUCCESSFUL:
+            self.events.append("mme_config_update_acked")
+            return []
+        if proc == S.PROC_WRITE_REPLACE_WARNING and kind == S.SUCCESSFUL:
+            res = S.unpack_write_replace_warning_response(ies)
+            self.events.append(f"warning_broadcast_{res['message_id']}")
+            return []
         # unknown/unsupported PDU -> ERROR INDICATION
         # (36.413 8.7.3: unknown procedure, cause protocol/
         # message-not-compatible)
         self.events.append(f"unknown_pdu_proc{proc}")
         return [S.pack_error_indication(cause=(3, 1))]
+
+    # --- MME-initiated interface management (36.413 8.7.5-8.7.7, 9.1.13)
+
+    def overload_start(self, action: int = 1) -> bytes:
+        """OVERLOAD START toward every linked eNB; returns the PDU."""
+        pdu = S.pack_overload_start(action)
+        for link in self.enb_links.values():
+            link(pdu)
+        return pdu
+
+    def overload_stop(self) -> bytes:
+        pdu = S.pack_overload_stop()
+        for link in self.enb_links.values():
+            link(pdu)
+        return pdu
+
+    def mme_configuration_update(self, **kw) -> bytes:
+        pdu = S.pack_mme_configuration_update(**kw)
+        for link in self.enb_links.values():
+            link(pdu)
+        return pdu
+
+    def write_replace_warning(self, message_id: int, serial: int,
+                              **kw) -> bytes:
+        pdu = S.pack_write_replace_warning_request(message_id, serial,
+                                                   **kw)
+        for link in self.enb_links.values():
+            link(pdu)
+        return pdu
 
     def attach_enb_link(self, enb_id: int, link) -> None:
         """Register a delivery channel to an eNB (callable pdu ->
@@ -299,6 +346,11 @@ class EnbS1ap:
     setup_done: bool = False
     events: list = field(default_factory=list)
     _current_ue: int = 0
+    #: active MME overload action (None = not overloaded); new
+    #: non-emergency connection requests should be rejected while set
+    overload_action: int | None = None
+    #: received write-replace warning broadcasts (PWS), newest last
+    warnings: list = field(default_factory=list)
 
     def s1_setup(self) -> bool:
         for resp in self.send(S.pack_s1_setup_request(
@@ -387,7 +439,49 @@ class EnbS1ap:
             elif proc == S.PROC_ERROR_INDICATION:
                 err = S.unpack_error_indication(ies)
                 self.events.append(f"error_indication_{err['cause']}")
+            elif proc == S.PROC_OVERLOAD_START:
+                ov = S.unpack_overload_start(ies)
+                self.overload_action = ov["action"]
+                self.events.append(f"overload_start_{ov['action']}")
+                out.append(("overload", ov["action"]))
+            elif proc == S.PROC_OVERLOAD_STOP:
+                self.overload_action = None
+                self.events.append("overload_stop")
+                out.append(("overload", None))
+            elif proc == S.PROC_MME_CONFIGURATION_UPDATE \
+                    and kind == S.INITIATING:
+                upd = S.unpack_mme_configuration_update(ies)
+                self.events.append("mme_config_update")
+                self.send(S.pack_mme_configuration_update_ack())
+                out.append(("mme_config", upd))
+            elif proc == S.PROC_WRITE_REPLACE_WARNING \
+                    and kind == S.INITIATING:
+                w = S.unpack_write_replace_warning_request(ies)
+                self.warnings.append(w)
+                self.events.append(f"warning_rx_{w['message_id']}")
+                self.send(S.pack_write_replace_warning_response(
+                    w["message_id"], w["serial"]))
+                out.append(("warning", w))
         return out
+
+    def configuration_update(self, **kw) -> bool:
+        """eNB CONFIGURATION UPDATE (srsenb would send this after a cell
+        reconfiguration); returns True on MME acknowledge."""
+        for resp in self.send(S.pack_enb_configuration_update(**kw)):
+            kind, proc, _ = S.unpack_pdu(resp)
+            if proc == S.PROC_ENB_CONFIGURATION_UPDATE \
+                    and kind == S.SUCCESSFUL:
+                self.events.append("enb_config_update_acked")
+                return True
+        return False
+
+    def nas_non_delivery(self, nas_pdu: bytes,
+                         cause=(0, 25)) -> None:
+        """Report an undeliverable DL NAS PDU (srsenb s1ap.cc would send
+        this when the UE left before delivery)."""
+        self.send(S.pack_nas_non_delivery_indication(
+            0, self._current_ue, nas_pdu, cause))
+        self.events.append("nas_non_delivery_sent")
 
     @staticmethod
     def _ids_from_release(ies) -> tuple[int, int]:

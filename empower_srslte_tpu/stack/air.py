@@ -22,7 +22,12 @@ class Air:
         self.delay = int(delay_samples)
         self._ul_tail = np.zeros(self.delay, np.complex64)
 
-    def _impair(self, iq, h):
+    #: per-direction SNR overrides (None = use self.snr_db); lets tests
+    #: model asymmetric links (e.g. a deep uplink fade with a clean DL)
+    snr_db_dl: float | None = None
+    snr_db_ul: float | None = None
+
+    def _impair(self, iq, h, snr_db=None):
         if iq is None:
             iq = np.zeros(self.sf_len, np.complex64)
         iq = np.asarray(iq).astype(np.complex64)
@@ -34,23 +39,24 @@ class Air:
             out = out.astype(np.complex64)
         else:
             out = iq * (h[0] if isinstance(h, (tuple, list)) else h)
-        if self.snr_db is not None:
+        snr = snr_db if snr_db is not None else self.snr_db
+        if snr is not None:
             p = np.mean(np.abs(out) ** 2)
             if p > 0:
-                n0 = p / 10 ** (self.snr_db / 10)
+                n0 = p / 10 ** (snr / 10)
                 out = out + (self.rng.normal(size=out.shape)
                              + 1j * self.rng.normal(size=out.shape)
                              ).astype(np.complex64) * np.sqrt(n0 / 2)
         return out
 
     def dl(self, iq):
-        return self._impair(iq, self.h_dl)
+        return self._impair(iq, self.h_dl, self.snr_db_dl)
 
     def ul(self, iq, advance: int = 0):
         """``advance``: the UE's timed-TX advance (radio.cc tx_adv /
         the RAR timing-advance command) — it cancels the propagation
         delay at the receiver."""
-        out = self._impair(iq, self.h_ul)
+        out = self._impair(iq, self.h_ul, self.snr_db_ul)
         d = max(0, self.delay - int(advance))
         if d != len(self._ul_tail):
             self._ul_tail = np.zeros(d, np.complex64)

@@ -32,7 +32,7 @@ from ..models.pcfich import pcfich_put
 from ..models.pdcch import pdcch_encode
 from ..models.pdsch import PdschConfig, pdsch_encode
 from ..models.prach import prach_detect, prach_seq_len
-from ..models.pusch import PuschConfig, pusch_decode
+from ..models.pusch import PuschConfig, pusch_decode, pusch_decode_jit
 from ..rrc.procedures import EnbRrc
 from ..upper.gtpu import gtpu_pack, gtpu_unpack
 from ..upper.pdcp import PdcpConfig, PdcpEntity
@@ -361,6 +361,10 @@ class EnbStack:
             self._process_ul(tti - 1, ul_iq)
         else:
             self._process_ul_idle(tti - 1)
+        for st in self.active_ues.values():
+            rlc = st.get("srb1_rlc")
+            if rlc is not None:
+                rlc.tick()              # t-PollRetransmit (rlc_am.cc)
         return self._compose_dl(tti)
 
     def _process_ul_idle(self, tti: int):
@@ -476,12 +480,14 @@ class EnbStack:
             items = acks_due.pop(p.rnti, None)
             if items:
                 from ..models.pusch import (UciData, UciPlan,
-                                            pusch_decode_uci)
+                                            pusch_decode_uci_jit)
 
                 plan = UciPlan(p.cfg, p.tbs,
                                UciData(ack=(1,) * len(items)), rv=p.rv)
-                out = pusch_decode_uci(grid, p.cfg, plan, noise_est=1e-3,
-                                       softbuffers=p.softbuffers)
+                fn = pusch_decode_uci_jit(p.cfg, plan,
+                                          p.softbuffers is not None)
+                out = fn(grid, 1e-3, p.softbuffers) \
+                    if p.softbuffers is not None else fn(grid, 1e-3)
                 ok = bool(np.asarray(out["crc_ok"]).all())
                 if ok:
                     acked = [bool(a) for a in out["ack"]]
@@ -494,9 +500,11 @@ class EnbStack:
                     self._handle_ack(p.rnti, pid, rec, ack)
                 bits, sbuf = out["tb"], out["softbuffers"]
             else:
-                bits, okc, sbuf = pusch_decode(
-                    grid, p.cfg, p.cfg.plan(p.tbs, rv=p.rv),
-                    noise_est=1e-3, softbuffers=p.softbuffers)
+                fn = pusch_decode_jit(p.cfg, p.tbs, p.rv,
+                                      p.softbuffers is not None)
+                bits, okc, sbuf = (fn(grid, 1e-3, p.softbuffers)
+                                   if p.softbuffers is not None
+                                   else fn(grid, 1e-3))
                 ok = bool(np.asarray(okc).all())
             if not ok:
                 self.events.append(f"pusch_crc_fail_tti{tti}")
@@ -624,8 +632,17 @@ class EnbStack:
             if rnti not in self.rrc.ues:
                 # msg3: contention resolution identity = first 6 bytes
                 self.active_ues[rnti] = {"con_res": sp.payload[:6]}
+            n_ev0 = len(self.rrc.events)
             responses = self.rrc.handle_ul(
                 rnti if rnti in self.rrc.ues else 0, 0, sp.payload)
+            for ev in self.rrc.events[n_ev0:]:
+                # context migrated to the new C-RNTI: drop the failed
+                # link's MAC/RLC state (kept under the old rnti)
+                if ev.startswith("reestablish_migrated_"):
+                    old = int(ev.split("_")[2], 16)
+                    self.active_ues.pop(old, None)
+                    self.drbs.pop(old, None)
+                    self.dl_queues.pop(old, None)
             for m_rnti, m_srb, m_pdu in responses:
                 self.send_dl(m_rnti, m_srb, m_pdu)
 

@@ -35,7 +35,12 @@ class UeStack:
                  mac_cfg: UlSchConfig | None = None,
                  preamble: int = PREAMBLE, ra_delay_frames: int = 0,
                  cold_start: bool = False,
-                 neighbor_pcis: tuple = ()):
+                 neighbor_pcis: tuple = (),
+                 srb1_max_retx: int = 16, srb1_poll_retx: int = 40):
+        #: SRB1 RLC AM parameters (rr.conf maxRetxThreshold /
+        #: t-PollRetransmit analogs); small values speed up RLF tests
+        self.srb1_max_retx = srb1_max_retx
+        self.srb1_poll_retx = srb1_poll_retx
         #: with cold_start the ctor cell is only a geometry hint (the RF
         #: tuning: sample rate / bandwidth); PCI, SFN, PRB count and the
         #: PRACH config are acquired over the air (phch_recv.cc
@@ -72,8 +77,11 @@ class UeStack:
         self.msg3: bytes | None = None
         self.ul_queue: list = []      # (srb, pdu) awaiting a grant (SRB0)
         # SRB1 rides RLC AM (rlc_am.cc: the reference maps SRB1/2 onto
-        # acknowledged mode with segmentation + status/retx)
-        self.srb1_rlc = RlcAm()
+        # acknowledged mode with segmentation + status/retx); AM max-retx
+        # exhaustion declares radio link failure (36.331 5.3.11.3, srsue
+        # rrc.cc max_retx_attempted -> reestablishment)
+        self.reestablish_pending = False
+        self.srb1_rlc = self._new_srb1_rlc()
         self.pusch_plan: dict = {}    # tti -> (mac, cfg, tbs)
         self.ack_plan: dict = {}      # tti -> (n_pucch, [ack bits])
         self.events: list = []
@@ -174,6 +182,7 @@ class UeStack:
         # MAC procedure step (mac.cc run_tti: timers, then bsr/phr/sr)
         self.timers.step_all()
         if self.state == "connected":
+            self.srb1_rlc.tick()        # t-PollRetransmit (rlc_am.cc)
             self.bsr.step(tti)
             self.phr.step(tti)
             if self.bsr.need_to_reset_sr():
@@ -329,7 +338,7 @@ class UeStack:
         self.rsi = ho["rsi"]
         self.preamble = ho["preamble"]
         self.ho_pending = ho
-        self.srb1_rlc = RlcAm()               # RLC re-establishment
+        self.srb1_rlc = self._new_srb1_rlc()  # RLC re-establishment
         if ho.get("complete") is not None:
             self.srb1_rlc.write_sdu(ho["complete"])
         self.pusch_plan.clear()
@@ -358,9 +367,26 @@ class UeStack:
         self.dl_harq.clear()
         self.dl_harq_delivered.clear()
         self.sr.reset()
-        self.srb1_rlc = RlcAm()        # SRB1 RLC re-established
+        self.srb1_rlc = self._new_srb1_rlc()  # SRB1 RLC re-established
         self.timing_advance = 0
         self.events.append("went_idle")
+
+    def _new_srb1_rlc(self) -> RlcAm:
+        return RlcAm(max_retx=self.srb1_max_retx,
+                     poll_retx=self.srb1_poll_retx,
+                     max_retx_cb=self._declare_rlf)
+
+    def _declare_rlf(self) -> None:
+        """Radio link failure from SRB1 AM max-retx (rlc_am maxRetx ->
+        srsue rrc.cc max_retx_attempted): drop to idle PHY/MAC state and
+        re-enter random access with an RRCConnectionReestablishmentRequest
+        instead of a new connection request (36.331 5.3.7)."""
+        if self.state != "connected" or self.rrc.state != "connected":
+            return
+        self.events.append("rlf_max_retx")
+        self._to_idle()
+        self.reestablish_pending = True
+        self.connect_pending = True
 
     # --- DL processing ----------------------------------------------------------
 
@@ -462,7 +488,10 @@ class UeStack:
         if rar["rapid"] != self.preamble:
             return
         self.c_rnti = rar["t_crnti"]
-        self.rrc.c_rnti = self.c_rnti
+        if not self.reestablish_pending:
+            # a reestablishment request must carry the C-RNTI of the
+            # FAILED link (36.331 5.3.7.4), not the new RA's temp rnti
+            self.rrc.c_rnti = self.c_rnti
         ta_unit = 16 * self.cell.fft_size // 2048
         self.timing_advance = rar["ta"] * ta_unit
         if rar["ta"]:
@@ -494,7 +523,11 @@ class UeStack:
                               n_prb=rar["n_prb"])
             self.pusch_plan[tti + 4] = (mac, cfg, tbs, 0)
             return
-        srb, req = self.rrc.connect(self.connect_cause)
+        if self.reestablish_pending:
+            srb, req = self.rrc.reestablish()
+            self.reestablish_pending = False
+        else:
+            srb, req = self.rrc.connect(self.connect_cause)
         mac = MacPdu()
         mac.add_sdu(0, req)
         self.msg3 = req
@@ -513,6 +546,10 @@ class UeStack:
                 if con_res_ok:
                     self.state = "connected"
                     self.connect_pending = False
+                    # latch identity for a later reestablishment request
+                    # (36.331 5.3.7 uses the C-RNTI/PCI of the failed link)
+                    self.rrc.c_rnti = self.c_rnti
+                    self.rrc.serving_pci = self.cell.id
                     self.events.append("contention_resolved")
                 else:
                     self.events.append("contention_lost")

@@ -155,17 +155,44 @@ class TestAttachFlow:
 
 
 class TestMbmsGw:
+    IP = b"\x45\x00" + bytes(18) + b"MULTICAST-PAYLOAD"
+
     def test_forward_and_m1_ingest(self):
         from empower_srslte_tpu.epc import MbmsGw, m1_ingest
 
         got = []
         gw = MbmsGw()
         gw.add_enb(got.append)
-        gw.forward(b"\x45\x00MULTICAST")
+        gw.forward(self.IP)
         assert gw.stats_tx == 1
-        assert m1_ingest(got[0]) == b"\x45\x00MULTICAST"
+        assert m1_ingest(got[0]) == self.IP
         # wrong TEID rejected (mbms-gw.cc uses the fixed 0xAAAA)
         assert m1_ingest(got[0], expected_teid=0x1234) is None
+
+    def test_sanity_checks_drop_bad_packets(self):
+        """IPv4 min length + version gate (mbms-gw.cc:300-310)."""
+        from empower_srslte_tpu.epc import MbmsGw
+
+        gw = MbmsGw()
+        assert gw.forward(b"\x45\x00short") is None        # < 20 bytes
+        assert gw.forward(b"\x60" + bytes(39)) is None     # IPv6
+        assert gw.stats_dropped == 2 and gw.stats_tx == 0
+
+    def test_m1u_udp_delivery(self):
+        """Real M1-U datagram: gateway UDP sender -> eNB-side receiver
+        on GTPU port + 1 (mbms-gw.cc:251 GTPU_RX_PORT+1), TEID
+        validated on ingest."""
+        from empower_srslte_tpu.epc import M1uReceiver, MbmsGw
+
+        rx = M1uReceiver(addr="127.0.0.1", port=42153, timeout=2.0)
+        gw = MbmsGw()
+        gw.open_m1u(addr="127.0.0.1", port=42153)
+        try:
+            gw.forward(self.IP)
+            assert rx.recv() == self.IP
+        finally:
+            gw.close()
+            rx.close()
 
 
 class TestNasFullDecode:

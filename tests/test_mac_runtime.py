@@ -65,6 +65,158 @@ class TestScheduler:
         s.dl_buffer_state(0x40, 0)
         assert s.dl_sched(0) == []
 
+    def test_dl_max_retx_discards_tb(self):
+        """NACK every tx: the TB is discarded after max_retx and the event
+        surfaces (scheduler_harq.cc:104-108 'maximum number of retx')."""
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x41, cqi=10)
+        s.dl_buffer_state(0x41, 10**6)
+        pids = []
+        for tti in range(8):
+            gs = [g for g in s.dl_sched(tti) if g.rnti == 0x41]
+            if not gs:
+                break
+            g = gs[0]
+            pids.append((g.harq_pid, g.rv, g.ndi))
+            s.harq_feedback(0x41, g.harq_pid, ok=False)
+            s.dl_buffer_state(0x41, 0)  # no new data: only retx follow
+        ue = s.ues[0x41]
+        assert ue.harq.max_retx_events, "max-retx discard not recorded"
+        pid0 = pids[0][0]
+        # all transmissions were the same process, rv cycled 0,2,3,1
+        assert [p for p, _, _ in pids] == [pid0] * 4
+        assert [rv for _, rv, _ in pids] == [0, 2, 3, 1]
+        # process freed after the discard
+        assert not ue.harq.processes[pid0].active
+
+    def test_ndi_toggles_per_new_tx_only(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x42, cqi=10)
+        s.dl_buffer_state(0x42, 10**6)
+        g0 = s.dl_sched(0)[0]
+        s.harq_feedback(0x42, g0.harq_pid, ok=False)
+        s.dl_buffer_state(0x42, 0)
+        g1 = [g for g in s.dl_sched(1) if g.harq_pid == g0.harq_pid][0]
+        assert g1.ndi == g0.ndi        # retx keeps NDI
+        s.harq_feedback(0x42, g1.harq_pid, ok=True)
+        s.dl_buffer_state(0x42, 10**6)
+        g2 = [g for g in s.dl_sched(2) if g.harq_pid == g0.harq_pid]
+        if g2:  # same process reused for a new TB -> NDI toggles
+            assert g2[0].ndi != g0.ndi
+
+
+class TestUlScheduler:
+    def test_bsr_drives_grants(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x50)
+        s.ul_bsr(0x50, 5000)
+        gs = s.ul_sched(0)
+        assert len(gs) == 1 and gs[0].needs_dci and gs[0].tbs > 0
+        # allocation is a valid DFT size
+        from empower_srslte_tpu.ops.dft_precoding import valid_prb
+        assert valid_prb(gs[0].n_prb)
+
+    def test_sr_without_bsr_gets_small_grant(self):
+        """SR-triggered scheduling (sched::ul_sr_info, scheduler.cc:444):
+        a UE with no reported data still gets a grant to send its BSR."""
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x51)
+        assert s.ul_sched(0) == []
+        s.ul_sr_info(0x51)
+        gs = s.ul_sched(1)
+        assert len(gs) == 1 and gs[0].rnti == 0x51
+        assert not s.ues[0x51].sr_pending  # unset_sr (scheduler.cc:978)
+
+    def test_nonadaptive_retx_reuses_prbs_no_dci(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x52)
+        s.ul_bsr(0x52, 5000)
+        g0 = s.ul_sched(0)[0]
+        s.ul_crc_info(0x52, g0.harq_pid, ok=False)
+        g1 = s.ul_sched(1)[0]
+        assert (g1.start_prb, g1.n_prb) == (g0.start_prb, g0.n_prb)
+        assert not g1.needs_dci            # PHICH-only (set_alloc)
+        assert g1.rv == 2 and g1.ndi == g0.ndi
+
+    def test_adaptive_retx_moves_with_dci(self):
+        """When the original PRBs are taken, the retx re-allocs and needs
+        a DCI 0 (ul_harq_proc::re_alloc, scheduler_harq.cc:205-209)."""
+        s = Scheduler(nof_prb=6)
+        s.add_ue(0x53)
+        s.add_ue(0x54)
+        s.ul_bsr(0x53, 300)
+        g0 = s.ul_sched(0)[0]
+        s.ul_crc_info(0x53, g0.harq_pid, ok=False)
+        # hog the band with the other UE so 0x53's PRBs may move
+        s.ul_bsr(0x54, 10**6)
+        gs = s.ul_sched(1)
+        mine = [g for g in gs if g.rnti == 0x53]
+        assert mine, "retx starved"
+        # either same PRBs (non-adaptive) or moved+DCI (adaptive)
+        g1 = mine[0]
+        moved = (g1.start_prb, g1.n_prb) != (g0.start_prb, g0.n_prb)
+        assert g1.needs_dci == moved or g1.needs_dci
+        # no overlap between grants in this TTI
+        spans = [(g.start_prb, g.start_prb + g.n_prb) for g in gs]
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0
+
+    def test_ul_max_retx_event(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x55)
+        s.ul_bsr(0x55, 1000)
+        for tti in range(8):
+            gs = [g for g in s.ul_sched(tti) if g.rnti == 0x55]
+            if not gs:
+                break
+            s.ul_crc_info(0x55, gs[0].harq_pid, ok=False)
+            s.ul_bsr(0x55, 0)
+        assert s.ues[0x55].ul_harq.max_retx_events
+
+    def test_tpc_follows_snr(self):
+        """Closed-loop TPC: low SNR latches +3 dB into the next grant,
+        then reverts to 0 dB (scheduler_ue.cc:445-459,755-756)."""
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x56)
+        s.ul_snr_info(0x56, 3.0)       # far below target
+        s.ul_bsr(0x56, 5000)
+        g0 = s.ul_sched(0)[0]
+        assert g0.tpc_pusch == 3
+        s.ul_crc_info(0x56, g0.harq_pid, ok=True)
+        s.ul_bsr(0x56, 5000)
+        g1 = s.ul_sched(1)[0]
+        assert g1.tpc_pusch == 1       # one-shot latched command consumed
+        s.ul_snr_info(0x56, 25.0)      # far above target
+        s.ul_crc_info(0x56, g1.harq_pid, ok=True)
+        s.ul_bsr(0x56, 5000)
+        assert s.ul_sched(2)[0].tpc_pusch == 0
+
+    def test_aperiodic_cqi_request_when_stale(self):
+        s = Scheduler(nof_prb=25)
+        s.add_ue(0x57)
+        s.cqi_info(0x57, 10)
+        for tti in range(Scheduler.CQI_MAX_AGE + 2):
+            s.dl_sched(tti)            # ages the CQI
+        s.ul_bsr(0x57, 5000)
+        g = s.ul_sched(99)[0]
+        assert g.cqi_request
+        s.cqi_info(0x57, 9)            # fresh report clears the age
+        s.ul_crc_info(0x57, g.harq_pid, ok=True)
+        s.ul_bsr(0x57, 5000)
+        assert not s.ul_sched(100)[0].cqi_request
+
+    def test_ul_link_adaptation_from_snr(self):
+        s = Scheduler(nof_prb=50)
+        s.add_ue(0x58)
+        s.add_ue(0x59)
+        s.ul_snr_info(0x58, 2.0)
+        s.ul_snr_info(0x59, 24.0)
+        s.ul_bsr(0x58, 10**6)
+        s.ul_bsr(0x59, 10**6)
+        gs = {g.rnti: g for g in s.ul_sched(0)}
+        assert gs[0x58].mcs < gs[0x59].mcs
+
 
 class TestRanSlicing:
     def _setup(self, metric_cls, **kw):

@@ -551,19 +551,23 @@ class TestMcch:
         ue.c_rnti = rnti
         ue.serving_pci = 0
 
-        # RLF -> reestablishment over SRB0
+        # RLF -> reestablishment over SRB0; the context migrates to the
+        # C-RNTI of the new random access
         srb, req = ue.reestablish()
         dl = enb.handle_ul(0, srb, req)
         assert "reestablishment_ok" in enb.events
+        new_rnti = dl[0][0]
+        assert new_rnti != rnti and new_rnti in enb.ues
+        assert rnti not in enb.ues
         for _, m_srb, m_pdu in dl:
             for u_srb, u_pdu in ue.handle_dl(m_srb, m_pdu):
-                enb.handle_ul(rnti, u_srb, u_pdu)
+                enb.handle_ul(new_rnti, u_srb, u_pdu)
         assert any(e.startswith("reestablished_ncc") for e in ue.events)
         assert ue.state == "connected"
 
         # new keys work both ways, old replay state reset
         srb, mr = ue.send_measurement_report(50, 20, [])
-        enb.handle_ul(rnti, srb, mr)
+        enb.handle_ul(new_rnti, srb, mr)
         assert "integrity_failure" not in enb.events
 
     def test_reestablishment_forged_mac_rejected(self):

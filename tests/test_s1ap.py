@@ -450,3 +450,111 @@ class TestManagementProcedures:
         kind, proc, ies = S.unpack_pdu(resp[0])
         assert proc == S.PROC_ERROR_INDICATION
         assert S.unpack_error_indication(ies)["cause"] == (3, 1)
+
+
+class TestInterfaceManagementTail:
+    """eNB/MME Configuration Update, Overload Start/Stop, NAS Non-
+    Delivery Indication, Write-Replace Warning — the last four
+    procedure families of liblte_s1ap.cc (liblte_s1ap.h:89-109 codes
+    16/29/30/34/35/36)."""
+
+    def test_nas_non_delivery_codec(self):
+        pdu = S.pack_nas_non_delivery_indication(5, 2, b"\x07\x4B",
+                                                 cause=(0, 25))
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING, S.PROC_NAS_NON_DELIVERY)
+        d = S.unpack_nas_non_delivery_indication(ies)
+        assert d == dict(mme_ue_id=5, enb_ue_id=2, nas_pdu=b"\x07\x4B",
+                         cause=(0, 25))
+
+    def test_enb_configuration_update_codec(self):
+        pdu = S.pack_enb_configuration_update(enb_name="new-name",
+                                              tac=99, paging_drx=0x40)
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING,
+                                S.PROC_ENB_CONFIGURATION_UPDATE)
+        u = S.unpack_enb_configuration_update(ies)
+        assert u["enb_name"] == "new-name" and u["tac"] == 99
+        assert u["paging_drx"] == 0x40
+        ack = S.pack_enb_configuration_update_ack()
+        kind, proc, _ = S.unpack_pdu(ack)
+        assert kind == S.SUCCESSFUL
+
+    def test_mme_configuration_update_codec(self):
+        pdu = S.pack_mme_configuration_update(mme_name="mme2", mcc="001",
+                                              mnc="01", mme_group=3,
+                                              mme_code=9, capacity=80)
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING,
+                                S.PROC_MME_CONFIGURATION_UPDATE)
+        u = S.unpack_mme_configuration_update(ies)
+        assert u["mme_name"] == "mme2" and u["mme_group"] == 3
+        assert u["mme_code"] == 9 and u["capacity"] == 80
+
+    def test_overload_codec(self):
+        pdu = S.pack_overload_start(S.OVERLOAD_REJECT_ALL)
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING, S.PROC_OVERLOAD_START)
+        assert S.unpack_overload_start(ies)["action"] \
+            == S.OVERLOAD_REJECT_ALL
+        kind, proc, _ = S.unpack_pdu(S.pack_overload_stop())
+        assert (kind, proc) == (S.INITIATING, S.PROC_OVERLOAD_STOP)
+
+    def test_write_replace_warning_codec(self):
+        pdu = S.pack_write_replace_warning_request(
+            0x1102, 0x3000, repetition_period=512, num_broadcast=4,
+            coding_scheme=0x01, contents=b"EARTHQUAKE WARNING")
+        kind, proc, ies = S.unpack_pdu(pdu)
+        assert (kind, proc) == (S.INITIATING,
+                                S.PROC_WRITE_REPLACE_WARNING)
+        w = S.unpack_write_replace_warning_request(ies)
+        assert w["message_id"] == 0x1102 and w["serial"] == 0x3000
+        assert w["repetition_period"] == 512 and w["num_broadcast"] == 4
+        assert w["contents"] == b"EARTHQUAKE WARNING"
+        resp = S.pack_write_replace_warning_response(0x1102, 0x3000)
+        kind, _, ies = S.unpack_pdu(resp)
+        assert kind == S.SUCCESSFUL
+        assert S.unpack_write_replace_warning_response(ies) \
+            == dict(message_id=0x1102, serial=0x3000)
+
+    def _pair(self):
+        from empower_srslte_tpu.epc import Hss, Subscriber
+        from empower_srslte_tpu.epc.mme import Mme
+        from empower_srslte_tpu.s1ap.procedures import EnbS1ap, MmeS1ap
+
+        mme_s1 = MmeS1ap(mme=Mme(Hss()))
+        enb = EnbS1ap(send=lambda pdu: mme_s1.handle(pdu))
+        enb.s1_setup()
+        return enb, mme_s1
+
+    def test_enb_config_update_flow(self):
+        enb, mme_s1 = self._pair()
+        assert enb.configuration_update(enb_name="renamed", tac=8)
+        assert any(e.startswith("enb_config_update")
+                   for e in mme_s1.events)
+
+    def test_overload_flow(self):
+        enb, mme_s1 = self._pair()
+        mme_s1.attach_enb_link(enb.enb_id,
+                               lambda pdu: enb._directives([pdu]))
+        mme_s1.overload_start(S.OVERLOAD_REJECT_NON_EMERGENCY_MO)
+        assert enb.overload_action == S.OVERLOAD_REJECT_NON_EMERGENCY_MO
+        mme_s1.overload_stop()
+        assert enb.overload_action is None
+
+    def test_warning_broadcast_flow(self):
+        enb, mme_s1 = self._pair()
+        mme_s1.attach_enb_link(enb.enb_id,
+                               lambda pdu: enb._directives([pdu]))
+        mme_s1.write_replace_warning(7, 1, contents=b"TSUNAMI")
+        assert enb.warnings and enb.warnings[0]["contents"] == b"TSUNAMI"
+        # the eNB responded; the MME recorded the broadcast confirmation
+        assert any(e.startswith("warning_broadcast_7")
+                   for e in mme_s1.events)
+
+    def test_nas_non_delivery_flow(self):
+        enb, mme_s1 = self._pair()
+        enb._current_ue = 4
+        enb.nas_non_delivery(b"\x07\x4B")
+        assert any(e.startswith("nas_non_delivery")
+                   for e in mme_s1.events)

@@ -176,3 +176,60 @@ class TestTimingAdvance:
         assert f"ta_applied_{tas[0]}" in ue.events, ue.events[:6]
         assert ue.timing_advance == tas[0] * ta_unit
         assert ue.rrc.nas.attached and ue.rrc.drbs, ue.events[-10:]
+
+
+class TestRadioLinkFailure:
+    def test_rlc_max_retx_triggers_reestablishment(self):
+        """RLF path (36.331 5.3.11.3): a dead uplink exhausts SRB1 RLC AM
+        retransmissions -> the UE declares RLF, drops to idle and recovers
+        through random access with RRCConnectionReestablishmentRequest;
+        the eNB validates shortMAC-I, migrates the context to the new
+        C-RNTI and both sides re-key (srsue rrc.cc max_retx_attempted ->
+        srsenb rrc.cc reestablishment handling), all over the air."""
+        cell = Cell(nof_prb=25, id=1)
+        mme, nas = _epc()
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas, srb1_max_retx=2, srb1_poll_retx=8)
+        air = Air(cell.sf_sample_len)
+        import jax
+
+        ul_iq, attached_at, fade_from = None, None, None
+        rlf_at = reest_at = None
+        for tti in range(500):
+            if tti and tti % 50 == 0:
+                jax.clear_caches()   # XLA-CPU loader fatigue (conftest)
+            # deep PARTIAL uplink fade: PUCCH SR (energy detection) still
+            # lands so grants keep flowing, but every PUSCH fails CRC —
+            # the UE transmits its SRB1 AM retransmissions into the void
+            # until the retx counter runs out (the rlc_am.cc maxRetx RLF)
+            if fade_from is not None and rlf_at is None:
+                air.snr_db_ul = -12.0
+            else:
+                air.snr_db_ul = None
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+            if attached_at is not None and fade_from is None \
+                    and tti == attached_at + 5:
+                # UE-originated SRB1 traffic that will never be ACKed
+                srb, mr = ue.rrc.send_measurement_report(50, 20, [])
+                ue.srb1_rlc.write_sdu(mr)
+                fade_from = tti
+            if rlf_at is None and "rlf_max_retx" in ue.events:
+                rlf_at = tti            # air recovers here
+            if rlf_at is not None and any(
+                    e.startswith("reestablished_ncc")
+                    for e in ue.rrc.events):
+                reest_at = tti
+                break
+        assert attached_at is not None, "attach failed"
+        assert rlf_at is not None, f"no RLF declared: {ue.events[-12:]}"
+        assert "reestablishment_ok" in enb.rrc.events, enb.rrc.events[-8:]
+        assert reest_at is not None, ue.events[-12:]
+        # context migrated: exactly one UE context, under a fresh C-RNTI
+        assert len(enb.rrc.ues) == 1
+        assert ue.c_rnti in enb.rrc.ues
+        # NAS registration survived RLF (reestablishment, not re-attach)
+        assert ue.rrc.nas.attached
