@@ -8,6 +8,8 @@ composer. The eNB receive side lives in models/enb_ul.py.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -62,6 +64,19 @@ def ue_ul_generate(cell: Cell, *, pusch: tuple | None = None,
     if timing_advance:
         samples = jnp.roll(samples, -timing_advance, axis=-1)
     return samples
+
+
+@functools.lru_cache(maxsize=None)
+def ue_ul_pusch_jit(cell: Cell, cfg, plan, timing_advance: int = 0):
+    """Cached jitted PUSCH-subframe generator for one (config, plan).
+
+    The UE stack transmits a granted PUSCH most TTIs; the eager chain
+    (turbo encode scans + DFT precoding + iFFT) re-traces per call
+    otherwise. Call as ``fn(tb_bits)`` -> time samples."""
+    import jax
+
+    return jax.jit(lambda tb: ue_ul_generate(
+        cell, pusch=(tb, cfg, plan), timing_advance=timing_advance))
 
 
 def enb_ul_receive_grid(samples, cell: Cell):

@@ -370,7 +370,11 @@ class TurboDecoder:
         par2_tm = tm(par2)
         sys2_tail_tm = tm(sys2_tail)
 
-        lanes = 256 if b >= 2048 else 128
+        import os
+
+        lanes = int(os.environ.get("TURBO_LANES", 0)) \
+            or (256 if b >= 2048 else 128)
+        group = int(os.environ.get("TURBO_GROUP", 0)) or 16
         bp = (-b) % (8 * lanes)
         cp = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp \
             else (lambda x: x)
@@ -390,7 +394,8 @@ class TurboDecoder:
         zst = jnp.zeros((t_tiles, w_count + 1, 8, 8, lanes), dt)
 
         dec = lambda u, p, ut, pt, a, bb: map_decode_nii(
-            u, p, ut, pt, a, bb, l=l, lanes=lanes, interpret=interpret)
+            u, p, ut, pt, a, bb, l=l, lanes=lanes, group=group,
+            interpret=interpret)
 
         def iteration(state, with_llr=True):
             ext2, a1, b1, a2, b2 = state

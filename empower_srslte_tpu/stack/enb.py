@@ -4,8 +4,9 @@ Capability parity with the srsenb integration (txrx.cc TTI loop +
 phch_worker + mac.cc + rrc.cc): each tti() consumes one UL IQ subframe
 and produces one DL IQ subframe. Timing model: an uplink grant issued in
 subframe n is transmitted by the UE in n+4 (HARQ_DELAY_MS, common.h:49);
-the RAR UL grant follows the same +4 rule (the spec's +6 collapses to the
-framework's single pipeline delay, documented divergence).
+the RAR UL grant defaults to the same +4 rule but is configurable via
+``msg3_delay`` on both stacks — set 6 for the spec's n+6 (36.213 6.1.1)
+so recorded UL timelines match the reference's.
 
 Multi-UE: per-RNTI DRB PDCP/RLC entities (the reference keeps per-user
 arrays in srsenb/src/upper/{pdcp,rlc}.cc), per-UE PUCCH resources from
@@ -89,10 +90,14 @@ SI_RNTI = 0xFFFF
 class EnbStack:
     def __init__(self, cell: Cell, mme, rsi: int = 128,
                  cfi: int = 2, agent=None, paging_cycle: int = 32,
-                 broadcast: bool = False):
+                 broadcast: bool = False, msg3_delay: int = 4):
         self.cell = cell
         self.cfi = cfi
         self.rsi = rsi
+        #: RAR-grant to msg3 delay in TTIs (spec n+6, 36.213 6.1.1;
+        #: default matches the framework's +4 pipeline delay — must agree
+        #: with the UE stack's msg3_delay)
+        self.msg3_delay = msg3_delay
         #: optional EmPOWER agent (mac.cc calls process_DL_results per
         #: TTI with the issued grants; mac/agent.py analog)
         self.agent = agent
@@ -570,8 +575,8 @@ class EnbStack:
                            n_prb=MSG3_PRB[1], mcs=MSG3_MCS,
                            t_crnti=t_crnti, nof_prb_ul=self.cell.nof_prb)
         self.dl_queues.setdefault(ra_rnti, []).append((rar, None))
-        # msg3 reception at tti+1(dl tx)+4
-        msg3_tti = tti + 1 + 4
+        # msg3 reception at tti+1(dl tx)+msg3_delay
+        msg3_tti = tti + 1 + self.msg3_delay
         mod, tbs = ra.mcs_to_tbs(MSG3_MCS, MSG3_PRB[1], dl=False)
         cfg = PuschConfig(cell=self.cell, sf_idx=msg3_tti % 10,
                           rnti=t_crnti, mod=mod, prb_start=MSG3_PRB[0],

@@ -29,7 +29,7 @@ class TestColdBoot:
 
         ul_iq = None
         for tti in range(260):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)

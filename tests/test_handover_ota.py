@@ -46,7 +46,7 @@ class TestHandoverOverTheAir:
         ul = None
         attached_at = flipped_at = None
         for tti in range(260):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()
             dl = (g1 * src.tti(tti, ul) + g2 * tgt.tti(tti, ul)
                   ).astype(np.complex64)

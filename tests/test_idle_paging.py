@@ -33,7 +33,7 @@ class TestIdlePaging:
         attached_at = released_at = paged_at = None
         ip_first = None
         for tti in range(260):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 # shed in-memory XLA executables (see conftest: the CPU
                 # loader degrades after hundreds of in-process loads)
                 jax.clear_caches()

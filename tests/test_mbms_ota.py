@@ -35,7 +35,7 @@ class TestMbmsOverTheAir:
         pushed = 0
         attached_at = None
         for tti in range(180):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()
             dl = enb.tti(tti, air.ul(ul) if ul is not None else None)
             ul = ue.tti(tti, air.dl(dl))

@@ -30,7 +30,7 @@ class TestMimoStack:
 
         ul_iq, attached_at, pushed = None, None, False
         for tti in range(140):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
@@ -68,7 +68,7 @@ class TestMimoStack:
 
         ul_iq, attached_at, pushed = None, None, False
         for tti in range(140):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)

@@ -46,7 +46,7 @@ class TestTwoUes:
         ul1 = ul2 = None
         pinged = set()
         for tti in range(200):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 # the XLA-CPU executable loader degrades after hundreds
                 # of in-process loads (see conftest); shed them mid-test
                 jax.clear_caches()
@@ -109,7 +109,7 @@ class TestTwoUesDownlink:
         ul1 = ul2 = None
         pushed = False
         for tti in range(200):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()
             ul_sum = None
             for u in (ul1, ul2):

@@ -108,3 +108,56 @@ class TestRadio:
         assert np.all(got == 0)
         got2, _ = rx.recv_with_time(50)
         assert np.all(got2 == 1)
+
+
+class TestAgcLoop:
+    def test_gain_converges_to_target(self):
+        """srslte_agc_process loop (agc.c:188-196): the exponential
+        update drives the output level to the target within a few
+        frames, from both directions."""
+        from empower_srslte_tpu.ops.agc import Agc
+
+        rng = np.random.default_rng(0)
+        for amp in (0.01, 5.0):                 # weak and strong inputs
+            agc = Agc(target=1.0, bandwidth=0.7)
+            level = None
+            for _ in range(50):
+                x = amp * (rng.normal(size=1024)
+                           + 1j * rng.normal(size=1024)) / np.sqrt(2)
+                y = agc.process(x)
+                level = np.sqrt(np.mean(np.abs(y) ** 2))
+            assert abs(level - 1.0) < 0.15, (amp, level)
+            assert abs(agc.output_level() - 1.0) < 0.15
+
+    def test_hardware_gain_callback(self):
+        """agc.c:126 set_gain_callback: the AGC asks the radio for gain
+        in dB (clamped to [min,max]) instead of scaling in software."""
+        from empower_srslte_tpu.ops.agc import Agc
+
+        asked = []
+
+        def radio_gain(db):
+            asked.append(db)
+            return float(np.clip(db, 0.0, 30.0))  # radio's own range
+
+        rng = np.random.default_rng(1)
+        agc = Agc(target=1.0, bandwidth=0.7, set_gain_callback=radio_gain,
+                  min_gain_db=-30, max_gain_db=30)
+        x = 0.01 * (rng.normal(size=512) + 1j * rng.normal(size=512))
+        for _ in range(10):
+            y = agc.process(x)
+        assert asked, "callback never invoked"
+        # weak input -> the loop asks for increasing gain
+        assert asked[-1] > asked[0]
+        # software path untouched when the radio owns the gain
+        assert np.array_equal(y, x)
+
+    def test_lock_freezes_gain(self):
+        from empower_srslte_tpu.ops.agc import Agc
+
+        agc = Agc(target=1.0)
+        agc.process(np.ones(64, np.complex64) * 0.1)
+        g = agc.gain
+        agc.set_lock(True)
+        agc.process(np.ones(64, np.complex64) * 7.0)
+        assert agc.gain == g

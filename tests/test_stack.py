@@ -118,7 +118,7 @@ class TestSrb1RlcAm:
 
         ul_iq, attached_at, sent_at = None, None, None
         for tti in range(220):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()   # XLA-CPU loader fatigue (conftest)
             # 30-tti blackout right after the enquiry is queued: deeper
             # and longer than DL HARQ's 4 attempts can bridge
@@ -196,7 +196,7 @@ class TestRadioLinkFailure:
         ul_iq, attached_at, fade_from = None, None, None
         rlf_at = reest_at = None
         for tti in range(500):
-            if tti and tti % 50 == 0:
+            if tti and tti % 150 == 0:
                 jax.clear_caches()   # XLA-CPU loader fatigue (conftest)
             # deep PARTIAL uplink fade: PUCCH SR (energy detection) still
             # lands so grants keep flowing, but every PUSCH fails CRC —
@@ -233,3 +233,17 @@ class TestRadioLinkFailure:
         assert ue.c_rnti in enb.rrc.ues
         # NAS registration survived RLF (reestablishment, not re-attach)
         assert ue.rrc.nas.attached
+
+
+class TestSpecMsg3Timing:
+    def test_attach_with_spec_n_plus_6_msg3(self):
+        """RAR-grant -> msg3 at the spec's n+6 (36.213 6.1.1) instead of
+        the framework's default +4 pipeline delay: attach still completes
+        with both stacks configured for spec timing."""
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1)
+        enb = EnbStack(cell, mme, msg3_delay=6)
+        ue = UeStack(cell, nas, msg3_delay=6)
+        tti = _run(enb, ue, Air(cell.sf_sample_len))
+        assert tti > 0, "attach did not complete with n+6 msg3"
+        assert ue.rrc.nas.attached and ue.rrc.drbs == [1]
