@@ -75,15 +75,20 @@ def bench_turbo():
     # steady-state streaming throughput is measured rather than the
     # host-tunnel's fixed per-dispatch latency — the CPU reference's loop
     # (turbodecoder_test.c:264-281) has no equivalent dispatch cost.
+    # The chain rides a lax.scan so XLA compiles ONE decode body — with
+    # the scan inside TurboDecoder.decode the whole program holds ~2
+    # iteration bodies, keeping the driver's cold compile inside budget.
     chain = 8
 
     @jax.jit
     def fn(llr):
-        bits = llr_out = None
-        x = llr
-        for _ in range(chain):
+        def body(carry, _):
+            x, _ = carry
             bits, llr_out = dec.decode(x)
-            x = llr + 0.0 * llr_out[0, 0]
+            return (llr + 0.0 * llr_out[0, 0], bits), None
+
+        bits0 = jnp.zeros((batch, k), jnp.int8)
+        (_, bits), _ = jax.lax.scan(body, (llr, bits0), None, length=chain)
         return bits
 
     bits = fn(llr)
@@ -226,22 +231,34 @@ def bench_receiver(config: str, batch: int = 256):
 
 
 def main():
+    """Receivers FIRST (each with its own remaining-budget guard), the
+    turbo headline LAST and unconditionally — so a slow cold compile of any
+    one phase can no longer starve the others (round-2 capture lost all
+    three rx numbers to one 480 s pre-receiver cliff).  Partial results are
+    checkpointed to .bench_partial.json after every phase so a hard kill
+    still leaves the completed numbers on disk."""
     t_start = time.time()
-    mbps, errs, batch = bench_turbo()
-    out = {
-        "metric": "turbo_decode_throughput_k6144_5it",
-        "value": mbps,
-        "unit": "Mbps",
-        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
-        "bit_errors": errs,
-        "batch": batch,
-        "platform": jax.devices()[0].platform,
-    }
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    out = {"platform": jax.devices()[0].platform}
+    partial = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_partial.json")
+
+    def checkpoint():
+        try:
+            with open(partial, "w") as f:
+                f.write(json.dumps(out) + "\n")
+        except OSError:
+            pass
+
+    # a cold rx compile measures ~2-3 min; leave headroom for the turbo
+    # phase (always runs) before the overall budget
+    rx_guards = {"20mimo": 0.35, "10siso": 0.55, "20ul": 0.75}
     if not os.environ.get("BENCH_QUICK"):
         for config in ("20mimo", "10siso", "20ul"):
-            if time.time() - t_start > 480:
+            if time.time() - t_start > budget * rx_guards[config]:
                 out[f"rx_{config}"] = "skipped (time budget)"
                 continue
+            t0 = time.time()
             try:
                 rx_mbps, sfps, ok = bench_receiver(config)
                 out[f"rx_{config}_mbps"] = rx_mbps
@@ -249,8 +266,24 @@ def main():
                 out[f"rx_{config}_ok"] = ok
                 out[f"rx_{config}_vs_baseline"] = round(
                     rx_mbps / RX_BASELINE[config], 1)
-            except Exception as e:  # never lose the primary metric
+            except Exception as e:  # never lose the remaining metrics
                 out[f"rx_{config}"] = f"failed: {e}"[:120]
+            out[f"t_rx_{config}_s"] = round(time.time() - t0, 1)
+            checkpoint()
+
+    t0 = time.time()
+    mbps, errs, batch = bench_turbo()
+    out.update({
+        "metric": "turbo_decode_throughput_k6144_5it",
+        "value": mbps,
+        "unit": "Mbps",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+        "bit_errors": errs,
+        "batch": batch,
+        "t_turbo_s": round(time.time() - t0, 1),
+        "t_total_s": round(time.time() - t_start, 1),
+    })
+    checkpoint()
     print(json.dumps(out))
 
 

@@ -47,19 +47,27 @@ def _wiring():
     return (t.next_state, t.parity, t.prev_state, t.prev_parity)
 
 
-def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype):
-    """Kernel body over grid (T, W).
+def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
+                wpp: int = 1):
+    """Kernel body over grid (T, W // wpp).
+
+    ``wpp`` consecutive windows are decoded INTERLEAVED inside one
+    program: their recursions are independent, so each trellis step issues
+    ``wpp``x the vector work between data-dependent updates — the
+    dependency-latency of the 8-state recursion is what bounds the
+    single-window kernel, not VPU issue rate. VMEM cost is unchanged at
+    equal ``wpp * l`` (the beta store covers the same row span).
 
     Block refs (squeezed leading dims):
-      u_ref, p_ref     [l, 8, lanes]   raw unhalved input rows
-      ut_ref, pt_ref   [8, 8, lanes]   tail rows (3 used), per tile
-      a_in, b_in       [8, 8, lanes]   boundary metric inits
-      ext_ref          [l, 8, lanes]   extrinsic output
-      a_out, b_out     [8, 8, lanes]   boundary metrics produced
-      betas (scratch)  [l, 8, 8, lanes]
+      u_ref, p_ref     [wpp*l, 8, lanes]  raw unhalved input rows
+      ut_ref, pt_ref   [8, 8, lanes]      tail rows (3 used), per tile
+      a_in, b_in       [wpp, 8, 8, lanes] boundary metric inits
+      ext_ref          [wpp*l, 8, lanes]  extrinsic output
+      a_out, b_out     [wpp, 8, 8, lanes] boundary metrics produced
+      betas (scratch)  [wpp*l, 8, 8, lanes]
     """
     ns, par, ps, pp = _wiring()
-    assert l % group == 0
+    assert l % group == 0 and w_count % wpp == 0
     n_groups = l // group
     half = dtype.type(0.5)
 
@@ -77,8 +85,8 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype):
     def kernel(u_ref, p_ref, ut_ref, pt_ref, a_in, b_in,
                ext_ref, a_out, b_out, betas_ref):
         w = pl.program_id(1)
-        is_first = w == 0
-        is_last = w == w_count - 1
+        is_first = w == 0            # sub-window 0 of program 0
+        is_last = w == w_count // wpp - 1   # sub-window wpp-1 of last
 
         exact = [jnp.zeros((8, lanes), dtype)] + \
                 [jnp.full((8, lanes), dtype.type(NEG), dtype)] * 7
@@ -93,77 +101,100 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype):
                 for s in range(8)
             ]
         beta_tail = norm8(beta_tail)
-        beta0 = tuple(
-            jnp.where(is_last, bt, b_in[s])
-            for s, bt in enumerate(beta_tail))
+        beta0 = []
+        for i in range(wpp):
+            if i == wpp - 1:
+                beta0.append(tuple(
+                    jnp.where(is_last, bt, b_in[i, s])
+                    for s, bt in enumerate(beta_tail)))
+            else:
+                beta0.append(tuple(b_in[i, s] for s in range(8)))
 
-        # ---- beta sweep (backward), store pre-update carries ---------------
-        def bgroup(gi, beta):
-            beta = list(beta)
+        # ---- beta sweeps (backward, wpp interleaved), store carries --------
+        def bgroup(gi, betas):
+            betas = [list(b) for b in betas]
             base = pl.multiple_of((n_groups - 1 - gi) * group, group)
-            u_blk = u_ref[pl.ds(base, group)]
-            p_blk = p_ref[pl.ds(base, group)]
-            saves = [None] * group
+            u_blks = [u_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
+            p_blks = [p_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
+            saves = [[None] * group for _ in range(wpp)]
             for j in range(group - 1, -1, -1):
-                g = gammas(u_blk[j], p_blk[j])
-                saves[j] = beta
-                beta = [
-                    jnp.maximum(beta[ns[s, 0]] + g[(0, par[s, 0])],
-                                beta[ns[s, 1]] + g[(1, par[s, 1])])
-                    for s in range(8)
-                ]
-            beta = norm8(beta)
-            betas_ref[pl.ds(base, group)] = jnp.stack(
-                [jnp.stack(sv, axis=0) for sv in saves], axis=0)
-            return tuple(beta)
+                for i in range(wpp):
+                    g = gammas(u_blks[i][j], p_blks[i][j])
+                    saves[i][j] = betas[i]
+                    betas[i] = [
+                        jnp.maximum(
+                            betas[i][ns[s, 0]] + g[(0, par[s, 0])],
+                            betas[i][ns[s, 1]] + g[(1, par[s, 1])])
+                        for s in range(8)
+                    ]
+            for i in range(wpp):
+                betas[i] = norm8(betas[i])
+                betas_ref[pl.ds(i * l + base, group)] = jnp.stack(
+                    [jnp.stack(sv, axis=0) for sv in saves[i]], axis=0)
+            return tuple(tuple(b) for b in betas)
 
-        beta_end = jax.lax.fori_loop(0, n_groups, bgroup, beta0)
-        b_out[...] = jnp.stack(list(beta_end), axis=0)
+        beta_end = jax.lax.fori_loop(0, n_groups, bgroup, tuple(beta0))
+        b_out[...] = jnp.stack(
+            [jnp.stack(list(beta_end[i]), axis=0) for i in range(wpp)],
+            axis=0)
 
-        # ---- alpha sweep + extrinsic emission ------------------------------
-        alpha0 = tuple(
-            jnp.where(is_first, ex, a_in[s])
-            for s, ex in enumerate(exact))
+        # ---- alpha sweeps + extrinsic emission (wpp interleaved) -----------
+        alpha0 = []
+        for i in range(wpp):
+            if i == 0:
+                alpha0.append(tuple(
+                    jnp.where(is_first, ex, a_in[0, s])
+                    for s, ex in enumerate(exact)))
+            else:
+                alpha0.append(tuple(a_in[i, s] for s in range(8)))
 
-        def agroup(gi, alpha):
+        def agroup(gi, alphas):
             base = pl.multiple_of(gi * group, group)
-            u_blk = u_ref[pl.ds(base, group)]
-            p_blk = p_ref[pl.ds(base, group)]
-            bblk = betas_ref[pl.ds(base, group)]
-            alpha = list(alpha)
-            outs = []
+            u_blks = [u_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
+            p_blks = [p_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
+            bblks = [betas_ref[pl.ds(i * l + base, group)]
+                     for i in range(wpp)]
+            alphas = [list(a) for a in alphas]
+            outs = [[] for _ in range(wpp)]
             for j in range(group):
-                g = gammas(u_blk[j], p_blk[j])
-                bk1 = [bblk[j, s] for s in range(8)]
-                # Branch metrics br_u[s] = alpha[s] + gamma(s, u) are shared
-                # between the LLR totals and the alpha update (the update's
-                # alpha[ps[s,u]] + gamma(ps[s,u], u) IS br_u[ps[s,u]], since
-                # pp[s,u] = par[ps[s,u], u]) — 16 adds saved per step.
-                br0 = [alpha[s] + g[(0, par[s, 0])] for s in range(8)]
-                br1 = [alpha[s] + g[(1, par[s, 1])] for s in range(8)]
-                tot0 = tot1 = None
-                for s in range(8):
-                    t0 = br0[s] + bk1[ns[s, 0]]
-                    t1 = br1[s] + bk1[ns[s, 1]]
-                    tot0 = t0 if tot0 is None else jnp.maximum(tot0, t0)
-                    tot1 = t1 if tot1 is None else jnp.maximum(tot1, t1)
-                outs.append(tot0 - tot1 - u_blk[j])   # llr - input = ext
-                alpha = [
-                    jnp.maximum(br0[ps[s, 0]], br1[ps[s, 1]])
-                    for s in range(8)
-                ]
-            alpha = norm8(alpha)
-            ext_ref[pl.ds(base, group)] = jnp.stack(outs, axis=0)
-            return tuple(alpha)
+                for i in range(wpp):
+                    alpha = alphas[i]
+                    g = gammas(u_blks[i][j], p_blks[i][j])
+                    bk1 = [bblks[i][j, s] for s in range(8)]
+                    # Branch metrics br_u[s] = alpha[s] + gamma(s, u) are
+                    # shared between the LLR totals and the alpha update
+                    # (alpha[ps[s,u]] + gamma(ps[s,u], u) IS br_u[ps[s,u]],
+                    # since pp[s,u] = par[ps[s,u], u]).
+                    br0 = [alpha[s] + g[(0, par[s, 0])] for s in range(8)]
+                    br1 = [alpha[s] + g[(1, par[s, 1])] for s in range(8)]
+                    tot0 = tot1 = None
+                    for s in range(8):
+                        t0 = br0[s] + bk1[ns[s, 0]]
+                        t1 = br1[s] + bk1[ns[s, 1]]
+                        tot0 = t0 if tot0 is None else jnp.maximum(tot0, t0)
+                        tot1 = t1 if tot1 is None else jnp.maximum(tot1, t1)
+                    outs[i].append(tot0 - tot1 - u_blks[i][j])
+                    alphas[i] = [
+                        jnp.maximum(br0[ps[s, 0]], br1[ps[s, 1]])
+                        for s in range(8)
+                    ]
+            for i in range(wpp):
+                alphas[i] = norm8(alphas[i])
+                ext_ref[pl.ds(i * l + base, group)] = jnp.stack(
+                    outs[i], axis=0)
+            return tuple(tuple(a) for a in alphas)
 
-        alpha_end = jax.lax.fori_loop(0, n_groups, agroup, alpha0)
-        a_out[...] = jnp.stack(list(alpha_end), axis=0)
+        alpha_end = jax.lax.fori_loop(0, n_groups, agroup, tuple(alpha0))
+        a_out[...] = jnp.stack(
+            [jnp.stack(list(alpha_end[i]), axis=0) for i in range(wpp)],
+            axis=0)
 
     return kernel
 
 
 def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
-                   lanes: int, group: int = 16, interpret: bool = False):
+                   lanes: int, group: int = 16, interpret: bool = False,
+                   wpp: int = 1):
     """One NII constituent decode.
 
     u, p:            [T, K, 8, lanes] raw (unhalved) input / parity rows
@@ -172,6 +203,8 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
                      constituent's previous half-iteration: slot w holds
                      the alpha init / beta init for window w (slot W is
                      padding). Pass zeros on the first iteration.
+    wpp:             windows decoded interleaved per program (ILP knob;
+                     see _nii_kernel).
 
     Returns (ext [T, K, 8, lanes], a_next, b_next) in the same slot
     convention, ready to pass back on the next call.
@@ -179,10 +212,12 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
     t_tiles, k, eight, lns = u.shape
     assert eight == 8 and lns == lanes and k % l == 0
     w_count = k // l
+    assert w_count % wpp == 0, (w_count, wpp)
     dtype = u.dtype
-    kernel = _nii_kernel(l, w_count, lanes, group, jnp.dtype(dtype))
+    kernel = _nii_kernel(l, w_count, lanes, group, jnp.dtype(dtype),
+                         wpp=wpp)
 
-    grid = (t_tiles, w_count)
+    grid = (t_tiles, w_count // wpp)
     ext, a_raw, b_raw = pl.pallas_call(
         kernel,
         out_shape=(
@@ -192,23 +227,26 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, l, 8, lanes), lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, l, 8, lanes), lambda t, w: (t, w, 0, 0)),
+            pl.BlockSpec((None, wpp * l, 8, lanes),
+                         lambda t, w: (t, w, 0, 0)),
+            pl.BlockSpec((None, wpp * l, 8, lanes),
+                         lambda t, w: (t, w, 0, 0)),
             pl.BlockSpec((None, 8, 8, lanes), lambda t, w: (t, 0, 0, 0)),
             pl.BlockSpec((None, 8, 8, lanes), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((None, None, 8, 8, lanes),
+            pl.BlockSpec((None, wpp, 8, 8, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
-            pl.BlockSpec((None, None, 8, 8, lanes),
+            pl.BlockSpec((None, wpp, 8, 8, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((None, l, 8, lanes), lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, None, 8, 8, lanes),
+            pl.BlockSpec((None, wpp * l, 8, lanes),
+                         lambda t, w: (t, w, 0, 0)),
+            pl.BlockSpec((None, wpp, 8, 8, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
-            pl.BlockSpec((None, None, 8, 8, lanes),
+            pl.BlockSpec((None, wpp, 8, 8, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((l, 8, 8, lanes), dtype)],
+        scratch_shapes=[pltpu.VMEM((wpp * l, 8, 8, lanes), dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 60 * k * 8 * lanes * t_tiles,
             bytes_accessed=u.dtype.itemsize * 8 * lanes * t_tiles * 3 * k,

@@ -116,9 +116,12 @@ def sp_turbo_decode(d_llr, k: int, mesh, axis: str = "sf",
                 halo=halo, boundary=(True, True))
 
         sys_pay = sys1_full[:k]
-        ext2 = jnp.zeros((k, b), jnp.float32)
-        llr2_deint = None
-        for _ in range(iterations):
+
+        # iterations ride a lax.scan (one compiled body, not `iterations`
+        # unrolled copies); the deinterleaved a-posteriori llr is a cheap
+        # byproduct, carried so the last iteration's value falls out
+        def body(carry, _):
+            ext2, _ = carry
             lsa1_full = jnp.concatenate([sys_pay + ext2, sys1_full[k:]], axis=0)
             llr1_loc = local_map(lsa1_full, par1_pay, p1_lead, p1_trail)
             llr1 = jax.lax.all_gather(llr1_loc, axis, axis=0, tiled=True)
@@ -129,7 +132,11 @@ def sp_turbo_decode(d_llr, k: int, mesh, axis: str = "sf",
             llr2_loc = local_map(lsa2_full, par2_pay, p2_lead, p2_trail)
             llr2 = jax.lax.all_gather(llr2_loc, axis, axis=0, tiled=True)
             ext2 = (llr2 - lsa2_pay)[pinv, :]
-            llr2_deint = llr2[pinv, :]
+            return (ext2, llr2[pinv, :]), None
+
+        zero = jnp.zeros((k, b), jnp.float32)
+        (_, llr2_deint), _ = jax.lax.scan(
+            body, (zero, zero), None, length=iterations)
         return llr2_deint
 
     spec_shard = P(axis, None)
