@@ -225,9 +225,15 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             d2 = dci_mod.unpack_format2(hit.payload, cell.nof_prb)
             if d2 is None:
                 continue
-            # equal-MCS constraint across codewords (one Mod per cfg)
-            mod2, tbs0 = ra.mcs_to_tbs(d2.mcs[0], d2.n_prb)
-            _, tbs1 = ra.mcs_to_tbs(d2.mcs[1], d2.n_prb)
+            # equal-MCS constraint across codewords (one Mod per cfg).
+            # Reserved/inconsistent MCS (29-31 without a stored retx
+            # TBS) marks a false-positive blind decode — drop the
+            # candidate like dci.c's validity checks.
+            try:
+                mod2, tbs0 = ra.mcs_to_tbs(d2.mcs[0], d2.n_prb)
+                _, tbs1 = ra.mcs_to_tbs(d2.mcs[1], d2.n_prb)
+            except ValueError:
+                continue
             cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi,
                               rnti=rnti, mod=mod2,
                               mimo=MimoType.SPATIAL_MUX, nof_layers=2,
@@ -248,14 +254,17 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             continue
         if d is None:
             continue
-        if common_ss and d.format == "1A":
-            # SI/P/RA-RNTI 1A grants size the TBS with N_prb_1A from
-            # the TPC LSB, not the actual allocation (36.212 5.3.3.1.3;
-            # ra.c dci_format1a si-rnti handling)
-            mod = Mod.QPSK
-            tbs = ra.mcs_to_tbs(d.mcs, d.n_prb_1a)[1]
-        else:
-            mod, tbs = ra.mcs_to_tbs(d.mcs, d.n_prb)
+        try:
+            if common_ss and d.format == "1A":
+                # SI/P/RA-RNTI 1A grants size the TBS with N_prb_1A from
+                # the TPC LSB, not the actual allocation (36.212
+                # 5.3.3.1.3; ra.c dci_format1a si-rnti handling)
+                mod = Mod.QPSK
+                tbs = ra.mcs_to_tbs(d.mcs, d.n_prb_1a)[1]
+            else:
+                mod, tbs = ra.mcs_to_tbs(d.mcs, d.n_prb)
+        except ValueError:
+            continue      # reserved MCS / empty allocation: false positive
         cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
                           mod=mod, mimo=mimo, prb_mask=d.prb_mask)
         plan = cfg.plan(tbs, rv=d.rv, max_iterations=max_iterations)

@@ -61,7 +61,8 @@ def pss_start_to_sf_start(peak_start: int, cell: Cell) -> int:
     return peak_start + cell.fft_size - slot_len
 
 
-def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
+def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3,
+                   exclude_id2: tuple = ()) -> SyncResult:
     """Find the cell in a raw capture and return aligned subframes.
 
     ``samples``: 1-D complex64 at the standard rate for ``cell_prb``.
@@ -69,6 +70,9 @@ def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
     the strongest (ue_cell_search.c:249's vote collapses to an argmax over
     batched correlations here), estimates CFO from the PSS symbol,
     corrects it, decodes SSS to fix N_id_1 and half-frame timing.
+    ``exclude_id2``: N_id_2 roots to skip — cells found earlier but
+    rejected by PLMN / S-criterion checks (srsue rrc.cc plmn_search walks
+    on to the next candidate the same way).
     """
     cell_probe = Cell(nof_prb=cell_prb, id=0)
     fft = cell_probe.fft_size
@@ -83,7 +87,10 @@ def sync_and_align(samples, cell_prb: int, max_id2_scan: int = 3) -> SyncResult:
     find = _jit(("pss_find", fft, int(window.shape[-1])),
                 lambda: lambda w: pss_find(w[None], fft))
     mag, peak, psr = find(window)                        # [1, 3, N]
-    n_id_2 = int(np.asarray(jnp.argmax(psr[0])))
+    psr_np = np.asarray(psr[0]).copy()
+    for i in exclude_id2:
+        psr_np[int(i)] = -np.inf
+    n_id_2 = int(np.argmax(psr_np))
     peak_start = int(np.asarray(peak[0, n_id_2]))
 
     est = _jit(("pss_cfo", fft, n_id_2, int(window.shape[-1])),

@@ -172,6 +172,35 @@ class EnbStack:
         d = self._drb(rnti)
         d["rlc_tx"].write_sdu(d["pdcp_tx"].write_sdu(ip))
 
+    def enable_mobility_si(self, neighbor_pcis: tuple = (),
+                           q_hyst_db: int = 2, q_rx_lev_min: int = -65,
+                           s_intra_search: int | None = 31,
+                           t_resel_s: int = 0,
+                           q_offset_db: int = 0) -> None:
+        """Broadcast SIB3 (+SIB4 when neighbours are given): the 36.304
+        idle-mode reselection parameters and intra-frequency neighbour
+        list (srsenb generate_sibs packs sib3/sib4 from sib.conf the same
+        way; srsue rrc.cc:938-1000 applies them)."""
+        if not self.broadcast:
+            return
+        from ..mac.bcch import SibConfig
+        from . import si as si_mod
+
+        sib3 = si_mod.build_sib3(q_hyst_db=q_hyst_db,
+                                 q_rx_lev_min=q_rx_lev_min,
+                                 s_intra_search=s_intra_search,
+                                 t_resel_s=t_resel_s)
+        self.sib_payloads.append(sib3)
+        self.sib_sched.sibs.append(
+            SibConfig(payload_len=len(sib3), period_rf=8))
+        if neighbor_pcis:
+            sib4 = si_mod.build_sib4(tuple(neighbor_pcis),
+                                     q_offset_db=q_offset_db)
+            self.sib_payloads.append(sib4)
+            self.sib_sched.sibs.append(
+                SibConfig(payload_len=len(sib4), period_rf=8))
+        self.events.append("mobility_si_enabled")
+
     def enable_mbms(self, area_id: int = 1, data_mcs: int = 9) -> None:
         """Start eMBMS on this cell: SIB13 joins the broadcast schedule,
         subframe 3 of every frame becomes an MBSFN subframe carrying

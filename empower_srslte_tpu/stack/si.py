@@ -24,14 +24,15 @@ def build_mib_bits(cell: Cell, sfn: int) -> np.ndarray:
 
 
 def build_sib1(cell: Cell, tac: int = 7, cell_identity: int = 0x1A2D001,
-               si_periodicity: int = 1) -> bytes:
+               si_periodicity: int = 1, mcc: tuple = (0, 0, 1),
+               mnc: tuple = (0, 1)) -> bytes:
     """SystemInformationBlockType1; scheduling_info_list entry 0 maps
     the one SI message carrying SIB2 (si_periodicity 1 = rf16)."""
     from ..rrc import messages as M
 
     sib1 = {"cell_access_related_info": {
                 "plmn_identity_list": [{
-                    "plmn_identity": {"mcc": [0, 0, 1], "mnc": [0, 1]},
+                    "plmn_identity": {"mcc": list(mcc), "mnc": list(mnc)},
                     "cell_reserved_for_operator_use": "notReserved"}],
                 "tracking_area_code": tac,
                 "cell_identity": cell_identity,
@@ -107,6 +108,98 @@ def build_sib2(rsi: int, prach_freq_offset: int = PRACH_FREQ_OFFSET,
     si = {"critical_extensions": ("systemInformation_r8",
           {"sib_type_and_info": [("sib2", sib2)]})}
     return M.pack_bcch_dlsch("systemInformation", si)
+
+
+#: q-Hyst enum values in dB (36.331 SIB3 q_hyst: dB0..dB24)
+Q_HYST_DB = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24)
+#: q-OffsetCell enum values in dB (36.331 Q-OffsetRange, index 15 = dB0)
+Q_OFFSET_DB = (-24, -22, -20, -18, -16, -14, -12, -10, -8, -6, -5, -4,
+               -3, -2, -1, 0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 18,
+               20, 22, 24)
+
+
+def build_sib3(q_hyst_db: int = 2, q_rx_lev_min: int = -65,
+               s_intra_search: int | None = 31,
+               t_resel_s: int = 0) -> bytes:
+    """SIB3: 36.304 cell-reselection parameters the idle UE applies
+    (srsue rrc.cc handle_sib3 -> cell_resel_cfg: q_hyst, Qrxlevmin,
+    s_intrasearchP, t_reselection)."""
+    from ..rrc import messages as M
+
+    sib3 = {"cell_reselection_info_common": {
+                "q_hyst": Q_HYST_DB.index(q_hyst_db)},
+            "cell_reselection_serving_freq_info": {
+                "thresh_serving_low": 0,
+                "cell_reselection_priority": 4},
+            "intra_freq_cell_reselection_info": {
+                "q_rx_lev_min": q_rx_lev_min,
+                "presence_antenna_port1": False,
+                "neigh_cell_config": 1,
+                "t_reselection_eutra": t_resel_s}}
+    if s_intra_search is not None:
+        sib3["intra_freq_cell_reselection_info"][
+            "s_intra_search"] = s_intra_search
+    si = {"critical_extensions": ("systemInformation_r8",
+          {"sib_type_and_info": [("sib3", sib3)]})}
+    return M.pack_bcch_dlsch("systemInformation", si)
+
+
+def build_sib4(neighbor_pcis: tuple[int, ...],
+               q_offset_db: int = 0) -> bytes:
+    """SIB4: intra-frequency neighbour cell list (srsue rrc.cc uses the
+    detected set; broadcasting it gives the idle UE its measurement
+    targets without a connected-mode measConfig)."""
+    from ..rrc import messages as M
+
+    sib4 = {}
+    if neighbor_pcis:
+        sib4["intra_freq_neigh_cell_list"] = [
+            {"phys_cell_id": pci,
+             "q_offset_cell": Q_OFFSET_DB.index(q_offset_db)}
+            for pci in neighbor_pcis]
+    si = {"critical_extensions": ("systemInformation_r8",
+          {"sib_type_and_info": [("sib4", sib4)]})}
+    return M.pack_bcch_dlsch("systemInformation", si)
+
+
+def sib3_resel_config(sib3: dict) -> dict:
+    """Extract the 36.304 reselection parameters the UE applies
+    (srsue rrc.cc:938 cell_selection_criteria / :958 cell_reselection).
+    Qrxlevmin is carried in 2 dB units (36.331: actual = IE * 2)."""
+    intra = sib3["intra_freq_cell_reselection_info"]
+    s_intra = intra.get("s_intra_search")
+    return {
+        "q_hyst_db": Q_HYST_DB[sib3["cell_reselection_info_common"]
+                               ["q_hyst"]],
+        "q_rx_lev_min_db": 2 * intra["q_rx_lev_min"],
+        "s_intra_search_db": None if s_intra is None else 2 * s_intra,
+        "t_resel_s": intra["t_reselection_eutra"],
+    }
+
+
+def sib4_neighbors(sib4: dict) -> list[tuple[int, int]]:
+    """[(pci, q_offset_db)] from a SIB4."""
+    return [(n["phys_cell_id"], Q_OFFSET_DB[n["q_offset_cell"]])
+            for n in sib4.get("intra_freq_neigh_cell_list", [])]
+
+
+def sib1_access_info(sib1: dict) -> dict:
+    """PLMN list / TAC / cell identity / Qrxlevmin out of SIB1 — what
+    plmn_search saves per found cell (srsue rrc.cc:379-398)."""
+    acc = sib1["cell_access_related_info"]
+    plmns = []
+    for e in acc["plmn_identity_list"]:
+        ident = e["plmn_identity"]
+        mcc = "".join(str(d) for d in ident.get("mcc", []))
+        mnc = "".join(str(d) for d in ident["mnc"])
+        plmns.append(mcc + mnc)
+    return {
+        "plmns": plmns,
+        "tac": acc["tracking_area_code"],
+        "cell_identity": acc["cell_identity"],
+        "barred": acc["cell_barred"] == "barred",
+        "q_rx_lev_min_db": 2 * sib1["cell_selection_info"]["q_rx_lev_min"],
+    }
 
 
 def parse_si(tb: bytes) -> tuple[str, dict]:

@@ -37,7 +37,7 @@ class UeStack:
                  cold_start: bool = False,
                  neighbor_pcis: tuple = (),
                  srb1_max_retx: int = 16, srb1_poll_retx: int = 40,
-                 msg3_delay: int = 4):
+                 msg3_delay: int = 4, resel_tick_ms: int = 1000):
         #: SRB1 RLC AM parameters (rr.conf maxRetxThreshold /
         #: t-PollRetransmit analogs); small values speed up RLF tests
         self.srb1_max_retx = srb1_max_retx
@@ -65,9 +65,32 @@ class UeStack:
         self._sib1 = None
         self._have_sib2 = False
         #: intra-frequency neighbours the UE measures (the reference UE
-        #: detects these by PSS search; here the detected set is given)
+        #: detects these by PSS search; here the detected set is given or
+        #: learned from SIB4)
         self.neighbor_pcis = tuple(neighbor_pcis)
         self._meas_sent = 0
+        # --- idle-mode mobility (36.304; srsue rrc.cc:379 plmn_search,
+        # :883 cell_selection, :938 S-criterion, :958 cell_reselection) ---
+        #: 36.304 reselection parameters from SIB3 (None = no idle
+        #: mobility, matching a cell that broadcasts no SIB3)
+        self.resel_cfg: dict | None = None
+        #: wall scale of t-ReselectionEUTRA: spec seconds = 1000 TTIs;
+        #: tests shrink it to keep reselection inside the test horizon
+        self.resel_tick_ms = resel_tick_ms
+        #: [(pci, q_offset_db)] measurement targets from SIB4
+        self.idle_neighbors: list = []
+        self._resel_better_since: dict = {}
+        #: PLMNs found during acquisition: [(plmn_str, tac)]
+        self.found_plmns: list = []
+        #: home PLMN from the IMSI (MCC+MNC); cells whose SIB1 lists no
+        #: matching PLMN are rejected during selection
+        imsi = getattr(nas, "imsi", None)
+        self.home_plmn = imsi[:5] if imsi else None
+        self.access_info: dict | None = None
+        self._barred_id2: set = set()
+        #: remaining idle TTIs of SI monitoring for SIB3/SIB4 (refilled
+        #: at camp; the reference idle UE likewise keeps reading SI)
+        self._si_budget = 0
         self.ho_pending: dict | None = None
         #: timing advance in samples (RAR TA command * 16 Ts units);
         #: applied by the radio as a timed-TX advance (radio.cc tx_adv /
@@ -160,6 +183,31 @@ class UeStack:
         if self.rrc.ho_info is not None:
             ho, self.rrc.ho_info = self.rrc.ho_info, None
             self._execute_handover(ho)
+        # --- idle-mode mobility -------------------------------------------
+        if self.state == "idle" and dl_iq is not None:
+            samples = None
+            # SI monitoring while idle until SIB3/SIB4 are in (36.331
+            # 5.2.2.4; period_rf=8 keeps the wait short)
+            if self._si_budget > 0 and (self.resel_cfg is None
+                                        or not self.idle_neighbors):
+                self._si_budget -= 1
+                samples = np.asarray(dl_iq).astype(np.complex64)
+                self._decode_si(samples, sf_idx)
+            # 36.304 5.2.4 intra-frequency reselection (rrc.cc:958)
+            if self.resel_cfg is not None and not self.connect_pending:
+                self._idle_mobility(tti, samples if samples is not None
+                                    else np.asarray(dl_iq)
+                                    .astype(np.complex64))
+                if self.state == "mib":   # reselection began re-acquisition
+                    return None
+        # uplink data while ECM-idle: arm a Service-Request RA (srsue
+        # nas.cc start_service_request on gw traffic; cause mo-Data)
+        if (self.state == "idle" and not self.connect_pending
+                and getattr(self.rrc.nas, "attached", False)
+                and self.drb_rlc_tx.buffer_state() > 0):
+            self.connect_pending = True
+            self.connect_cause = "mo_Data"
+            self.events.append("mo_data_ra")
         if (self.state in ("idle", "ho_ra")
                 and (self.connect_pending or self.state == "ho_ra")
                 and sf_idx == PRACH_SF
@@ -252,7 +300,13 @@ class UeStack:
             from ..models.ue_sync import sync_and_align
 
             stream = np.concatenate(self._search_buf)
-            res = sync_and_align(stream, self.cell.nof_prb)
+            if len(self._barred_id2) >= 3:
+                # every root rejected: no suitable cell on this carrier
+                # (rrc.cc cell_selection "searching again" path)
+                self._barred_id2.clear()
+                self.events.append("no_suitable_cell")
+            res = sync_and_align(stream, self.cell.nof_prb,
+                                 exclude_id2=tuple(self._barred_id2))
             self._found_id = res.cell_id
             # subframe-synchronous air: the found sf0 offset locates the
             # cell's subframe 0 relative to our local tti counter
@@ -282,8 +336,61 @@ class UeStack:
         # SIB acquisition: blind-decode the SI-RNTI (the reference reads
         # SIB1's si-window schedule; monitoring every subframe is a
         # functional superset)
+        self._decode_si(samples, cell_sf)
+        if self._sib1 is None or self.state != "sib":
+            return
+        # --- cell selection checks on SIB1 (36.304 5.2.3; rrc.cc:883,
+        # :938): PLMN match, barred flag, then the S-criterion — all
+        # decided before waiting for SIB2's radio config
+        if self.access_info is None:
+            from .si import sib1_access_info
+
+            info = sib1_access_info(self._sib1)
+            self.access_info = info
+            plmns = [(p, info["tac"]) for p in info["plmns"]]
+            self.found_plmns.extend(
+                p for p in plmns if p not in self.found_plmns)
+            if info["barred"] or (
+                    self.home_plmn is not None
+                    and self.home_plmn not in info["plmns"]):
+                self.events.append(f"plmn_reject_id{self.cell.id}")
+                self._bar_and_research()
+                return
+            # S-criterion: Srxlev = Qrxlevmeas - Qrxlevmin > 0 (36.304
+            # 5.2.3.2; rrc.cc get_srxlev). RSRP here is the air's
+            # relative dB scale; Qrxlevmin rides the same scale in tests.
+            from ..models.measurements import cell_rsrp
+
+            rsrp = cell_rsrp(samples, self.cell, cell_sf)
+            if rsrp - info["q_rx_lev_min_db"] <= 0:
+                self.events.append(f"s_criterion_fail_id{self.cell.id}")
+                self._bar_and_research()
+                return
+        if not self._have_sib2:
+            return
+        self.state = "idle"           # camped; RA armed
+        # keep monitoring SI while idle until SIB3/SIB4 arrive (their
+        # period_rf=8 occasions recur within ~2 cycles)
+        self._si_budget = 250
+        self.events.append("camped")
+
+    def _bar_and_research(self) -> None:
+        """Reject the current cell and restart cell search with its
+        N_id_2 excluded (rrc.cc plmn_search moves to the next carrier /
+        candidate the same way)."""
+        self._barred_id2.add(self.cell.id % 3)
+        self._sib1 = None
+        self._have_sib2 = False
+        self.access_info = None
+        self._search_buf = []
+        self.state = "search"
+
+    def _decode_si(self, samples, cell_sf: int) -> None:
+        """Blind-decode the SI-RNTI in one subframe and apply any SIB1/
+        SIB2/SIB3/SIB4 found (rrc.cc handle_sib1..handle_sib4)."""
         from ..models.ue_dl import ue_dl_decode
-        from .si import parse_si, sib2_radio_config
+        from .si import (parse_si, sib2_radio_config, sib3_resel_config,
+                         sib4_neighbors)
 
         for r in ue_dl_decode(samples, self.cell, cell_sf, 0xFFFF):
             if not r.crc_ok or r.tb_bits is None:
@@ -299,17 +406,20 @@ class UeStack:
             elif name == "systemInformation":
                 for kind, sib in v["critical_extensions"][1][
                         "sib_type_and_info"]:
-                    if kind != "sib2":
-                        continue
-                    cfg = sib2_radio_config(sib)
-                    self.rsi = cfg["rsi"]
-                    self._have_sib2 = True
-                    self.events.append(
-                        f"sib2_acquired_rsi{cfg['rsi']}")
-            if self._sib1 is not None and self._have_sib2 \
-                    and self.state == "sib":
-                self.state = "idle"           # camped; RA armed
-                self.events.append("camped")
+                    if kind == "sib2":
+                        cfg = sib2_radio_config(sib)
+                        self.rsi = cfg["rsi"]
+                        self._have_sib2 = True
+                        self.events.append(
+                            f"sib2_acquired_rsi{cfg['rsi']}")
+                    elif kind == "sib3":
+                        self.resel_cfg = sib3_resel_config(sib)
+                        self.events.append("sib3_acquired")
+                    elif kind == "sib4":
+                        self.idle_neighbors = sib4_neighbors(sib)
+                        self.neighbor_pcis = tuple(
+                            p for p, _q in self.idle_neighbors)
+                        self.events.append("sib4_acquired")
 
     def _measure_and_report(self, tti: int) -> None:
         """Serving + neighbour RSRP from the live subframe; an A3-style
@@ -335,6 +445,62 @@ class UeStack:
             _srb, pdu = self.rrc.send_measurement_report(
                 scale(serving), 20, neigh)
             self.srb1_rlc.write_sdu(pdu)
+
+    def _idle_mobility(self, tti: int, samples) -> None:
+        """36.304 5.2.4 intra-frequency cell reselection while RRC_IDLE
+        (srsue rrc.cc:958 cell_reselection + :938 S-criterion): rank the
+        serving cell (Rs = Qmeas + Qhyst) against each neighbour
+        (Rn = Qmeas - Qoffset); a neighbour better for t-ReselectionEUTRA
+        triggers reselection."""
+        if tti % 10 != 2:                 # one measurement occasion per frame
+            return
+        from ..models.measurements import cell_rsrp
+
+        cfg = self.resel_cfg
+        sf_idx = tti % 10
+        rsrp_s = cell_rsrp(samples, self.cell, sf_idx)
+        srxlev_s = rsrp_s - cfg["q_rx_lev_min_db"]
+        s_intra = cfg["s_intra_search_db"]
+        if s_intra is not None and srxlev_s > s_intra:
+            # Srxlev > SIntraSearchP: the UE may skip intra-frequency
+            # measurements entirely (rrc.cc:960 meas_reset branch)
+            self._resel_better_since.clear()
+            return
+        neighbors = self.idle_neighbors or \
+            [(p, 0) for p in self.neighbor_pcis]
+        t_need = cfg["t_resel_s"] * self.resel_tick_ms
+        for pci, qoff in neighbors:
+            if pci == self.cell.id:
+                continue
+            ncell = Cell(nof_prb=self.cell.nof_prb, id=pci)
+            rsrp_n = cell_rsrp(samples, ncell, sf_idx)
+            if rsrp_n - cfg["q_rx_lev_min_db"] <= 0:
+                self._resel_better_since.pop(pci, None)   # fails S
+                continue
+            if rsrp_n - qoff > rsrp_s + cfg["q_hyst_db"]:
+                since = self._resel_better_since.setdefault(pci, tti)
+                if tti - since >= t_need:
+                    self._reselect(pci)
+                    return
+            else:
+                self._resel_better_since.pop(pci, None)
+
+    def _reselect(self, pci: int) -> None:
+        """Execute idle reselection: retune to the target PCI and
+        re-acquire its MIB/SIBs; NAS registration and the UE IP survive
+        (ECM-idle). The next page or MO data runs RA at the new cell."""
+        self.events.append(f"reselect_pci{pci}")
+        self.cell = Cell(nof_prb=self.cell.nof_prb, id=pci,
+                         nof_ports=self.cell.nof_ports)
+        self._found_id = pci
+        self._sib1 = None
+        self._have_sib2 = False
+        self.access_info = None
+        self.resel_cfg = None
+        self.idle_neighbors = []
+        self._resel_better_since.clear()
+        self._last_dl = None
+        self.state = "mib"
 
     def _execute_handover(self, ho: dict) -> None:
         """36.331 5.3.5.4: retune to the target PCI, re-establish RLC
@@ -638,7 +804,10 @@ class UeStack:
             self.ul_queue.append((srb, pdu))
 
     def _on_ul_grant(self, tti: int, grant):
-        mod, tbs = ra.mcs_to_tbs(grant.mcs, grant.riv_len, dl=False)
+        try:
+            mod, tbs = ra.mcs_to_tbs(grant.mcs, grant.riv_len, dl=False)
+        except ValueError:
+            return None   # reserved MCS: false-positive blind decode
         mac = MacPdu()
         room = tbs // 8 - 4
         # MAC CEs first (mux.cc assemble_pdu ordering: BSR/PHR before SDUs)

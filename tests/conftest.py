@@ -46,7 +46,8 @@ def rng():
 #: makes the recompiles cheap.
 _HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs",
                   "test_multi_ue", "test_idle_paging", "test_cold_boot",
-                  "test_handover_ota", "test_mbms_ota", "test_mimo_stack")
+                  "test_handover_ota", "test_mbms_ota", "test_mimo_stack",
+                  "test_idle_reselect")
 
 #: Modules excluded from the fast tier (`-m "not slow"`): the heavy
 #: full-stack modules above plus compile-bound kernel/integration sweeps.
