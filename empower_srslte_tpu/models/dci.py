@@ -75,6 +75,8 @@ class DciUl:
     riv_start: int
     riv_len: int
     dmrs_cyclic_shift: int
+    #: aperiodic CSI request bit (36.212 5.3.3.1.1; dci.c format0)
+    cqi_request: int = 0
 
 
 def pack_format1a(n_prb_cell: int, start: int, length: int, mcs: int,
@@ -134,10 +136,11 @@ def unpack_format0(bits: np.ndarray, n_prb_cell: int) -> DciUl | None:
     ndi = bits_to_uint(bits[p : p + 1]); p += 1
     p += 2  # tpc
     dmrs = bits_to_uint(bits[p : p + 3]); p += 3
+    cqi_req = bits_to_uint(bits[p : p + 1]); p += 1
     start, length = ra.riv_decode(riv, n_prb_cell)
     if start + length > n_prb_cell:
         return None
-    return DciUl(mcs, ndi, start, length, dmrs)
+    return DciUl(mcs, ndi, start, length, dmrs, cqi_req)
 
 
 def pack_format1(n_prb_cell: int, rbg_bitmap: int, mcs: int,

@@ -63,6 +63,54 @@ def ue_measurement_report(h, noise_est=1e-3):
     return dict(ri=ri, pmi=pmi, cqi=cqi, snr_db=snr_db)
 
 
+_sb_cache: dict = {}
+
+
+def subband_snrs(samples, cell, sf_idx: int, noise_floor: float = 1e-3):
+    """Per-subband post-chest SNR (dB) from one subframe of IQ.
+
+    The frequency-selective analog of snr_from_chest: LS CRS estimate ->
+    per-RE |h|^2 grouped into 36.213 Table 7.2.1-3 subbands of k PRBs
+    (12k subcarriers). Feeds the hl-subband CQI report the reference
+    packs in cqi.c:45 and the eNB's per-RBG link adaptation.
+
+    Returns np.float32 [N] with N = cqi_nof_subbands(cell.nof_prb).
+    """
+    import jax
+
+    from .uci import cqi_hl_subband_size, cqi_nof_subbands
+    from ..ops.chest import chest_dl, noise_est_pilots
+    from ..ops.ofdm import ofdm_rx_sf
+    from ..utils import device_complex
+
+    n_sub = cqi_nof_subbands(cell.nof_prb)
+    k_sc = 12 * cqi_hl_subband_size(cell.nof_prb)
+    key = ("sb", repr(cell), sf_idx)
+    if key not in _sb_cache:
+        def f(x):
+            grid = ofdm_rx_sf(x[None], cell)[0]
+            h = chest_dl(grid[None], cell, sf_idx, port=0)[0]
+            noise = jnp.maximum(
+                noise_est_pilots(grid[None], cell, sf_idx)[0],
+                noise_floor)
+            p = jnp.abs(h) ** 2                       # [nsymb, nre]
+            pad = (-p.shape[-1]) % k_sc
+            p = jnp.pad(p, ((0, 0), (0, pad)))
+            sb = jnp.mean(
+                p.reshape(p.shape[0], -1, k_sc), axis=(0, 2))
+            # the tail subband may be partial: rescale its zero padding
+            scale = jnp.asarray(
+                [k_sc / min(k_sc, cell.nof_re - i * k_sc)
+                 for i in range(sb.shape[0])], jnp.float32)
+            return 10.0 * jnp.log10(
+                jnp.maximum(sb * scale / noise, 1e-10))
+
+        _sb_cache[key] = jax.jit(f)
+    out = np.asarray(_sb_cache[key](device_complex(samples)),
+                     np.float32)
+    return out[:n_sub]
+
+
 _rsrp_cache: dict = {}
 
 

@@ -64,6 +64,102 @@ def cqi_unpack_wideband(bits: np.ndarray) -> int:
     return out
 
 
+# --- subband CQI (36.213 7.2.1, 36.212 Tables 5.2.2.6.2-1/2;
+#     cqi.c:45-91 srslte_cqi_hl_subband_pack / srslte_cqi_ue_subband_pack) ---
+
+def cqi_hl_subband_size(nof_prb: int) -> int:
+    """Higher-layer-configured subband size k (36.213 Table 7.2.1-3)."""
+    if nof_prb <= 7:
+        return nof_prb            # wideband only; one "subband"
+    if nof_prb <= 26:
+        return 4
+    if nof_prb <= 63:
+        return 6
+    return 8
+
+
+def cqi_nof_subbands(nof_prb: int) -> int:
+    import math
+
+    return math.ceil(nof_prb / cqi_hl_subband_size(nof_prb))
+
+
+#: 2-bit subband differential CQI (36.213 Table 7.2.1-2):
+#: offset = wideband - subband; codes 0..3 <-> offset {0, 1, >=2, <=-1}
+def cqi_diff_encode(offset: int) -> int:
+    if offset <= -1:
+        return 3
+    return min(offset, 2)
+
+
+CQI_DIFF_OFFSET = (0, 1, 2, -1)
+
+
+def cqi_pack_hl_subband(wb_cqi: int, sb_cqis, nof_prb: int) -> np.ndarray:
+    """Aperiodic higher-layer-configured subband report (cqi.c:45-79,
+    single codeword, no PMI): 4-bit wideband + 2-bit differential per
+    subband. ``sb_cqis`` has cqi_nof_subbands(nof_prb) entries."""
+    n = cqi_nof_subbands(nof_prb)
+    assert len(sb_cqis) == n, (len(sb_cqis), n)
+    bits = [(wb_cqi >> (3 - i)) & 1 for i in range(4)]
+    for sb in sb_cqis:
+        d = cqi_diff_encode(wb_cqi - int(sb))
+        bits += [(d >> 1) & 1, d & 1]
+    return np.array(bits, np.int8)
+
+
+def cqi_unpack_hl_subband(bits: np.ndarray, nof_prb: int):
+    """-> (wideband_cqi, [per-subband cqi]) inverting the 2-bit
+    differentials with their representative offsets."""
+    n = cqi_nof_subbands(nof_prb)
+    bits = np.asarray(bits).astype(np.int64)
+    wb = int((bits[0] << 3) | (bits[1] << 2) | (bits[2] << 1) | bits[3])
+    sbs = []
+    for i in range(n):
+        d = int((bits[4 + 2 * i] << 1) | bits[5 + 2 * i])
+        sbs.append(max(0, min(15, wb - CQI_DIFF_OFFSET[d])))
+    return wb, sbs
+
+
+def cqi_hl_subband_nof_bits(nof_prb: int) -> int:
+    return 4 + 2 * cqi_nof_subbands(nof_prb)
+
+
+def cqi_pack_ue_subband(wb_cqi: int, sb_diff: int, position: int,
+                        l_bits: int) -> np.ndarray:
+    """UE-selected subband report (cqi.c:81-91): wideband 4 + diff 2 +
+    L-bit best-subband position label."""
+    bits = [(wb_cqi >> (3 - i)) & 1 for i in range(4)]
+    bits += [(sb_diff >> 1) & 1, sb_diff & 1]
+    bits += [(position >> (l_bits - 1 - i)) & 1 for i in range(l_bits)]
+    return np.array(bits, np.int8)
+
+
+def cqi_unpack_ue_subband(bits: np.ndarray, l_bits: int):
+    bits = np.asarray(bits).astype(np.int64)
+    wb = int((bits[0] << 3) | (bits[1] << 2) | (bits[2] << 1) | bits[3])
+    diff = int((bits[4] << 1) | bits[5])
+    pos = 0
+    for b in bits[6:6 + l_bits]:
+        pos = (pos << 1) | int(b)
+    return wb, diff, pos
+
+
+def ri_pack(ri: int, nof_bits: int = 1) -> np.ndarray:
+    """Periodic RI payload for PUCCH format 2 (phch_worker.cc:1086
+    uci_data.uci_ri on the RI occasion): rank-1 -> bit 0, rank-2 -> 1."""
+    v = ri - 1
+    return np.array([(v >> (nof_bits - 1 - i)) & 1
+                     for i in range(nof_bits)], np.int8)
+
+
+def ri_unpack(bits: np.ndarray, nof_bits: int = 1) -> int:
+    v = 0
+    for b in np.asarray(bits)[:nof_bits]:
+        v = (v << 1) | int(b)
+    return v + 1
+
+
 # --- UCI on PUSCH (36.212 5.2.2.6-5.2.2.8; sch.c:550-985, uci.c:491-720) -----
 #
 # TPU-first layout: everything data-dependent is distilled into static
@@ -184,11 +280,14 @@ def encode_cqi_pusch(cqi_bits: np.ndarray, n_out_bits: int) -> np.ndarray:
         reps = int(np.ceil(n_out_bits / 32))
         return np.tile(cw, reps)[:n_out_bits]
     from ..ops.fec.convcoder import conv_encode_np
-    from ..ops.fec.rm_conv import rm_conv_tx
+    from ..ops.fec.rm_conv import _selection
     from ..utils.crc import CRC8
     with_crc = CRC8.attach(np.asarray(cqi_bits, np.int8))
     d = conv_encode_np(with_crc)[0]                 # [3, K]
-    return np.asarray(rm_conv_tx(d, n_out_bits), np.int8)
+    # host-side gather (the payload is static per grant): rm_conv_tx's
+    # jnp gather would stage a tracer inside the jitted PUSCH encode
+    k = d.shape[-1]
+    return d.reshape(3 * k)[_selection(k, n_out_bits)].astype(np.int8)
 
 
 def decode_cqi_pusch(llrs, o: int, n_out_bits: int):
@@ -205,10 +304,18 @@ def decode_cqi_pusch(llrs, o: int, n_out_bits: int):
         if rem:
             acc = acc.at[..., :rem].add(llrs[..., nfull * 32 :])
         return rm_decode(acc, 32, o), True
+    import jax
+
     from ..ops.fec.convcoder import viterbi_decode
     from ..ops.fec.rm_conv import rm_conv_rx
     from ..utils.crc import CRC8
-    bits = np.asarray(viterbi_decode(rm_conv_rx(llrs, o + 8)))
+    bits = viterbi_decode(rm_conv_rx(llrs, o + 8))
+    if isinstance(bits, jax.core.Tracer):
+        # traced (pusch_decode_uci_jit): stay on device
+        if bits.ndim == 2 and bits.shape[0] == 1 and llrs.ndim == 1:
+            bits = bits[0]
+        return bits[..., :o], CRC8.jnp_check(bits[..., : o + 8])
+    bits = np.asarray(bits)
     if bits.ndim == 2 and bits.shape[0] == 1 and llrs.ndim == 1:
         bits = bits[0]
     if bits.ndim == 1:

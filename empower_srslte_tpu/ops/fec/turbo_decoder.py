@@ -374,20 +374,26 @@ class TurboDecoder:
 
         import os
 
+        # folded-batch tile geometry: sub x lanes per tile. sub=8 with
+        # wide lanes measured fastest on v5e; the (16,128) native-bf16
+        # and (32,128) layouts are exposed via TURBO_SUB but measured
+        # 13% slower at equal elements (docs/BENCHMARKS.md roofline
+        # section) — the kernel is issue-bound, not layout-bound.
+        sub = int(os.environ.get("TURBO_SUB", 0)) or 8
         lanes = int(os.environ.get("TURBO_LANES", 0)) \
-            or (256 if b >= 2048 else 128)
+            or (256 if b >= sub * 256 else 128)
         group = int(os.environ.get("TURBO_GROUP", 0)) or 16
-        # windows interleaved per program (ILP over the recursion's
-        # dependency latency — see _nii_kernel); must divide K/window
+        # windows interleaved per program (ILP knob — measured neutral-to-
+        # negative on v5e, kept for other topologies); must divide K/window
         wpp = self.wpp if self.wpp else \
             int(os.environ.get("TURBO_WPP", 0)) or 1
         if (k // l) % wpp:
             wpp = 1
-        bp = (-b) % (8 * lanes)
+        bp = (-b) % (sub * lanes)
         cp = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp \
             else (lambda x: x)
         pad8 = lambda x: jnp.pad(x, ((0, 8 - x.shape[0]), (0, 0)))
-        tiles = lambda x: to_tiles(cp(x), lanes)
+        tiles = lambda x: to_tiles(cp(x), lanes, sub)
 
         sys_t = tiles(sys1_tm[:k])
         par1_t = tiles(par1_tm[:k])
@@ -399,11 +405,11 @@ class TurboDecoder:
 
         t_tiles = sys_t.shape[0]
         w_count = k // l
-        zst = jnp.zeros((t_tiles, w_count + 1, 8, 8, lanes), dt)
+        zst = jnp.zeros((t_tiles, w_count + 1, 8, sub, lanes), dt)
 
         dec = lambda u, p, ut, pt, a, bb: map_decode_nii(
             u, p, ut, pt, a, bb, l=l, lanes=lanes, group=group,
-            interpret=interpret, wpp=wpp)
+            interpret=interpret, wpp=wpp, sub=sub)
 
         def iteration(state, with_llr=True):
             ext2, a1, b1, a2, b2 = state

@@ -48,7 +48,7 @@ def _wiring():
 
 
 def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
-                wpp: int = 1):
+                wpp: int = 1, sub: int = 8):
     """Kernel body over grid (T, W // wpp).
 
     ``wpp`` consecutive windows are decoded INTERLEAVED inside one
@@ -58,13 +58,17 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
     single-window kernel, not VPU issue rate. VMEM cost is unchanged at
     equal ``wpp * l`` (the beta store covers the same row span).
 
+    ``sub`` is the folded-batch sublane count: 8 matches the f32
+    native tile (8, 128); 16 fills a native bfloat16 (16, 128) vreg so
+    every elementwise op covers twice the batch per instruction.
+
     Block refs (squeezed leading dims):
-      u_ref, p_ref     [wpp*l, 8, lanes]  raw unhalved input rows
-      ut_ref, pt_ref   [8, 8, lanes]      tail rows (3 used), per tile
-      a_in, b_in       [wpp, 8, 8, lanes] boundary metric inits
-      ext_ref          [wpp*l, 8, lanes]  extrinsic output
-      a_out, b_out     [wpp, 8, 8, lanes] boundary metrics produced
-      betas (scratch)  [wpp*l, 8, 8, lanes]
+      u_ref, p_ref     [wpp*l, sub, lanes]  raw unhalved input rows
+      ut_ref, pt_ref   [8, sub, lanes]      tail rows (3 used), per tile
+      a_in, b_in       [wpp, 8, sub, lanes] boundary metric inits
+      ext_ref          [wpp*l, sub, lanes]  extrinsic output
+      a_out, b_out     [wpp, 8, sub, lanes] boundary metrics produced
+      betas (scratch)  [wpp*l, 8, sub, lanes]
     """
     ns, par, ps, pp = _wiring()
     assert l % group == 0 and w_count % wpp == 0
@@ -88,8 +92,8 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
         is_first = w == 0            # sub-window 0 of program 0
         is_last = w == w_count // wpp - 1   # sub-window wpp-1 of last
 
-        exact = [jnp.zeros((8, lanes), dtype)] + \
-                [jnp.full((8, lanes), dtype.type(NEG), dtype)] * 7
+        exact = [jnp.zeros((sub, lanes), dtype)] + \
+                [jnp.full((sub, lanes), dtype.type(NEG), dtype)] * 7
 
         # ---- beta init: stored boundary, or tail walk for the last window
         beta_tail = exact
@@ -194,7 +198,7 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
 
 def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
                    lanes: int, group: int = 16, interpret: bool = False,
-                   wpp: int = 1):
+                   wpp: int = 1, sub: int = 8):
     """One NII constituent decode.
 
     u, p:            [T, K, 8, lanes] raw (unhalved) input / parity rows
@@ -209,47 +213,47 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
     Returns (ext [T, K, 8, lanes], a_next, b_next) in the same slot
     convention, ready to pass back on the next call.
     """
-    t_tiles, k, eight, lns = u.shape
-    assert eight == 8 and lns == lanes and k % l == 0
+    t_tiles, k, subd, lns = u.shape
+    assert subd == sub and lns == lanes and k % l == 0
     w_count = k // l
     assert w_count % wpp == 0, (w_count, wpp)
     dtype = u.dtype
     kernel = _nii_kernel(l, w_count, lanes, group, jnp.dtype(dtype),
-                         wpp=wpp)
+                         wpp=wpp, sub=sub)
 
     grid = (t_tiles, w_count // wpp)
     ext, a_raw, b_raw = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((t_tiles, k, 8, lanes), dtype),
-            jax.ShapeDtypeStruct((t_tiles, w_count, 8, 8, lanes), dtype),
-            jax.ShapeDtypeStruct((t_tiles, w_count, 8, 8, lanes), dtype),
+            jax.ShapeDtypeStruct((t_tiles, k, sub, lanes), dtype),
+            jax.ShapeDtypeStruct((t_tiles, w_count, 8, sub, lanes), dtype),
+            jax.ShapeDtypeStruct((t_tiles, w_count, 8, sub, lanes), dtype),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, wpp * l, 8, lanes),
+            pl.BlockSpec((None, wpp * l, sub, lanes),
                          lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, wpp * l, 8, lanes),
+            pl.BlockSpec((None, wpp * l, sub, lanes),
                          lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, 8, 8, lanes), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((None, 8, 8, lanes), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, 8, lanes),
+            pl.BlockSpec((None, 8, sub, lanes), lambda t, w: (t, 0, 0, 0)),
+            pl.BlockSpec((None, 8, sub, lanes), lambda t, w: (t, 0, 0, 0)),
+            pl.BlockSpec((None, wpp, 8, sub, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, 8, lanes),
+            pl.BlockSpec((None, wpp, 8, sub, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((None, wpp * l, 8, lanes),
+            pl.BlockSpec((None, wpp * l, sub, lanes),
                          lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, 8, lanes),
+            pl.BlockSpec((None, wpp, 8, sub, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, 8, lanes),
+            pl.BlockSpec((None, wpp, 8, sub, lanes),
                          lambda t, w: (t, w, 0, 0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((wpp * l, 8, 8, lanes), dtype)],
+        scratch_shapes=[pltpu.VMEM((wpp * l, 8, sub, lanes), dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 60 * k * 8 * lanes * t_tiles,
-            bytes_accessed=u.dtype.itemsize * 8 * lanes * t_tiles * 3 * k,
+            flops=2 * 60 * k * sub * lanes * t_tiles,
+            bytes_accessed=u.dtype.itemsize * sub * lanes * t_tiles * 3 * k,
             transcendentals=0),
         interpret=interpret,
     )(u, p, tail_u, tail_p, a_st[:, :w_count], b_st[:, 1:])
@@ -265,15 +269,15 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
     return ext, a_next, b_next
 
 
-def to_tiles(x, lanes: int):
-    """[rows, B] -> [T, rows, 8, lanes] (B = T*8*lanes), tile-major."""
+def to_tiles(x, lanes: int, sub: int = 8):
+    """[rows, B] -> [T, rows, sub, lanes] (B = T*sub*lanes), tile-major."""
     rows, b = x.shape
-    assert b % (8 * lanes) == 0, (b, lanes)
-    t = b // (8 * lanes)
-    return x.reshape(rows, t, 8, lanes).transpose(1, 0, 2, 3)
+    assert b % (sub * lanes) == 0, (b, lanes, sub)
+    t = b // (sub * lanes)
+    return x.reshape(rows, t, sub, lanes).transpose(1, 0, 2, 3)
 
 
 def from_tiles(x):
-    """[T, rows, 8, lanes] -> [rows, B]."""
-    t, rows, eight, lanes = x.shape
-    return x.transpose(1, 0, 2, 3).reshape(rows, t * eight * lanes)
+    """[T, rows, sub, lanes] -> [rows, B]."""
+    t, rows, sub, lanes = x.shape
+    return x.transpose(1, 0, 2, 3).reshape(rows, t * sub * lanes)

@@ -108,6 +108,7 @@ class UeRrc:
     #: dedicated PUCCH resources from PhysicalConfigDedicated
     sr_cfg: dict | None = None
     cqi_cfg: dict | None = None
+    ri_cfg: dict | None = None
     #: pending handover execution (mobilityControlInfo) for the stack
     ho_info: dict | None = None
 
@@ -228,6 +229,24 @@ class UeRrc:
                 n_pucch=crp[1]["cqi_pucch_resource_index"],
                 period=period, subframe=off)
             self.events.append("cqi_configured")
+            # periodic RI (36.213 7.2.2 Table 7.2.2-1B): interval
+            # M_ri * N_pd; an RI occasion replaces the CQI report
+            # (phch_worker.cc:1086 uci_data.uci_ri path)
+            iri = crp[1].get("ri_config_index")
+            if iri is not None:
+                if iri <= 160:
+                    m_ri, noff = 1, -iri
+                elif iri <= 321:
+                    m_ri, noff = 2, -(iri - 161)
+                elif iri <= 482:
+                    m_ri, noff = 4, -(iri - 322)
+                else:
+                    m_ri, noff = 8, -(iri - 483)
+                p_ri = period * m_ri
+                self.ri_cfg = dict(
+                    n_pucch=crp[1]["cqi_pucch_resource_index"],
+                    period=p_ri, subframe=(off + noff) % p_ri)
+                self.events.append("ri_configured")
 
     def _handle_dl_dcch(self, pdu: bytes) -> list[tuple[int, bytes]]:
         name, v = M.unpack_dl_dcch(pdu)
@@ -359,6 +378,7 @@ class UeRrc:
             self.drbs.clear()
             self.sr_cfg = None
             self.cqi_cfg = None
+            self.ri_cfg = None
             self.events.append("released")
         return out
 
@@ -443,6 +463,9 @@ class EnbRrc:
                 "cqi_report_periodic": ("setup", {
                     "cqi_pucch_resource_index": ue_ix,
                     "cqi_pmi_config_index": 7 + (2 * ue_ix + 4) % 10,
+                    # I_ri 322 -> M_ri = 4 (36.213 Table 7.2.2-1B):
+                    # every 4th CQI occasion carries RI instead
+                    "ri_config_index": 322,
                     "cqi_format_indicator_periodic": ("widebandCQI",
                                                       None),
                     "simultaneous_ack_nack_and_cqi": False})},
@@ -452,7 +475,9 @@ class EnbRrc:
                           "sr_n_pucch": ue_ix,
                           "sr_subframe": (2 * ue_ix) % 10,
                           "cqi_n_pucch": ue_ix,
-                          "cqi_subframe": (2 * ue_ix + 4) % 10}
+                          "cqi_subframe": (2 * ue_ix + 4) % 10,
+                          "ri_period": 40,
+                          "ri_subframe": (2 * ue_ix + 4) % 10}
         self.events.append(f"connection_request_{rnti:#x}")
         msg = {"rrc_transaction_identifier": 0,
                "critical_extensions": ("c1", ("r8", {

@@ -81,6 +81,7 @@ class _PendingUl:
     rv: int = 0
     n_tx: int = 1
     softbuffers: object = None    # carried across HARQ retransmissions
+    cqi_req: bool = False         # aperiodic hl-subband CQI requested
 
 
 P_RNTI = 0xFFFE
@@ -90,7 +91,12 @@ SI_RNTI = 0xFFFF
 class EnbStack:
     def __init__(self, cell: Cell, mme, rsi: int = 128,
                  cfi: int = 2, agent=None, paging_cycle: int = 32,
-                 broadcast: bool = False, msg3_delay: int = 4):
+                 broadcast: bool = False, msg3_delay: int = 4,
+                 aperiodic_cqi: bool = False):
+        #: request 36.213 7.2.1 aperiodic hl-subband CQI on UL grants
+        #: when the stored report is stale, and use it for
+        #: frequency-selective DL allocation + per-allocation MCS
+        self.aperiodic_cqi = aperiodic_cqi
         self.cell = cell
         self.cfi = cfi
         self.rsi = rsi
@@ -496,14 +502,28 @@ class EnbStack:
             grid = self._ul_grid(ul_iq) if grid is None else grid
             for rnti in cqi_ues:
                 st = self.active_ues[rnti]
+                cfg_ue = self.rrc.ues[rnti]
                 pcfg = PucchConfig(cell=self.cell, sf_idx=sf_idx,
-                                   n_pucch=self.rrc.ues[rnti].get(
-                                       "cqi_n_pucch", 0),
+                                   n_pucch=cfg_ue.get("cqi_n_pucch", 0),
                                    format="2")
+                # an RI occasion (36.213 7.2.2 M_ri spacing) carries the
+                # 1-bit rank indicator instead of CQI
+                ri_occasion = (
+                    "ri_period" in cfg_ue
+                    and tti % cfg_ue["ri_period"] == cfg_ue["ri_subframe"])
+                nof_bits = 1 if ri_occasion else 4
                 payload, energy = pucch_f2_decode(np.asarray(grid), pcfg,
-                                                  4, return_energy=True)
+                                                  nof_bits,
+                                                  return_energy=True)
                 if energy < CQI_DETECT_THRESHOLD:
                     continue             # no report this occasion
+                if ri_occasion:
+                    from ..models.uci import ri_unpack
+
+                    st["ri"] = ri_unpack(np.asarray(payload))
+                    self.events.append(
+                        f"ri_rx{st['ri']}_rnti{rnti:#x}")
+                    continue
                 cqi = int(cqi_unpack_wideband(np.asarray(payload)))
                 if cqi > 0:
                     st["cqi"] = cqi
@@ -512,26 +532,44 @@ class EnbStack:
         for p in self.ul_pending.pop(tti, []):
             grid = self._ul_grid(ul_iq) if grid is None else grid
             items = acks_due.pop(p.rnti, None)
-            if items:
+            if items or p.cqi_req:
                 from ..models.pusch import (UciData, UciPlan,
                                             pusch_decode_uci_jit)
+                from ..models.uci import (cqi_hl_subband_nof_bits,
+                                          cqi_unpack_hl_subband)
 
+                o_cqi = cqi_hl_subband_nof_bits(self.cell.nof_prb) \
+                    if p.cqi_req else 0
                 plan = UciPlan(p.cfg, p.tbs,
-                               UciData(ack=(1,) * len(items)), rv=p.rv)
+                               UciData(ack=(1,) * len(items or ()),
+                                       cqi_bits=(0,) * o_cqi), rv=p.rv)
                 fn = pusch_decode_uci_jit(p.cfg, plan,
                                           p.softbuffers is not None)
                 out = fn(grid, 1e-3, p.softbuffers) \
                     if p.softbuffers is not None else fn(grid, 1e-3)
                 ok = bool(np.asarray(out["crc_ok"]).all())
-                if ok:
-                    acked = [bool(a) for a in out["ack"]]
-                else:
-                    # the UE may have missed the grant and sent the
-                    # ACK on PUCCH instead: fall back before declaring
-                    # DTX (phch_worker checks both owners of the UCI)
-                    acked = self._decode_pucch_ack(grid, sf_idx, items)
-                for (pid, rec, _), ack in zip(items, acked):
-                    self._handle_ack(p.rnti, pid, rec, ack)
+                if items:
+                    if ok:
+                        acked = [bool(a) for a in out["ack"]]
+                    else:
+                        # the UE may have missed the grant and sent the
+                        # ACK on PUCCH instead: fall back before
+                        # declaring DTX (phch_worker checks both owners)
+                        acked = self._decode_pucch_ack(grid, sf_idx,
+                                                       items)
+                    for (pid, rec, _), ack in zip(items, acked):
+                        self._handle_ack(p.rnti, pid, rec, ack)
+                if p.cqi_req and ok and out["cqi_bits"] is not None:
+                    wb, sbs = cqi_unpack_hl_subband(
+                        np.asarray(out["cqi_bits"]).ravel(),
+                        self.cell.nof_prb)
+                    stc = self.active_ues.setdefault(p.rnti, {})
+                    if wb > 0:
+                        stc["cqi"] = wb
+                    stc["sb_cqi"] = sbs
+                    stc["sb_tti"] = tti
+                    self.events.append(
+                        f"sbcqi_rx_wb{wb}_rnti{p.rnti:#x}")
                 bits, sbuf = out["tb"], out["softbuffers"]
             else:
                 fn = pusch_decode_jit(p.cfg, p.tbs, p.rv,
@@ -769,9 +807,12 @@ class EnbStack:
                 continue
             mac = MacPdu()
             mac.add_sdu(3, rlc_pdu)
-            if self.cell.nof_ports >= 2:
+            if self.cell.nof_ports >= 2 and \
+                    self.active_ues.get(rnti, {}).get("ri", 2) == 2:
                 # TM4: pair a second transport block when more data
-                # waits (two codewords on one spatial-multiplexed grant)
+                # waits (two codewords on one spatial-multiplexed
+                # grant) — only while the UE's periodic RI reports
+                # rank 2 (scheduler_ue.cc dl_ri link adaptation)
                 rlc_pdu2 = d["rlc_tx"].read_pdu(200)
                 if rlc_pdu2 is not None:
                     mac2 = MacPdu()
@@ -792,6 +833,19 @@ class EnbStack:
             self._rr_next += 1
         n_alloc = 0
         agent_grants = []
+        # frequency-selective allocations land anywhere free; contiguous
+        # left-cursor allocations must skip those ranges
+        extra_alloc: list = []        # selective (start, end) this tti
+
+        def _skip_extra(s: int, n: int) -> int:
+            moved = True
+            while moved:
+                moved = False
+                for a, b in extra_alloc:
+                    if not (s + n <= a or b <= s):
+                        s, moved = b, True
+            return s
+
         for rnti in ras + ues:
             if cce_next + 4 > min(n_cce, 16):
                 break                         # control region exhausted
@@ -801,6 +855,7 @@ class EnbStack:
             st = self.active_ues.get(rnti)
             payload, meta = queue[0]
             if (meta or {}).get("tm4"):
+                prb_next = _skip_extra(prb_next, 16)
                 used = self._compose_tm4(tti, rnti, payload, prb_next,
                                          cce_next)
                 if used is None:
@@ -842,8 +897,47 @@ class EnbStack:
                                                  15)])
                     n_prb, mod, tbs = _dl_grant_for(self.cell.nof_prb,
                                                     raw_len, mcs)
-            if prb_next + n_prb > self.cell.nof_prb:
-                continue                      # no PRBs left this tti
+            # --- PRB placement ------------------------------------------
+            # With a live subband CQI report (36.213 7.2.1 aperiodic
+            # feedback), pick the contiguous window with the best mean
+            # per-PRB CQI — the frequency-selective metric the reference
+            # scheduler builds from its cqi feedback — and cap the MCS by
+            # the window's worst subband. Otherwise: next free PRBs.
+            prb_start = None
+            if (retx is None and st is not None and "sb_cqi" in st
+                    and 10 < rnti < P_RNTI):
+                from ..models.uci import cqi_hl_subband_size
+
+                k_sb = cqi_hl_subband_size(self.cell.nof_prb)
+                per_prb = [st["sb_cqi"][min(i // k_sb,
+                                            len(st["sb_cqi"]) - 1)]
+                           for i in range(self.cell.nof_prb)]
+                best_m = -1.0
+                for s in range(prb_next, self.cell.nof_prb - n_prb + 1):
+                    if _skip_extra(s, n_prb) != s:
+                        continue
+                    m = sum(per_prb[s:s + n_prb]) / n_prb
+                    if m > best_m:
+                        best_m, prb_start = m, s
+                if prb_start is not None:
+                    win_min = min(per_prb[prb_start:prb_start + n_prb])
+                    from ..mac.scheduler import CQI_TO_MCS
+
+                    cap = CQI_TO_MCS[min(max(win_min - 2, 0), 15)]
+                    if cap < mcs:
+                        _, tbs_cap = ra.mcs_to_tbs(cap, n_prb)
+                        if tbs_cap >= 8 * raw_len:
+                            mcs = cap
+                            mod, tbs = ra.mcs_to_tbs(mcs, n_prb)
+                    extra_alloc.append((prb_start,
+                                        prb_start + n_prb))
+                    self.events.append(
+                        f"fsel_alloc_prb{prb_start}_rnti{rnti:#x}")
+            if prb_start is None:
+                prb_start = _skip_extra(prb_next, n_prb)
+                if prb_start + n_prb > self.cell.nof_prb:
+                    continue                  # no PRBs left this tti
+                prb_next = prb_start + n_prb
             if retx is not None:
                 self.events.append(f"harq_retx_pid{pid}_rv{rv}")
                 tpc = 0
@@ -864,7 +958,7 @@ class EnbStack:
             queue.pop(0)
             tb_bits = np.unpackbits(np.frombuffer(mac_bytes, np.uint8))
             dci_bits = dci_mod.pack_format1a(
-                self.cell.nof_prb, prb_next, n_prb, mcs, harq_pid=pid,
+                self.cell.nof_prb, prb_start, n_prb, mcs, harq_pid=pid,
                 ndi=ndi, rv=rv, tpc=tpc)
             from ..ops.equalizer import MimoType
 
@@ -874,7 +968,7 @@ class EnbStack:
                                     if self.cell.nof_ports >= 2
                                     else MimoType.SINGLE),
                               prb_mask=ra.prb_mask_type2(
-                                  self.cell.nof_prb, prb_next, n_prb))
+                                  self.cell.nof_prb, prb_start, n_prb))
             plan = cfg.plan(tbs, rv=rv)
             cce_used = cce_next
             grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti,
@@ -883,7 +977,6 @@ class EnbStack:
             cce_next += 4
             grid = grid + pdsch_encode(
                 jnp.asarray(tb_bits.astype(np.int8))[None], cfg, plan)[0]
-            prb_next += n_prb
             n_alloc += 1
             if self.agent is not None:
                 from ..mac.scheduler import DlGrant
@@ -921,8 +1014,12 @@ class EnbStack:
                 break                      # out of PRBs/CCEs this tti
             ul_slot += 1
             mod, tbs = ra.mcs_to_tbs(UL_MCS, n_prb, dl=False)
+            # aperiodic CSI request when the subband report is stale
+            # (sched ul_sched cqi_request; 36.212 format 0 CSI bit)
+            cqi_req = (self.aperiodic_cqi and rnti in self.rrc.ues
+                       and tti - st.get("sb_tti", -999) > 20)
             dci0 = dci_mod.pack_format0(self.cell.nof_prb, start, n_prb,
-                                        UL_MCS)
+                                        UL_MCS, cqi_req=int(cqi_req))
             grid = grid + pdcch_encode(jnp.asarray(dci0), rnti, cce_next,
                                        4, self.cell, self.cfi, sf_idx)
             cce_next += 4
@@ -930,7 +1027,7 @@ class EnbStack:
                               rnti=rnti, mod=mod, prb_start=start,
                               n_prb=n_prb)
             self.ul_pending.setdefault(tti + 4, []).append(
-                _PendingUl(rnti, cfg, tbs))
+                _PendingUl(rnti, cfg, tbs, cqi_req=cqi_req))
         if self.agent is not None:
             self.agent.process_ul_results(
                 tti, UL_GRANT_N_PRB * ul_slot, self.cell.nof_prb)

@@ -112,6 +112,7 @@ class UeStack:
         self.reestablish_pending = False
         self.srb1_rlc = self._new_srb1_rlc()
         self.pusch_plan: dict = {}    # tti -> (mac, cfg, tbs)
+        self.cqi_on_pusch: dict = {}  # tti -> aperiodic CQI payload bits
         self.ack_plan: dict = {}      # tti -> (n_pucch, [ack bits])
         self.events: list = []
         # DRB user plane (gw.cc analog): PDCP DRB + RLC UM behind lcid 3
@@ -139,6 +140,10 @@ class UeStack:
         self.cqi_offset = 4
         self.cqi_n_pucch = 0
         self.last_snr_db: float | None = None
+        #: rank indicator for periodic RI reports (36.213 7.2.2;
+        #: phch_worker.cc:1086): rank 2 offered on multi-port cells,
+        #: refined by the receiver's rank selection when it runs
+        self.last_ri = 2 if cell.nof_ports >= 2 else 1
         # DL HARQ (dl_harq.cc): per-process softbuffers + NDI tracking,
         # ACK/NACK on PUCCH 1a at n+4 (resource from the grant's first
         # CCE, 36.213 10.1) or multiplexed onto a granted PUSCH
@@ -274,8 +279,20 @@ class UeStack:
             return np.asarray(ue_ul_generate(self.cell, pucch=(pcfg, (1,))))
         if (self.state == "connected" and self.last_snr_db is not None
                 and tti % self.cqi_period_ms == self.cqi_offset):
-            # periodic wideband CQI on PUCCH format 2 (dropped when a
-            # PUSCH/SR transmission claimed the subframe above)
+            # periodic CQI on PUCCH format 2 (dropped when a PUSCH/SR
+            # transmission claimed the subframe above); an RI occasion
+            # (36.213 7.2.2, M_ri spacing) replaces the CQI report with
+            # the rank indicator (phch_worker.cc:1086)
+            ri_cfg = self.rrc.ri_cfg
+            if (ri_cfg is not None
+                    and tti % ri_cfg["period"] == ri_cfg["subframe"]):
+                from ..models.uci import ri_pack
+
+                self.events.append(f"ri_tx{self.last_ri}_tti{tti}")
+                pcfg = PucchConfig(cell=self.cell, sf_idx=tti % 10,
+                                   n_pucch=ri_cfg["n_pucch"], format="2")
+                return np.asarray(ue_ul_generate(
+                    self.cell, pucch=(pcfg, ri_pack(self.last_ri))))
             from ..models.measurements import cqi_from_snr
             from ..models.uci import cqi_pack_wideband
 
@@ -514,6 +531,7 @@ class UeStack:
         if ho.get("complete") is not None:
             self.srb1_rlc.write_sdu(ho["complete"])
         self.pusch_plan.clear()
+        self.cqi_on_pusch.clear()
         self.ack_plan.clear()
         self.phich_wait.clear()
         self.ul_harq.clear()
@@ -533,6 +551,7 @@ class UeStack:
         self.c_rnti = 0
         self.msg3 = None
         self.pusch_plan.clear()
+        self.cqi_on_pusch.clear()
         self.ack_plan.clear()
         self.phich_wait.clear()
         self.ul_harq.clear()
@@ -848,7 +867,22 @@ class UeStack:
             pad_bsr = self.bsr.generate_padding_bsr(room)
             if pad_bsr is not None:
                 self._add_bsr_ce(mac, pad_bsr)
-        if not mac.subpdus:
+        # aperiodic CSI request (36.213 7.2.1): measure the current DL
+        # subframe and ride an hl-subband CQI report on this PUSCH
+        # (cqi.c:45 srslte_cqi_hl_subband_pack; ulsch_uci_encode mux)
+        cqi_bits = None
+        if getattr(grant, "cqi_request", 0) and self._last_dl is not None:
+            from ..models.measurements import cqi_from_snr, subband_snrs
+            from ..models.uci import cqi_pack_hl_subband
+
+            snrs = subband_snrs(self._last_dl, self.cell, tti % 10)
+            wb_snr = 10.0 * np.log10(
+                max(np.mean(10.0 ** (snrs / 10.0)), 1e-10))
+            wb = int(np.asarray(cqi_from_snr(wb_snr)))
+            sbs = [int(np.asarray(cqi_from_snr(s))) for s in snrs]
+            cqi_bits = cqi_pack_hl_subband(wb, sbs, self.cell.nof_prb)
+            self.events.append(f"sbcqi_tx_wb{wb}_tti{tti + 4}")
+        if not mac.subpdus and cqi_bits is None:
             return
         cfg = PuschConfig(cell=self.cell, sf_idx=(tti + 4) % 10,
                           rnti=self.c_rnti, mod=mod,
@@ -856,6 +890,8 @@ class UeStack:
         if tti + 4 in self.pusch_plan:
             return          # a HARQ retransmission owns that subframe
         self.events.append(f"ul_grant_rx_tti{tti + 4}")
+        if cqi_bits is not None:
+            self.cqi_on_pusch[tti + 4] = cqi_bits
         self.pusch_plan[tti + 4] = (mac, cfg, tbs, 0)
 
     def _add_bsr_ce(self, mac: MacPdu, bsr) -> int:
@@ -883,13 +919,18 @@ class UeStack:
         self.ul_harq[pid] = dict(data=data, cfg=cfg, tbs=tbs, n_tx=n_tx)
         self.phich_wait[tti + 4] = pid
         bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.int8)
-        if ack_bits:
-            # HARQ-ACK multiplexed onto the granted PUSCH (36.212 5.2.2;
-            # srslte_ulsch_uci_encode)
+        cqi_bits = self.cqi_on_pusch.pop(tti, None)
+        if ack_bits or cqi_bits is not None:
+            # HARQ-ACK / aperiodic CQI multiplexed onto the granted
+            # PUSCH (36.212 5.2.2; srslte_ulsch_uci_encode)
             from ..models.pusch import UciData, UciPlan
 
-            self.events.append(f"ack_on_pusch_tti{cfg.sf_idx}")
-            plan = UciPlan(cfg, tbs, UciData(ack=tuple(ack_bits)), rv=rv)
+            if ack_bits:
+                self.events.append(f"ack_on_pusch_tti{cfg.sf_idx}")
+            uci = UciData(ack=tuple(ack_bits or ()),
+                          cqi_bits=(tuple(int(b) for b in cqi_bits)
+                                    if cqi_bits is not None else ()))
+            plan = UciPlan(cfg, tbs, uci, rv=rv)
         else:
             plan = cfg.plan(tbs, rv=rv)
         from ..models.ue_ul import ue_ul_pusch_jit
