@@ -375,6 +375,12 @@ class UeNas:
     t3410_ms: int = 0
     t3411_ms: int = 0
     t3421_ms: int = 0
+    #: periodic TAU timer (24.301 5.3.5; armed from the accept's T3412)
+    t3412_ms: int = 0
+    #: wall scale applied to T3412 (tests shrink hours to milliseconds)
+    t3412_scale: float = 1.0
+    #: T3412 expired while registered: run TAU at the next connection
+    pending_tau: bool = False
     attach_attempts: int = 0
     events: list = field(default_factory=list)
 
@@ -411,6 +417,7 @@ class UeNas:
     def tau_request(self) -> bytes:
         assert self.guti is not None
         self.state = "tau"
+        self.pending_tau = False
         return self._ul(nas.pack_tau_request(self.guti))
 
     def pdn_disconnect(self) -> bytes:
@@ -437,6 +444,13 @@ class UeNas:
             if self.t3421_ms <= 0 and self.state == "detaching":
                 self.events.append("t3421_local_detach")
                 self.state = "deregistered"
+        if self.t3412_ms > 0:
+            self.t3412_ms -= ms
+            if self.t3412_ms <= 0 and self.state == "attached":
+                # periodic TAU (24.301 5.3.5; srsue nas.cc t3412 expiry):
+                # the request itself rides the next RRC connection
+                self.events.append("t3412_expired")
+                self.pending_tau = True
         return None
 
     # -- downlink handling -------------------------------------------------------
@@ -515,6 +529,9 @@ class UeNas:
             if "guti" in v:
                 self.guti = v["guti"]
             self.state = "attached"
+            if "t3412" in v:
+                self.t3412_ms = int(
+                    nas.gprs_timer_ms(*v["t3412"]) * self.t3412_scale)
             self.events.append("tau_accept")
             return self._ul(nas.pack_tau_complete())
         if mt == nas.MSG_GUTI_REALLOCATION_COMMAND:
@@ -552,6 +569,8 @@ class UeNas:
         self.attached = True
         self.state = "attached"
         self.t3410_ms = self.t3411_ms = 0
+        self.t3412_ms = int(
+            nas.gprs_timer_ms(*v["t3412"]) * self.t3412_scale)
         accept = nas.pack_activate_default_bearer_accept(esm["ebi"],
                                                          esm["pti"])
         return self._ul(nas.pack_attach_complete(accept))

@@ -187,9 +187,12 @@ class UeRrc:
                    "critical_extensions": ("c1", ("r8", {
                        "selected_plmn_identity": 1,
                        # ECM-idle with a registered context re-activates
-                       # via Service Request (nas.cc), otherwise Attach
+                       # via Service Request; a pending T3412 expiry
+                       # sends the periodic TAU instead; else Attach
                        "dedicated_info_nas":
-                           self.nas.service_request()
+                           self.nas.tau_request()
+                           if getattr(self.nas, "pending_tau", False)
+                           else self.nas.service_request()
                            if getattr(self.nas, "attached", False)
                            else self.nas.attach_request()}))}
             return [(SRB1,

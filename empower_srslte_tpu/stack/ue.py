@@ -213,6 +213,13 @@ class UeStack:
             self.connect_pending = True
             self.connect_cause = "mo_Data"
             self.events.append("mo_data_ra")
+        # T3412 expiry while ECM-idle: wake and run the periodic TAU
+        # (24.301 5.3.5; the request rides the RRC SetupComplete)
+        if (self.state == "idle" and not self.connect_pending
+                and getattr(self.rrc.nas, "pending_tau", False)):
+            self.connect_pending = True
+            self.connect_cause = "mo_Signalling"
+            self.events.append("tau_ra")
         if (self.state in ("idle", "ho_ra")
                 and (self.connect_pending or self.state == "ho_ra")
                 and sf_idx == PRACH_SF

@@ -96,3 +96,48 @@ class TestMimoStack:
         assert len(ue.rx_ip) >= 2, (ue.events[-10:], enb.events[-10:])
         tags = {p[20:35] for p in ue.rx_ip}
         assert tags == {b"TB0-OVER-LAYER0", b"TB1-OVER-LAYER1"}
+
+
+class TestFourPortStack:
+    def test_tm2_4port_attach_and_user_plane(self):
+        """Attach + user plane on a 4-antenna-port cell: every DL channel
+        runs SFBC-FSTD (enb_dl.c:323-519 port loops; PBCH's CRC mask
+        blind-detects the port count), and the UE's 4-port chest +
+        SFBC-FSTD combiner carries the whole stack."""
+        import jax
+
+        from empower_srslte_tpu.upper.gtpu import gtpu_unpack
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1, nof_ports=4)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas)
+        # four distinct per-port channels: the FSTD combiner must use all
+        air = Air(cell.sf_sample_len,
+                  h_dl=(1.0, 0.45 - 0.62j, -0.3 + 0.8j, 0.7 + 0.2j))
+
+        ul_iq, attached_at, pushed = None, None, False
+        for tti in range(140):
+            if tti and tti % 150 == 0:
+                jax.clear_caches()
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            assert dl_iq.ndim == 2 and dl_iq.shape[0] == 4
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+                ue.send_ip(b"\x45\x00" + bytes(18) + b"PING-OVER-FSTD!")
+            if attached_at is not None and not pushed and enb.ul_gtpu:
+                pushed = True
+                pong = (b"\x45\x00" + bytes(14)
+                        + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                        + b"PONG-OVER-FSTD!")
+                fwd = mme.spgw.downlink(pong)
+                enb.deliver_gtpu(fwd[1])
+            if pushed and ue.rx_ip:
+                break
+
+        assert attached_at is not None, (ue.events[-8:], enb.events[-8:])
+        assert enb.ul_gtpu and \
+            gtpu_unpack(enb.ul_gtpu[0])[1].endswith(b"PING-OVER-FSTD!")
+        assert ue.rx_ip and ue.rx_ip[0].endswith(b"PONG-OVER-FSTD!")
