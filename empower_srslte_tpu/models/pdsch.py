@@ -104,6 +104,10 @@ class PdschConfig:
     pmi: int = 0
     prb_mask: tuple[bool, ...] | None = None
     prb_mask_slot1: tuple[bool, ...] | None = None   # distributed VRB hop
+    #: 8-bit quantized LLR lane (demod_soft.c byte scales + rm_turbo.c
+    #: int8 combining): quantize after CSI weighting, descramble/de-RM/
+    #: HARQ-combine in int8, decode in bf16
+    llr_int8: bool = False
 
     @functools.cached_property
     def re_indices(self) -> np.ndarray:
@@ -343,6 +347,10 @@ def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
         llr = demod_soft(syms, cfg.mod)
         w = jnp.repeat(csi, cfg.mod.bits_per_symbol, axis=-1)
         llr = llr * w
+        if cfg.llr_int8:
+            from ..ops.modem import quantize_llr_int8
+
+            llr = quantize_llr_int8(llr, cfg.mod)
         cw_llrs.append(descramble_llrs(llr, cfg.cinit(cw)))
 
     # Two codewords with the same plan and no HARQ state decode as ONE

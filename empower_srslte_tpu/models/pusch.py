@@ -108,6 +108,8 @@ class PuschConfig:
     delta_ss: int = 0
     group_hopping: bool = False
     sequence_hopping: bool = False
+    #: 8-bit quantized LLR lane (see PdschConfig.llr_int8)
+    llr_int8: bool = False
 
     def __post_init__(self):
         assert valid_prb(self.n_prb), f"n_prb={self.n_prb} not 2^a 3^b 5^c"
@@ -219,6 +221,10 @@ def pusch_decode(grid, cfg: PuschConfig, plan: DlschPlan, noise_est=0.0,
     csi = jnp.mean(jnp.abs(hh) ** 2, axis=-1, keepdims=True)
     csi = jnp.broadcast_to(csi, hh.shape).reshape(*despread.shape[:-2], -1)
     llr = llr * jnp.repeat(csi, cfg.mod.bits_per_symbol, axis=-1)
+    if cfg.llr_int8:
+        from ..ops.modem import quantize_llr_int8
+
+        llr = quantize_llr_int8(llr, cfg.mod)
     llr = descramble_llrs(llr, cfg.cinit())
     return dlsch_decode(llr, plan, softbuffers=softbuffers)
 

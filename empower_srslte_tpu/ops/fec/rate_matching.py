@@ -157,18 +157,31 @@ class RateMatchTurbo:
         pad = reps * n - e
         if pad:
             llr_e = jnp.pad(llr_e, [(0, 0)] * (llr_e.ndim - 1) + [(0, pad)])
-        summed = jnp.sum(
-            llr_e.reshape(*llr_e.shape[:-1], reps, n), axis=-2)
+        int8_lane = llr_e.dtype == jnp.int8
+        if int8_lane:
+            # 8-bit lane (rm_turbo.c:378-905 8-bit combining): widen to
+            # i32 for the repetition sum + HARQ add, saturate back to
+            # the symmetric int8 range like the reference's saturating
+            # SIMD adds
+            summed = jnp.sum(
+                llr_e.astype(jnp.int32).reshape(
+                    *llr_e.shape[:-1], reps, n), axis=-2)
+        else:
+            summed = jnp.sum(
+                llr_e.reshape(*llr_e.shape[:-1], reps, n), axis=-2)
         acc = place(summed, circle, d_flat_len)
         if softbuffer is not None:
-            acc = acc + softbuffer
+            acc = acc + (softbuffer.astype(jnp.int32) if int8_lane
+                         else softbuffer)
+        if int8_lane:
+            acc = jnp.clip(acc, -127, 127).astype(jnp.int8)
         new_soft = acc
 
         d_llr = acc.reshape(*acc.shape[:-1], 3, self.d)
         if self.f > 0:
             # filler bits are known zeros: pin a strong positive LLR
             # (convention: llr > 0 <=> bit 0)
-            strong = jnp.asarray(1e4, d_llr.dtype)
+            strong = jnp.asarray(127 if int8_lane else 1e4, d_llr.dtype)
             d_llr = d_llr.at[..., 0, : self.f].set(strong)
         return d_llr, new_soft
 

@@ -82,6 +82,20 @@ def modulate(bits, mod: Mod):
     return jnp.take(jnp.asarray(constellation(mod)), idx, axis=0)
 
 
+#: 8-bit LLR quantization gains per modulation — the reference's byte
+#: demodulators (demod_soft.c:44-46 SCALE_BYTE_CONV_QPSK/QAM16/QAM64)
+DEMOD_INT8_SCALE = {Mod.BPSK: 20.0, Mod.QPSK: 20.0,
+                    Mod.QAM16: 30.0, Mod.QAM64: 40.0}
+
+
+def quantize_llr_int8(llrs, mod: Mod):
+    """f32 LLRs -> int8 with the reference's per-modulation byte scale
+    and symmetric saturation at ±127 (the 8/16-bit receive lane of
+    demod_soft.c + rm_turbo.c:378 8-bit combining)."""
+    s = jnp.float32(DEMOD_INT8_SCALE[mod])
+    return jnp.clip(jnp.round(llrs * s), -127, 127).astype(jnp.int8)
+
+
 def demod_soft(symbols, mod: Mod, scale=1.0):
     """Max-log soft demapping: [..., n] -> LLRs [..., n*bps] float32.
 

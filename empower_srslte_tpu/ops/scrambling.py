@@ -25,8 +25,11 @@ def scramble_bits(bits, c_init: int):
 
 
 def descramble_llrs(llrs, c_init: int):
-    """RX: flip LLR signs where the scrambling bit is 1."""
+    """RX: flip LLR signs where the scrambling bit is 1 (dtype
+    preserved — the int8 quantized lane descrambles in int8)."""
     n = llrs.shape[-1]
     c = gold_sequence(c_init, n)
-    sign = jnp.asarray((1.0 - 2.0 * c).astype(np.float32))
+    sign = jnp.asarray((1.0 - 2.0 * c).astype(np.int8)
+                       if llrs.dtype == jnp.int8
+                       else (1.0 - 2.0 * c).astype(np.float32))
     return llrs * sign

@@ -83,3 +83,15 @@ def _clear_jax_caches_between_heavy_tests(request):
                     cache = getattr(mod, attr, None)
                     if isinstance(cache, dict):
                         cache.clear()
+
+
+def tti_hygiene(tti: int, period: int = 150) -> None:
+    """Shed in-memory XLA executables inside long TTI loops.
+
+    The XLA-CPU executable loader degrades after hundreds of in-process
+    compiles/loads (see _HEAVY_MODULES above); long OTA tests call this
+    once per TTI instead of scattering ad-hoc jax.clear_caches() calls.
+    The persistent compilation cache makes the reloads cheap.
+    """
+    if tti and tti % period == 0:
+        jax.clear_caches()

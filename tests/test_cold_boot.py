@@ -12,6 +12,7 @@ import numpy as np
 
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -29,8 +30,7 @@ class TestColdBoot:
 
         ul_iq = None
         for tti in range(260):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
             ul_iq = ue.tti(tti, air.dl(dl_iq))

@@ -15,6 +15,7 @@ import pytest
 from empower_srslte_tpu.models import uci as uci_mod
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -79,8 +80,7 @@ class TestCsiOverTheAir:
         fsel_started = None
         delivered = False
         for tti in range(420):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl = enb.tti(tti, air.ul(ul) if ul is not None else None)
             ul = ue.tti(tti, notch(air.dl(dl)))
             if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
@@ -141,8 +141,7 @@ class TestCsiOverTheAir:
 
         ul = None
         for tti in range(200):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl = enb.tti(tti, air.ul(ul) if ul is not None else None)
             ul = ue.tti(tti, air.dl(dl))
             st = enb.active_ues.get(ue.c_rnti) or {}

@@ -13,6 +13,7 @@ import numpy as np
 
 from empower_srslte_tpu.stack import EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -46,8 +47,7 @@ class TestHandoverOverTheAir:
         ul = None
         attached_at = flipped_at = None
         for tti in range(260):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl = (g1 * src.tti(tti, ul) + g2 * tgt.tti(tti, ul)
                   ).astype(np.complex64)
             ul = ue.tti(tti, dl)

@@ -13,6 +13,7 @@ import numpy as np
 
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -33,10 +34,7 @@ class TestIdlePaging:
         attached_at = released_at = paged_at = None
         ip_first = None
         for tti in range(260):
-            if tti and tti % 150 == 0:
-                # shed in-memory XLA executables (see conftest: the CPU
-                # loader degrades after hundreds of in-process loads)
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
             ul_iq = ue.tti(tti, air.dl(dl_iq))

@@ -15,6 +15,7 @@ import numpy as np
 from empower_srslte_tpu.stack import EnbStack, UeStack
 from empower_srslte_tpu.stack import si as si_mod
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -73,8 +74,7 @@ class TestIdleReselection:
         ip_first = None
         reselected_at = recamped_at = None
         for tti in range(700):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl = (g_a * enb_a.tti(tti, ul) + g_b * enb_b.tti(tti, ul)
                   ).astype(np.complex64)
             ul = ue.tti(tti, dl)

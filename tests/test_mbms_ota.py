@@ -13,6 +13,7 @@ import numpy as np
 from empower_srslte_tpu.epc.mbms_gw import MbmsGw
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -35,8 +36,7 @@ class TestMbmsOverTheAir:
         pushed = 0
         attached_at = None
         for tti in range(180):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl = enb.tti(tti, air.ul(ul) if ul is not None else None)
             ul = ue.tti(tti, air.dl(dl))
             if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:

@@ -12,6 +12,7 @@ import numpy as np
 
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -30,8 +31,7 @@ class TestMimoStack:
 
         ul_iq, attached_at, pushed = None, None, False
         for tti in range(140):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
             assert dl_iq.ndim == 2 and dl_iq.shape[0] == 2
@@ -68,8 +68,7 @@ class TestMimoStack:
 
         ul_iq, attached_at, pushed = None, None, False
         for tti in range(140):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
             ul_iq = ue.tti(tti, air.dl(dl_iq))
@@ -118,8 +117,7 @@ class TestFourPortStack:
 
         ul_iq, attached_at, pushed = None, None, False
         for tti in range(140):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl_iq = enb.tti(tti,
                             air.ul(ul_iq) if ul_iq is not None else None)
             assert dl_iq.ndim == 2 and dl_iq.shape[0] == 4

@@ -14,6 +14,7 @@ from empower_srslte_tpu.epc.mme import Mme, UeNas
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.upper import security
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 
 
 def _epc_two():
@@ -46,10 +47,7 @@ class TestTwoUes:
         ul1 = ul2 = None
         pinged = set()
         for tti in range(200):
-            if tti and tti % 150 == 0:
-                # the XLA-CPU executable loader degrades after hundreds
-                # of in-process loads (see conftest); shed them mid-test
-                jax.clear_caches()
+            tti_hygiene(tti)
             ul_sum = None
             for u in (ul1, ul2):
                 if u is not None:
@@ -109,8 +107,7 @@ class TestTwoUesDownlink:
         ul1 = ul2 = None
         pushed = False
         for tti in range(200):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             ul_sum = None
             for u in (ul1, ul2):
                 if u is not None:

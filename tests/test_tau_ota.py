@@ -9,6 +9,7 @@ import numpy as np
 
 from empower_srslte_tpu.stack import Air, EnbStack, UeStack
 from empower_srslte_tpu.utils.cell import Cell
+from tests.conftest import tti_hygiene
 from tests.test_stack import _epc
 
 
@@ -31,8 +32,7 @@ class TestPeriodicTau:
         tau_done_at = re_released_at = paged_at = None
         t3412_rearmed = False
         for tti in range(420):
-            if tti and tti % 150 == 0:
-                jax.clear_caches()
+            tti_hygiene(tti)
             dl = enb.tti(tti, air.ul(ul) if ul is not None else None)
             ul = ue.tti(tti, air.dl(dl))
             if attached_at is None and nas.attached and ue.rrc.drbs:
