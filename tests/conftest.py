@@ -70,10 +70,23 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+#: count of heavy tests since the last executable shed; the XLA-CPU
+#: loader degrades past ~3-4 full-stack tests' worth of in-process
+#: loads, so shed every 2nd heavy test instead of every test — one
+#: attach re-loads ~450 programs (~40 s even from the persistent
+#: cache), so amortizing the shed halves the heavy modules' wall time.
+_heavy_since_clear = 0
+
+
 @pytest.fixture(autouse=True)
 def _clear_jax_caches_between_heavy_tests(request):
     yield
+    global _heavy_since_clear
     if request.module.__name__.split(".")[-1] in _HEAVY_MODULES:
+        _heavy_since_clear += 1
+        if _heavy_since_clear < 2:
+            return
+        _heavy_since_clear = 0
         jax.clear_caches()
         for mod_name in list(sys.modules):
             if mod_name.startswith("empower_srslte_tpu"):
