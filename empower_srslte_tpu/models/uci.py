@@ -145,6 +145,28 @@ def cqi_unpack_ue_subband(bits: np.ndarray, l_bits: int):
     return wb, diff, pos
 
 
+def cqi_pack_format2_subband(subband_cqi: int, subband_label: int,
+                             label_2_bits: bool = True) -> np.ndarray:
+    """Periodic UE-selected subband report on PUCCH format 2 (36.213
+    mode 2-0; cqi.c:117 srslte_cqi_format2_subband_pack): 4-bit subband
+    CQI + 1/2-bit bandwidth-part label."""
+    n = 2 if label_2_bits else 1
+    bits = [(subband_cqi >> (3 - i)) & 1 for i in range(4)]
+    bits += [(subband_label >> (n - 1 - i)) & 1 for i in range(n)]
+    return np.array(bits, np.int8)
+
+
+def cqi_unpack_format2_subband(bits: np.ndarray,
+                               label_2_bits: bool = True):
+    bits = np.asarray(bits).astype(np.int64)
+    cqi = int((bits[0] << 3) | (bits[1] << 2) | (bits[2] << 1) | bits[3])
+    n = 2 if label_2_bits else 1
+    label = 0
+    for b in bits[4:4 + n]:
+        label = (label << 1) | int(b)
+    return cqi, label
+
+
 def ri_pack(ri: int, nof_bits: int = 1) -> np.ndarray:
     """Periodic RI payload for PUCCH format 2 (phch_worker.cc:1086
     uci_data.uci_ri on the RI occasion): rank-1 -> bit 0, rank-2 -> 1."""

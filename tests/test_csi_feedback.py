@@ -155,3 +155,13 @@ class TestCsiOverTheAir:
         assert st.get("ri") == 1     # single-port cell -> rank 1
         # CQI reporting continues on the non-RI occasions
         assert any(e.startswith("cqi_rx") for e in enb.events)
+
+
+class TestFormat2Subband:
+    def test_roundtrip(self):
+        """PUCCH format-2 UE-selected subband payload (cqi.c:117)."""
+        for cqi, label, two in ((11, 3, True), (7, 1, False)):
+            bits = uci_mod.cqi_pack_format2_subband(cqi, label, two)
+            assert len(bits) == 4 + (2 if two else 1)
+            c2, l2 = uci_mod.cqi_unpack_format2_subband(bits, two)
+            assert (c2, l2) == (cqi, label)
