@@ -120,7 +120,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                  mimo: MimoType = MimoType.SINGLE,
                  max_iterations: int = 5,
                  harq_state: dict | None = None,
-                 phich: tuple[int, int] | None = None) -> list[UeDlResult]:
+                 phich: tuple[int, int] | None = None,
+                 llr_int8: bool = False) -> list[UeDlResult]:
     """Decode one subframe for one RNTI (single rx antenna).
 
     samples [sf_sample_len] complex64 -> list of per-grant results.
@@ -131,6 +132,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
     failure stores them back.
     ``phich``: (group, seq) of an expected UL HARQ indicator
     (srslte_ue_dl_decode_phich, ue_dl.c:934) -> results carry phich_ack.
+    ``llr_int8``: run the PDSCH pipelines on the 8-bit quantized LLR
+    lane (demod byte scales, int8 de-RM + softbuffers).
     """
     from ..utils import device_complex
 
@@ -213,7 +216,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
             cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
                               mod=Mod.QPSK, mimo=mimo,
                               prb_mask=d1c.prb_mask,
-                              prb_mask_slot1=d1c.prb_mask_slot1)
+                              prb_mask_slot1=d1c.prb_mask_slot1,
+                              llr_int8=llr_int8)
             plan = cfg.plan(tbs, rv=0, max_iterations=max_iterations)
             bits, ok, _ = _pdsch_fn(cfg, plan)(grid, h, noise)
             results.append(UeDlResult(
@@ -238,7 +242,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
                               rnti=rnti, mod=mod2,
                               mimo=MimoType.SPATIAL_MUX, nof_layers=2,
                               nof_codewords=2, pmi=d2.pmi,
-                              prb_mask=d2.prb_mask)
+                              prb_mask=d2.prb_mask,
+                              llr_int8=llr_int8)
             plan0 = cfg.plan(tbs0, rv=d2.rv[0],
                              max_iterations=max_iterations)
             plan1 = cfg.plan(tbs1, rv=d2.rv[1],
@@ -266,7 +271,8 @@ def ue_dl_decode(samples, cell: Cell, sf_idx: int, rnti: int,
         except ValueError:
             continue      # reserved MCS / empty allocation: false positive
         cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
-                          mod=mod, mimo=mimo, prb_mask=d.prb_mask)
+                          mod=mod, mimo=mimo, prb_mask=d.prb_mask,
+                          llr_int8=llr_int8)
         plan = cfg.plan(tbs, rv=d.rv, max_iterations=max_iterations)
         soft_in, hst = None, None
         if harq_state is not None and not common_ss:

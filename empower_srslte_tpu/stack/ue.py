@@ -37,7 +37,8 @@ class UeStack:
                  cold_start: bool = False,
                  neighbor_pcis: tuple = (),
                  srb1_max_retx: int = 16, srb1_poll_retx: int = 40,
-                 msg3_delay: int = 4, resel_tick_ms: int = 1000):
+                 msg3_delay: int = 4, resel_tick_ms: int = 1000,
+                 llr_int8: bool = False):
         #: SRB1 RLC AM parameters (rr.conf maxRetxThreshold /
         #: t-PollRetransmit analogs); small values speed up RLF tests
         self.srb1_max_retx = srb1_max_retx
@@ -47,6 +48,11 @@ class UeStack:
         #: +4 used for every other grant — set 6 on BOTH stacks for
         #: spec-timed msg3 (the round-1 judge's "RAR timing divergence").
         self.msg3_delay = msg3_delay
+        #: 8-bit quantized receive lane for all PDSCH decodes (the
+        #: reference's byte demod + 8-bit combine path; see
+        #: ops/modem.quantize_llr_int8). int8 softbuffers shrink the
+        #: HARQ state 4x.
+        self.llr_int8 = llr_int8
         #: with cold_start the ctor cell is only a geometry hint (the RF
         #: tuning: sample rate / bandwidth); PCI, SFN, PRB count and the
         #: PRACH config are acquired over the air (phch_recv.cc
@@ -624,7 +630,7 @@ class UeStack:
                     self.cell, self.ul_harq[phich_pid]["cfg"].prb_start)
             for r in ue_dl_decode(samples, self.cell, sf_idx, rnti,
                                   mimo=mimo, harq_state=harq,
-                                  phich=phich):
+                                  phich=phich, llr_int8=self.llr_int8):
                 if phich is not None and r.phich_ack is not None:
                     self._on_phich(tti, phich_pid, r.phich_ack)
                     phich = None      # handle once

@@ -48,7 +48,7 @@ _HEAVY_MODULES = ("test_stack", "test_tun_gateway", "test_mac_procs",
                   "test_multi_ue", "test_idle_paging", "test_cold_boot",
                   "test_handover_ota", "test_mbms_ota", "test_mimo_stack",
                   "test_idle_reselect", "test_csi_feedback",
-                  "test_tau_ota")
+                  "test_tau_ota", "test_int8_lane")
 
 #: Modules excluded from the fast tier (`-m "not slow"`): the heavy
 #: full-stack modules above plus compile-bound kernel/integration sweeps.

@@ -123,3 +123,44 @@ class TestInt8Receiver:
         assert np.array_equal(np.asarray(bits), tb)
         # the softbuffers ride int8 (4x smaller HARQ state)
         assert all(np.asarray(s).dtype == np.int8 for s in soft)
+
+
+class TestInt8Stack:
+    def test_attach_and_user_plane_on_int8_lane(self):
+        """Full OTA attach + both-way user plane with the UE receiving
+        every PDSCH on the quantized int8 lane (byte demod scales, int8
+        de-RM/softbuffers) — the reference UE's default fast path."""
+        from empower_srslte_tpu.stack import Air, EnbStack, UeStack
+        from empower_srslte_tpu.upper.gtpu import gtpu_unpack
+        from tests.conftest import tti_hygiene
+        from tests.test_stack import _epc
+
+        mme, nas = _epc()
+        cell = Cell(nof_prb=25, id=1)
+        enb = EnbStack(cell, mme)
+        ue = UeStack(cell, nas, llr_int8=True)
+        air = Air(cell.sf_sample_len, snr_db=18.0)
+
+        ul_iq, attached_at, pushed = None, None, False
+        for tti in range(140):
+            tti_hygiene(tti)
+            dl_iq = enb.tti(tti,
+                            air.ul(ul_iq) if ul_iq is not None else None)
+            ul_iq = ue.tti(tti, air.dl(dl_iq))
+            if attached_at is None and ue.rrc.nas.attached and ue.rrc.drbs:
+                attached_at = tti
+                ue.send_ip(b"\x45\x00" + bytes(18) + b"PING-OVER-INT8!")
+            if attached_at is not None and not pushed and enb.ul_gtpu:
+                pushed = True
+                pong = (b"\x45\x00" + bytes(14)
+                        + bytes(map(int, ue.rrc.nas.ue_ip.split(".")))
+                        + b"PONG-OVER-INT8!")
+                fwd = mme.spgw.downlink(pong)
+                enb.deliver_gtpu(fwd[1])
+            if pushed and ue.rx_ip:
+                break
+
+        assert attached_at is not None, (ue.events[-8:], enb.events[-8:])
+        assert enb.ul_gtpu and \
+            gtpu_unpack(enb.ul_gtpu[0])[1].endswith(b"PING-OVER-INT8!")
+        assert ue.rx_ip and ue.rx_ip[0].endswith(b"PONG-OVER-INT8!")
