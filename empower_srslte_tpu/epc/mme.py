@@ -102,6 +102,14 @@ class Mme:
         ctx.dl_count += 1
         return out
 
+    #: additional tracking-area codes this MME serves beyond TAC (the
+    #: accepts' TAI list; a UE reselecting into one of these stays
+    #: registered without further TAU loops)
+    extra_tacs: list = []
+
+    def _tai_list(self) -> list:
+        return [(PLMN, TAC)] + [(PLMN, t) for t in self.extra_tacs]
+
     def _attach_accept(self, ctx: UeContext, enb_teid: int) -> bytes:
         res = self.gtpc.create_session(ctx.imsi, enb_teid)
         ctx.ue_ip = res["ue_ip"]
@@ -113,7 +121,7 @@ class Mme:
             ebi=ctx.ebi, pti=ctx.pti, apn=ctx.apn,
             addr=bytes(int(x) for x in ctx.ue_ip.split(".")),
             qci=9, apn_ambr=(254, 254))
-        acc = nas.pack_attach_accept(esm=esm, tai_list=[(PLMN, TAC)],
+        acc = nas.pack_attach_accept(esm=esm, tai_list=self._tai_list(),
                                      t3412=(2, 30), guti=guti)
         return self._dl(ctx, acc)
 
@@ -277,7 +285,7 @@ class Mme:
             guti = self._alloc_guti(ctx)
             ctx.state = "tau"
             return self._dl(ctx, nas.pack_tau_accept(
-                t3412=(2, 30), guti=guti, tai_list=[(PLMN, TAC)]))
+                t3412=(2, 30), guti=guti, tai_list=self._tai_list()))
         if mt == nas.MSG_TAU_COMPLETE and ctx.state == "tau":
             ctx.state = "attached"
             return None
@@ -381,6 +389,9 @@ class UeNas:
     t3412_scale: float = 1.0
     #: T3412 expired while registered: run TAU at the next connection
     pending_tau: bool = False
+    #: registered TAI list from the last attach/TAU accept (24.301
+    #: 5.5.3.2.2: entering a TA outside it triggers a normal TAU)
+    tai_list: list = field(default_factory=list)
     attach_attempts: int = 0
     events: list = field(default_factory=list)
 
@@ -528,6 +539,8 @@ class UeNas:
             v = nas.unpack_tau_accept(inner)
             if "guti" in v:
                 self.guti = v["guti"]
+            if "tai_list" in v:
+                self.tai_list = list(v["tai_list"])
             self.state = "attached"
             if "t3412" in v:
                 self.t3412_ms = int(
@@ -562,6 +575,7 @@ class UeNas:
         v = nas.unpack_attach_accept(inner)
         if "guti" in v:
             self.guti = v["guti"]
+        self.tai_list = list(v.get("tai_list") or [])
         esm = nas.unpack_activate_default_bearer_request(v["esm"])
         self.ue_ip = ".".join(str(b) for b in esm["addr"][:4])
         self.apn = esm["apn"]

@@ -92,7 +92,7 @@ class EnbStack:
     def __init__(self, cell: Cell, mme, rsi: int = 128,
                  cfi: int = 2, agent=None, paging_cycle: int = 32,
                  broadcast: bool = False, msg3_delay: int = 4,
-                 aperiodic_cqi: bool = False):
+                 aperiodic_cqi: bool = False, tac: int = 7):
         #: request 36.213 7.2.1 aperiodic hl-subband CQI on UL grants
         #: when the stored report is stale, and use it for
         #: frequency-selective DL allocation + per-allocation MCS
@@ -138,7 +138,7 @@ class EnbStack:
             from ..mac.bcch import SibConfig, SibScheduler
             from . import si as si_mod
 
-            self.sib_payloads = [si_mod.build_sib1(cell),
+            self.sib_payloads = [si_mod.build_sib1(cell, tac=tac),
                                  si_mod.build_sib2(rsi)]
             self.sib_sched = SibScheduler(sibs=[
                 SibConfig(payload_len=len(self.sib_payloads[0]),

@@ -398,11 +398,25 @@ class UeStack:
                 return
         if not self._have_sib2:
             return
+        self._check_tac_tau()
         self.state = "idle"           # camped; RA armed
         # keep monitoring SI while idle until SIB3/SIB4 arrive (their
         # period_rf=8 occasions recur within ~2 cycles)
         self._si_budget = 250
         self.events.append("camped")
+
+    def _check_tac_tau(self) -> None:
+        """Normal TAU on tracking-area change (24.301 5.5.3.2.2; srsue
+        nas.cc runs TAU when the camped TAI falls outside the registered
+        TAI list — e.g. after an idle reselection across a TA border)."""
+        nas_obj = self.rrc.nas
+        if (getattr(nas_obj, "attached", False)
+                and getattr(nas_obj, "tai_list", None)
+                and self.access_info["tac"] not in
+                [t for _p, t in nas_obj.tai_list]):
+            nas_obj.pending_tau = True
+            self.events.append(
+                f"tau_on_tac_change_{self.access_info['tac']}")
 
     def _bar_and_research(self) -> None:
         """Reject the current cell and restart cell search with its

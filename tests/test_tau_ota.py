@@ -94,3 +94,55 @@ class TestPeriodicTau:
             if ue.rx_ip:
                 break
         assert ue.rx_ip and ue.rx_ip[0].endswith(b"ALIVE-AFTER-TAU!")
+
+
+class TestTauOnTacChange:
+    def test_camp_outside_tai_list_arms_tau(self):
+        """24.301 5.5.3.2.2: camping on a TA outside the registered TAI
+        list (e.g. after idle reselection across a TA border) arms a
+        normal TAU; the TAU accept's TAI list stops the loop."""
+        from empower_srslte_tpu.epc import nas as nas_mod
+        from empower_srslte_tpu.epc.mme import PLMN, UeNas
+        from empower_srslte_tpu.stack import UeStack
+        from empower_srslte_tpu.utils.cell import Cell
+
+        mme, nas = _epc()
+        mme.extra_tacs = [9]          # the MME serves TACs {7, 9}
+        ue = UeStack(Cell(nof_prb=25, id=1), nas)
+
+        # registered under TAC 7 (what an attach accept delivers)
+        nas.attached = True
+        nas.state = "attached"
+        nas.tai_list = [(PLMN, 7)]
+
+        # the camp decision on a TAC-9 cell (the _acquire camp tail
+        # after an idle reselection) arms the TAU
+        ue.access_info = {"tac": 9, "plmns": [PLMN], "barred": False,
+                          "q_rx_lev_min_db": -130}
+        ue._check_tac_tau()
+        assert nas.pending_tau
+        assert any(e.startswith("tau_on_tac_change_9") for e in ue.events)
+        # same TA again: no re-trigger once the list covers it
+        nas.pending_tau = False
+        nas.tai_list = [(PLMN, 7), (PLMN, 9)]
+        ue._check_tac_tau()
+        assert not nas.pending_tau
+
+    def test_tau_accept_updates_tai_list(self):
+        """The TAU accept's TAI list replaces the registered list (so a
+        multi-TA pool stops retriggering)."""
+        from empower_srslte_tpu.epc import nas as nas_mod
+        from empower_srslte_tpu.epc.mme import PLMN, TAC, Guti
+
+        mme, nas = _epc()
+        mme.extra_tacs = [9]
+        # drive a real NAS attach directly (no PHY): the attach accept
+        # carries the full TAI list
+        pdu = nas.attach_request()
+        while pdu is not None:
+            down = mme.handle_ul_nas(pdu, enb_teid=0x10)
+            if down is None:
+                break
+            pdu = nas.handle_dl_nas(down)
+        assert nas.attached
+        assert (PLMN, TAC) in nas.tai_list and (PLMN, 9) in nas.tai_list
