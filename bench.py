@@ -244,6 +244,11 @@ def main():
                            ".bench_partial.json")
 
     def checkpoint():
+        # progressive capture: print the cumulative JSON after every
+        # phase (the driver reads the LAST stdout line, so a hard kill
+        # mid-run still leaves the latest completed phases on record)
+        # and mirror it to .bench_partial.json
+        print(json.dumps(out), flush=True)
         try:
             with open(partial, "w") as f:
                 f.write(json.dumps(out) + "\n")
