@@ -156,8 +156,14 @@ def profile_dlsch_detail(batch=128):
     plan = cfg.plan(tbs)
     print("cb_plans:", plan.segm.c, "CBs,",
           sorted({(k, e) for k, e, _f, _o in plan.cb_plans}))
-    llr = jnp.asarray(rng.normal(size=(batch, plan.g)).astype(np.float32)
-                      * 8)
+    # DECODABLE llrs (valid codeword + margin): the early-stop path's
+    # runtime depends on when CRCs pass — random data never passes and
+    # measures the worst case instead of the operating point
+    from empower_srslte_tpu.models.sch import dlsch_encode
+
+    tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+    cw = jax.jit(lambda t: dlsch_encode(t, plan))(jnp.asarray(tb))
+    llr = (1.0 - 2.0 * cw.astype(jnp.float32)) * 8.0
 
     (k, e, f), members = max(
         {(kk, ee, ff): [(i, o) for i, (k2, e2, f2, o) in
