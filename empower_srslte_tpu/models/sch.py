@@ -18,6 +18,8 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from ..ops.fec.cbsegm import CbSegm, cbsegm
@@ -135,13 +137,254 @@ def dlsch_encode(tb_bits, plan: DlschPlan):
     return jnp.concatenate(out, axis=-1)
 
 
+def _fused_geometry(llrs, plan: DlschPlan):
+    """Fused-path eligibility: returns (lanes, sub, interpret) or None.
+
+    The fused path (``_dlsch_decode_fused``) needs the NII Pallas kernel
+    (TPU, or interpret mode for tests), a window for every CB size, and a
+    trailing batch axis foldable into the kernel lane width.
+    """
+    import os
+
+    if os.environ.get("SRSLTE_FUSED_RX", "1") == "0":
+        return None
+    if llrs.ndim < 2:
+        return None
+    impl = plan.decoder_impl
+    if impl == "auto":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return None
+        interpret = False
+    elif impl in ("pallas2", "pallas2_interpret"):
+        interpret = impl.endswith("interpret")
+    else:
+        return None
+    for k in set(plan.segm.cb_sizes):
+        if _pick_window(k) is None:
+            return None
+    lanes_dim = llrs.shape[-2]
+    sub = int(os.environ.get("TURBO_SUB", 0)) or 8
+    lanes = int(os.environ.get("TURBO_LANES", 0)) or (
+        256 if lanes_dim % 256 == 0 else 128 if lanes_dim % 128 == 0 else 0)
+    if not lanes or lanes_dim % lanes:
+        return None
+    return lanes, sub, interpret
+
+
+def _derm_softbuffers(llrs, plan: DlschPlan):
+    """First-transmission softbuffers via the classic de-rate-matching
+    path (rate_matching.rx) — the fused decode path does not materialize
+    the d-domain LLR buffer, so HARQ state is produced here instead; XLA
+    dead-code-eliminates this whole graph when the caller discards it."""
+    new_soft = [None] * plan.segm.c
+    groups: dict = {}
+    for idx, (k, e, f, off) in enumerate(plan.cb_plans):
+        groups.setdefault((k, e, f), []).append((idx, off))
+    for (k, e, f), members in groups.items():
+        seg = jnp.stack([llrs[..., off : off + e] for _, off in members],
+                        axis=-2)
+        _d, ns = plan.rm(k, f).rx(seg, plan.rv)
+        for j, (idx, _off) in enumerate(members):
+            new_soft[idx] = ns[..., j, :]
+    return new_soft
+
+
+def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
+                        interpret: bool):
+    """TB decode with the fused receiver feed (ops/fec/derm_tiles.py).
+
+    Replaces slice -> de-rate-match -> stream split -> transpose -> tile
+    pack with three precomputed-index row-gathers per CB-size group, and
+    keeps every CRC (per-CB early stop, per-CB check, TB CRC24A across
+    CBs via shift-matrix composition, the zero-TB guard) in the kernel's
+    tile layout as MXU contractions. Behaviorally identical to the
+    classic path below (asserted by tests/test_fused_rx.py); the
+    reference semantics mirrored are decode_tb_cb + srslte_crc checks
+    (lib/src/phy/phch/sch.c:307-437).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.fec.derm_tiles import (build_tile_plan,
+                                      parity_rows_interleaved, shift_matrix)
+    from ..ops.fec.tables import qpp_deinterleaver, qpp_interleaver
+
+    segm = plan.segm
+    c = segm.c
+    lead = llrs.shape[:-1]
+    g = llrs.shape[-1]
+    folds = lead[-1] // lanes
+    rest = int(np.prod(lead[:-1], dtype=np.int64)) * folds
+    n_tb_bits = plan.tbs + 24
+    dt = jnp.bfloat16
+    int8_lane = llrs.dtype == jnp.int8
+
+    x = llrs.reshape(rest, lanes, g).astype(dt)
+    src = jnp.swapaxes(x, -1, -2).reshape(rest * g, lanes)
+    zero_row, strong_row = rest * g, rest * g + 1
+    # Filler-bit prior, scaled to the data: the classic path pins 1e4
+    # (rate_matching.rx), which is exact in f32 but destroys bf16
+    # precision inside the kernel's 16-step renormalization groups — the
+    # alpha metrics carry a ~prior*f/2 common offset whose bf16 ulp
+    # swamps the real LLRs (bits right after the filler region decode
+    # wrong). A prior of a few mean-|LLR|, capped so offset/256 stays
+    # well under the LLR scale even for the max filler count, conveys
+    # the same known-zero information without the precision cliff.
+    f_max = max((f for _k, _e, f, _o in plan.cb_plans), default=0)
+    c_f = min(8.0, 128.0 / f_max) if f_max else 8.0
+    strong = (jnp.float32(127.0) if int8_lane
+              else c_f * jnp.mean(jnp.abs(llrs).astype(jnp.float32)))
+    src = jnp.concatenate(
+        [src, jnp.zeros((1, lanes), dt),
+         jnp.broadcast_to(strong.astype(dt), (1, lanes))], axis=0)
+
+    # cb bookkeeping in TB order: payload spans and CRC-shift suffixes
+    plens, starts = [], []
+    pos = 0
+    for i, (k, e, f, off) in enumerate(plan.cb_plans):
+        plen = k - f - (24 if c > 1 else 0)
+        starts.append(pos)
+        plens.append(plen)
+        pos += plen
+    assert pos == n_tb_bits, (pos, n_tb_bits)
+
+    groups: dict = {}
+    for i, (k, e, f, off) in enumerate(plan.cb_plans):
+        groups.setdefault(k, []).append((i, e, f, off))
+
+    stop = plan.early_stop
+    ok_parts, cnt_parts, tb_snd_parts = [], [], []
+    pieces: dict = {}
+    for k, mem in groups.items():
+        mg = len(mem)
+        members = tuple((e, f, r * g + off)
+                        for r in range(rest) for (_i, e, f, off) in mem)
+        tplan = build_tile_plan(k, members, plan.rv, sub,
+                                zero_row, strong_row)
+        t_tiles = tplan["sys"].shape[1]
+
+        def take(name):
+            idx = jnp.asarray(tplan[name])
+            outr = jnp.take(src, idx, axis=0)  # [reps, T, rows, sub, lanes]
+            out = outr[0] if idx.shape[0] == 1 else jnp.sum(outr, axis=0)
+            if int8_lane and idx.shape[0] > 1:
+                # saturating repetition combining (rm_turbo.c:378 8-bit)
+                out = jnp.clip(out, -127, 127)
+            return out
+
+        tiles = [take(n) for n in
+                 ("sys", "par1", "par2", "ut1", "pt1", "ut2", "pt2")]
+
+        crc_poly = (CRC24B if c > 1 else CRC24A).poly
+        p_int = jnp.asarray(parity_rows_interleaved(crc_poly, 24, k))
+
+        def synd(llr_int, p):
+            bits = (llr_int < 0).astype(jnp.float32)
+            return jnp.mod(
+                jnp.einsum("tksl,kc->tcsl", bits, p,
+                           preferred_element_type=jnp.float32), 2.0)
+
+        crc_check = ((lambda li, p=p_int: jnp.all(synd(li, p) == 0.0))
+                     if stop else None)
+        dec = plan.decoder(k)
+        llr_int = dec.decode_tiles(*tiles, crc_check=crc_check,
+                                   interpret=interpret)
+        bits_int = (llr_int < 0)
+
+        # per-CB CRC
+        s_cb = synd(llr_int, p_int)             # [T, 24, sub, lanes]
+        okslot = jnp.all(s_cb == 0.0, axis=1)   # [T, sub, lanes]
+        okm = okslot.reshape(-1, lanes)[: rest * mg]
+        ok_parts.append(jnp.all(okm.reshape(rest, mg, lanes), axis=1))
+
+        # zero-TB guard: count of one-bits over the payload region
+        paymask = np.zeros(k, np.float32)
+        paymask[: (k - 24 if c > 1 else k)] = 1.0
+        pm_int = jnp.asarray(paymask[qpp_interleaver(k)])
+        cnts = jnp.einsum("tksl,k->tsl", bits_int.astype(jnp.float32), pm_int,
+                          preferred_element_type=jnp.float32)
+        cm = cnts.reshape(-1, lanes)[: rest * mg]
+        cnt_parts.append(jnp.sum(cm.reshape(rest, mg, lanes), axis=1))
+
+        if c > 1:
+            # TB CRC24A from per-CB local syndromes + x^suffix shifts
+            p0 = parity_rows_interleaved(CRC24A.poly, 24, k, (0, k - 24))
+            s_loc_raw = jnp.einsum(
+                "tksl,kc->tcsl", bits_int.astype(jnp.float32), jnp.asarray(p0),
+                preferred_element_type=jnp.float32)
+            fs = {f for _i, _e, f, _o in mem if f > 0}
+            if fs:
+                ff = fs.pop()
+                pf = parity_rows_interleaved(CRC24A.poly, 24, k,
+                                             (ff, k - 24))
+                pd = jnp.asarray(pf - p0)
+                mask = np.zeros((t_tiles, 1, sub, 1), np.float32)
+                for q, (_i, _e, f, _o) in enumerate(
+                        (m for _r in range(rest) for m in mem)):
+                    if f > 0:
+                        mask[q // sub, 0, q % sub, 0] = 1.0
+                s_loc_raw = s_loc_raw + jnp.asarray(mask) * jnp.einsum(
+                    "tksl,kc->tcsl", bits_int.astype(jnp.float32), pd,
+                    preferred_element_type=jnp.float32)
+            s_loc = jnp.mod(s_loc_raw, 2.0)
+            w_np = np.zeros((t_tiles, sub, 24, 24), np.float32)
+            for q in range(rest * mg):
+                i_cb = mem[q % mg][0]
+                suffix = n_tb_bits - (starts[i_cb] + plens[i_cb])
+                w_np[q // sub, q % sub] = shift_matrix(
+                    CRC24A.poly, 24, suffix)
+            shifted = jnp.einsum("tcsl,tsdc->tdsl", s_loc,
+                                 jnp.asarray(w_np),
+                                 preferred_element_type=jnp.float32)
+            sm = jnp.moveaxis(shifted, 1, 2).reshape(-1, 24, lanes)
+            sm = sm[: rest * mg].reshape(rest, mg, 24, lanes)
+            tb_snd_parts.append(jnp.sum(sm, axis=1))
+
+        # natural-order payload bits per CB (dead-code-eliminated when
+        # the caller only consumes crc_ok)
+        pinv = jnp.asarray(qpp_deinterleaver(k))
+        bits_nat = bits_int.astype(jnp.int8)[:, pinv]
+        arr = jnp.moveaxis(bits_nat, 1, 0).reshape(k, -1, lanes)
+        arr = arr[:, : rest * mg].reshape(k, rest, mg, lanes)
+        for j, (i_cb, _e, f, _off) in enumerate(mem):
+            pieces[i_cb] = arr[f : f + plens[i_cb], :, j]
+
+    tb_ok = ok_parts[0]
+    for okp in ok_parts[1:]:
+        tb_ok = jnp.logical_and(tb_ok, okp)
+    cnt = cnt_parts[0]
+    for cp in cnt_parts[1:]:
+        cnt = cnt + cp
+    tb_ok = jnp.logical_and(tb_ok, cnt > 0)
+    if c > 1:
+        snd = tb_snd_parts[0]
+        for sp in tb_snd_parts[1:]:
+            snd = snd + sp
+        tb_ok = jnp.logical_and(
+            tb_ok, jnp.all(jnp.mod(snd, 2.0) == 0.0, axis=-2))
+
+    full_bits = jnp.concatenate([pieces[i] for i in range(c)], axis=0)
+    tb_bits = jnp.moveaxis(full_bits, 0, -1).reshape(*lead, n_tb_bits)
+    return (tb_bits[..., : plan.tbs], tb_ok.reshape(*lead),
+            _derm_softbuffers(llrs, plan))
+
+
 def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
     """Decode llrs[..., G] -> (tb_bits[..., tbs], crc_ok[...], softbuffers).
 
     Mirrors decode_tb / decode_tb_cb (sch.c:307-437): per-CB de-rate-match
     with HARQ combining into ``softbuffers`` (list of per-CB arrays or
     None), batched turbo decode, CB CRC checks, reassembly, TB CRC.
+
+    On TPU with the NII Pallas decoder and no incoming HARQ state, the
+    fused feed path (_dlsch_decode_fused) is used instead — identical
+    results, one HBM materialization instead of six.
     """
+    if softbuffers is None:
+        geo = _fused_geometry(llrs, plan)
+        if geo is not None:
+            return _dlsch_decode_fused(llrs, plan, *geo)
     segm = plan.segm
     stop_crc = (CRC24B if segm.c > 1 else CRC24A) if plan.early_stop else None
 

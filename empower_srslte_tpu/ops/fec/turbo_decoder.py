@@ -344,20 +344,102 @@ class TurboDecoder:
         )
         return sys1, par1, sys2_tail, par2
 
-    def _decode_nii(self, d_llr, iterations: int | None = None, crc=None,
-                    interpret: bool = False):
-        """v2 fast path: NII windowed kernel in batch-tile-major layout
-        (turbo_decoder_pallas2.py). Same contract as ``decode``."""
+    def decode_tiles(self, sys_t, par1_t, par2_t, ut1, pt1, ut2, pt2, *,
+                     iterations: int | None = None, crc_check=None,
+                     interpret: bool = False):
+        """NII iteration driver operating purely in the kernel's
+        batch-tile layout (turbo_decoder_pallas2.py).
+
+        sys_t/par1_t/par2_t: [T, K, sub, lanes]; tails: [T, 8, sub, lanes]
+        (rows 0-2 real). ``crc_check(llr_int) -> bool scalar`` is the
+        early-stop predicate evaluated on the INTERLEAVED-domain
+        a-posteriori LLR tiles (llr_int row q <-> natural bit pi[q]), so
+        no per-iteration deinterleave gather or layout change is needed
+        (the reference checks CRCs between iterations at sch.c:382; here
+        the check is one MXU contraction, see ops/fec/derm_tiles.py).
+
+        Returns llr_int [T, K, sub, lanes]; the natural-order LLRs are
+        ``llr_int[:, qpp_deinterleaver(k)]``.
+        """
+        import os
+
         import jax
         import jax.numpy as jnp
 
-        from .turbo_decoder_pallas2 import (from_tiles, map_decode_nii,
-                                            to_tiles)
+        from .turbo_decoder_pallas2 import map_decode_nii
 
         iters = self.iterations if iterations is None else iterations
         k = self.k
         l = self.window
         pi = jnp.asarray(qpp_interleaver(k))
+        t_tiles, _, sub, lanes = sys_t.shape
+        dt = sys_t.dtype
+        group = int(os.environ.get("TURBO_GROUP", 0)) or 16
+        wpp = self.wpp if self.wpp else \
+            int(os.environ.get("TURBO_WPP", 0)) or 1
+        if (k // l) % wpp:
+            wpp = 1
+        w_count = k // l
+        zst = jnp.zeros((t_tiles, w_count + 1, 8, sub, lanes), dt)
+
+        dec = lambda u, p, ut, pt, a, bb: map_decode_nii(
+            u, p, ut, pt, a, bb, l=l, lanes=lanes, group=group,
+            interpret=interpret, wpp=wpp, sub=sub)
+
+        pinv = jnp.asarray(qpp_deinterleaver(k))
+
+        def iteration(state, with_llr=True):
+            ext2, a1, b1, a2, b2 = state
+            u1 = sys_t + ext2
+            ext1, a1, b1 = dec(u1, par1_t, ut1, pt1, a1, b1)
+            u2 = (sys_t + ext1)[:, pi]
+            ext2i, a2, b2 = dec(u2, par2_t, ut2, pt2, a2, b2)
+            # a-posteriori LLRs stay in the interleaved domain; they are
+            # only materialized when the caller needs this iteration's
+            # output (last fixed iteration, or every iteration under CRC
+            # early stop)
+            llr_int = (u2 + ext2i) if with_llr else None
+            return (ext2i[:, pinv], a1, b1, a2, b2), llr_int
+
+        state = (jnp.zeros_like(sys_t), zst, zst, zst, zst)
+        if crc_check is None:
+            # fixed iterations ride a lax.scan so XLA compiles ONE
+            # iteration body (plus the final llr-emitting call) instead
+            # of unrolling `iters` copies — cuts cold-compile ~3x at
+            # equal steady-state throughput.
+            if iters > 1:
+                def body(st, _):
+                    st, _ = iteration(st, with_llr=False)
+                    return st, None
+                state, _ = jax.lax.scan(body, state, None, length=iters - 1)
+            _, llr_int = iteration(state)
+        else:
+            def cond(carry):
+                it, state, llr_int, done = carry
+                return jnp.logical_and(it < iters, jnp.logical_not(done))
+
+            def body(carry):
+                it, state, _, _ = carry
+                state, llr_int = iteration(state)
+                return it + 1, state, llr_int, crc_check(llr_int)
+
+            state, llr_1 = iteration(state)
+            _, _, llr_int, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.ones((), jnp.int32), state, llr_1, crc_check(llr_1)))
+        return llr_int
+
+    def _decode_nii(self, d_llr, iterations: int | None = None, crc=None,
+                    interpret: bool = False):
+        """v2 fast path: NII windowed kernel in batch-tile-major layout
+        (turbo_decoder_pallas2.py). Same contract as ``decode``."""
+        import os
+
+        import jax.numpy as jnp
+
+        from .turbo_decoder_pallas2 import from_tiles, to_tiles
+
+        k = self.k
         pinv = jnp.asarray(qpp_deinterleaver(k))
         dt = jnp.bfloat16 if self.dtype == "auto" else jnp.dtype(self.dtype)
         if d_llr.dtype != dt:
@@ -372,8 +454,6 @@ class TurboDecoder:
         par2_tm = tm(par2)
         sys2_tail_tm = tm(sys2_tail)
 
-        import os
-
         # folded-batch tile geometry: sub x lanes per tile. sub=8 with
         # wide lanes measured fastest on v5e; the (16,128) native-bf16
         # and (32,128) layouts are exposed via TURBO_SUB but measured
@@ -382,83 +462,31 @@ class TurboDecoder:
         sub = int(os.environ.get("TURBO_SUB", 0)) or 8
         lanes = int(os.environ.get("TURBO_LANES", 0)) \
             or (256 if b >= sub * 256 else 128)
-        group = int(os.environ.get("TURBO_GROUP", 0)) or 16
-        # windows interleaved per program (ILP knob — measured neutral-to-
-        # negative on v5e, kept for other topologies); must divide K/window
-        wpp = self.wpp if self.wpp else \
-            int(os.environ.get("TURBO_WPP", 0)) or 1
-        if (k // l) % wpp:
-            wpp = 1
         bp = (-b) % (sub * lanes)
         cp = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp \
             else (lambda x: x)
         pad8 = lambda x: jnp.pad(x, ((0, 8 - x.shape[0]), (0, 0)))
         tiles = lambda x: to_tiles(cp(x), lanes, sub)
 
-        sys_t = tiles(sys1_tm[:k])
-        par1_t = tiles(par1_tm[:k])
-        par2_t = tiles(par2_tm[:k])
-        ut1 = tiles(pad8(sys1_tm[k:]))
-        pt1 = tiles(pad8(par1_tm[k:]))
-        ut2 = tiles(pad8(sys2_tail_tm))
-        pt2 = tiles(pad8(par2_tm[k:]))
+        crc_check = None
+        if crc is not None:
+            from .derm_tiles import parity_rows_interleaved
 
-        t_tiles = sys_t.shape[0]
-        w_count = k // l
-        zst = jnp.zeros((t_tiles, w_count + 1, 8, sub, lanes), dt)
+            p_int = jnp.asarray(parity_rows_interleaved(
+                crc.poly, crc.order, k), jnp.float32)
 
-        dec = lambda u, p, ut, pt, a, bb: map_decode_nii(
-            u, p, ut, pt, a, bb, l=l, lanes=lanes, group=group,
-            interpret=interpret, wpp=wpp, sub=sub)
+            def crc_check(llr_int):
+                bits = (llr_int < 0).astype(jnp.float32)
+                snd = jnp.einsum("tksl,kc->tcsl", bits, p_int,
+                                 preferred_element_type=jnp.float32)
+                return jnp.all(jnp.mod(snd, 2.0) == 0.0)
 
-        def iteration(state, with_llr=True):
-            ext2, a1, b1, a2, b2 = state
-            u1 = sys_t + ext2
-            ext1, a1, b1 = dec(u1, par1_t, ut1, pt1, a1, b1)
-            u2 = (sys_t + ext1)[:, pi]
-            ext2i, a2, b2 = dec(u2, par2_t, ut2, pt2, a2, b2)
-            # the a-posteriori deinterleave is only materialized when the
-            # caller needs this iteration's LLRs (last fixed iteration, or
-            # every iteration under CRC early-stop) — one full-size
-            # add+gather of glue traffic saved per skipped iteration
-            llr_nat = (u2 + ext2i)[:, pinv] if with_llr else None
-            return (ext2i[:, pinv], a1, b1, a2, b2), llr_nat
-
-        state = (jnp.zeros_like(sys_t), zst, zst, zst, zst)
-        if crc is None:
-            # fixed iterations ride a lax.scan so XLA compiles ONE
-            # iteration body (plus the final llr-emitting call) instead of
-            # unrolling `iters` copies — cuts cold-compile ~3x at equal
-            # steady-state throughput (the llr emission stays
-            # last-iteration-only).
-            if iters > 1:
-                def body(st, _):
-                    st, _ = iteration(st, with_llr=False)
-                    return st, None
-                state, _ = jax.lax.scan(body, state, None, length=iters - 1)
-            _, llr_full = iteration(state)
-        else:
-            def bits_of(llr_full):
-                llr2d = from_tiles(llr_full)[:, :b] if bp \
-                    else from_tiles(llr_full)
-                return (jnp.moveaxis(llr2d, 0, -1) < 0).astype(jnp.int8)
-
-            def check(llr_full):
-                return jnp.all(crc.jnp_check(bits_of(llr_full)))
-
-            def cond(carry):
-                it, state, llr_full, done = carry
-                return jnp.logical_and(it < iters, jnp.logical_not(done))
-
-            def body(carry):
-                it, state, _, _ = carry
-                state, llr_full = iteration(state)
-                return it + 1, state, llr_full, check(llr_full)
-
-            state, llr_1 = iteration(state)
-            _, _, llr_full, _ = jax.lax.while_loop(
-                cond, body,
-                (jnp.ones((), jnp.int32), state, llr_1, check(llr_1)))
+        llr_full = self.decode_tiles(
+            tiles(sys1_tm[:k]), tiles(par1_tm[:k]), tiles(par2_tm[:k]),
+            tiles(pad8(sys1_tm[k:])), tiles(pad8(par1_tm[k:])),
+            tiles(pad8(sys2_tail_tm)), tiles(pad8(par2_tm[k:])),
+            iterations=iterations, crc_check=crc_check, interpret=interpret,
+        )[:, pinv]
 
         llr2d = from_tiles(llr_full)
         if bp:
