@@ -109,9 +109,26 @@ def bench_turbo():
     return round(best, 1), errs, batch
 
 
-def bench_receiver(config: str, batch: int = 256):
+#: Mid-SNR noise levels (waterfall edge, where the CRC early stop
+#: actually iterates): chosen so BLER lands in the 1-50 % band — the
+#: operating point the reference's phy_dl_test.c:371-408 sweeps report.
+MIDSNR_N0 = {"20mimo": 0.009, "10siso": 0.042, "20ul": 0.047}
+
+
+def bench_receiver(config: str, batch: int = 256, chain: int = 6,
+                   midsnr: bool = False):
     """Decode-processing throughput of the full receivers
-    (tools/bench_pdsch.py measurement, BASELINE configs 2/3/4)."""
+    (tools/bench_pdsch.py measurement, BASELINE configs 2/3/4).
+
+    ``chain`` receiver calls ride one dispatch via lax.scan (a scalar
+    cross-call dependency prevents CSE), so steady-state on-device
+    throughput is measured rather than the axon tunnel's ~5 ms fixed
+    per-dispatch latency — the same treatment the turbo bench documents;
+    the CPU reference's timing loops (pdsch_test.c:446-517) have no
+    equivalent dispatch cost. ``midsnr`` switches the noise level to the
+    waterfall edge and reports (bler, iterations) alongside Mbps, so the
+    early-stop depth is captured, not asserted.
+    """
     from empower_srslte_tpu.models import ra
     from empower_srslte_tpu.models.pdsch import (PdschConfig, pdsch_decode,
                                                  pdsch_encode)
@@ -119,7 +136,8 @@ def bench_receiver(config: str, batch: int = 256):
     from empower_srslte_tpu.utils import Cell
 
     rng = np.random.default_rng(0)
-    n0 = 1e-3
+    n0 = MIDSNR_N0[config] if midsnr else 1e-3
+    sigma = np.sqrt(n0 / 2)
     if config == "20mimo":
         cell = Cell(nof_prb=100, nof_ports=2, id=1)
         mod, tbs = ra.mcs_to_tbs(27, 100)
@@ -133,10 +151,9 @@ def bench_receiver(config: str, batch: int = 256):
         ns = (batch, 2, 14, 1200)
         h_re = rng.normal(size=hs).astype(np.float32)
         h_im = rng.normal(size=hs).astype(np.float32)
-        nz_re = (rng.normal(size=ns) * np.sqrt(n0 / 2)).astype(np.float32)
-        nz_im = (rng.normal(size=ns) * np.sqrt(n0 / 2)).astype(np.float32)
+        nz_re = (rng.normal(size=ns) * sigma).astype(np.float32)
+        nz_im = (rng.normal(size=ns) * sigma).astype(np.float32)
 
-        @jax.jit
         def make_rx(tb, tb2, h_re, h_im, nz_re, nz_im):
             h = jax.lax.complex(h_re, h_im)
             ports = pdsch_encode(tb, cfg, plan, tb2, plan)
@@ -144,19 +161,23 @@ def bench_receiver(config: str, batch: int = 256):
                  + jax.lax.complex(nz_re, nz_im))
             return jnp.real(y), jnp.imag(y)
 
+        make_rx = jax.jit(make_rx)
         y_re, y_im = make_rx(*(jnp.asarray(a) for a in
                                (tb, tb2, h_re, h_im, nz_re, nz_im)))
+        args = (y_re, y_im, jnp.asarray(h_re), jnp.asarray(h_im))
 
         def fn(y_re, y_im, h_re, h_im):
             y = jax.lax.complex(y_re, y_im)
             h = jax.lax.complex(h_re, h_im)
+            ilist = []
             (b1, b2), (ok1, ok2), _ = pdsch_decode(
-                y, h, cfg, plan, noise_est=n0, plan2=plan)
-            return jnp.sum(ok1) + jnp.sum(ok2)
+                y, h, cfg, plan, noise_est=n0, plan2=plan, iters_out=ilist)
+            n_it = jnp.max(jnp.stack(ilist)) if ilist \
+                else jnp.zeros((), jnp.int32)
+            return (jnp.sum(ok1) + jnp.sum(ok2)).astype(jnp.int32), n_it
 
         bits_per_sf = 2 * tbs
         n_expected = 2 * batch
-        args = (y_re, y_im, jnp.asarray(h_re), jnp.asarray(h_im))
     elif config == "20ul":
         from empower_srslte_tpu.models.pusch import (PuschConfig,
                                                      pusch_decode,
@@ -168,66 +189,95 @@ def bench_receiver(config: str, batch: int = 256):
                           prb_start=0, n_prb=96)
         plan = cfg.plan(tbs)
         tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+        ns = (batch, 14, 1200)
+        nz_re = (rng.normal(size=ns) * sigma).astype(np.float32)
+        nz_im = (rng.normal(size=ns) * sigma).astype(np.float32)
 
-        @jax.jit
-        def make_rx(tb):
+        def make_rx(tb, nz_re, nz_im):
             grid = pusch_encode(tb, cfg, plan)
             hval = jax.lax.complex(jnp.float32(0.95), jnp.float32(0.1))
-            y = grid * hval
+            y = grid * hval + jax.lax.complex(nz_re, nz_im)
             return jnp.real(y), jnp.imag(y)
 
-        y_re, y_im = make_rx(jnp.asarray(tb))
+        make_rx = jax.jit(make_rx)
+        y_re, y_im = make_rx(*(jnp.asarray(a) for a in (tb, nz_re, nz_im)))
+        args = (y_re, y_im)
 
         def fn(y_re, y_im):
             y = jax.lax.complex(y_re, y_im)
-            bits, ok, _ = pusch_decode(y, cfg, plan, noise_est=n0)
-            return jnp.sum(ok)
+            ilist = []
+            bits, ok, _ = pusch_decode(y, cfg, plan, noise_est=n0,
+                                       iters_out=ilist)
+            n_it = jnp.max(jnp.stack(ilist)) if ilist \
+                else jnp.zeros((), jnp.int32)
+            return jnp.sum(ok).astype(jnp.int32), n_it
 
         bits_per_sf = tbs
         n_expected = batch
-        args = (y_re, y_im)
     else:  # 10siso
         cell = Cell(nof_prb=50, nof_ports=1, id=1)
         mod, tbs = ra.mcs_to_tbs(23, 50)
         cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=mod)
         plan = cfg.plan(tbs)
         tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+        ns = (batch, 1, 14, 600)   # matches the encoder's port axis
+        nz_re = (rng.normal(size=ns) * sigma).astype(np.float32)
+        nz_im = (rng.normal(size=ns) * sigma).astype(np.float32)
 
-        @jax.jit
-        def make_rx(tb):
+        def make_rx(tb, nz_re, nz_im):
             grid = pdsch_encode(tb, cfg, plan)
             hval = jax.lax.complex(jnp.float32(0.9), jnp.float32(-0.2))
-            y = grid * hval
+            y = grid * hval + jax.lax.complex(nz_re, nz_im)
             return jnp.real(y), jnp.imag(y)
 
-        y_re, y_im = make_rx(jnp.asarray(tb))
+        make_rx = jax.jit(make_rx)
+        y_re, y_im = make_rx(*(jnp.asarray(a) for a in (tb, nz_re, nz_im)))
+        args = (y_re, y_im)
 
         def fn(y_re, y_im):
             y = jax.lax.complex(y_re, y_im)
             hval = jax.lax.complex(jnp.float32(0.9), jnp.float32(-0.2))
             h = jnp.broadcast_to(hval, (batch, 1, 1, 14, 600))
-            bits, ok, _ = pdsch_decode(y, h, cfg, plan, noise_est=n0)
-            return jnp.sum(ok)
+            ilist = []
+            bits, ok, _ = pdsch_decode(y, h, cfg, plan, noise_est=n0,
+                                       iters_out=ilist)
+            n_it = jnp.max(jnp.stack(ilist)) if ilist \
+                else jnp.zeros((), jnp.int32)
+            return jnp.sum(ok).astype(jnp.int32), n_it
 
         bits_per_sf = tbs
         n_expected = batch
-        args = (y_re, y_im)
 
-    jfn = jax.jit(fn)
-    n_ok = _sync(jfn(*args))
+    @jax.jit
+    def chained(*cargs):
+        def body(carry, _):
+            a0, acc, itm = carry
+            n_ok, n_it = fn(a0, *cargs[1:])
+            return (cargs[0] + 0.0 * n_ok.astype(cargs[0].dtype),
+                    acc + n_ok, jnp.maximum(itm, n_it)), None
+        (_, acc, itm), _ = jax.lax.scan(
+            body, (cargs[0], jnp.zeros((), jnp.int32),
+                   jnp.zeros((), jnp.int32)), None, length=chain)
+        return acc, itm
+
+    acc, itm = chained(*args)
+    n_ok = _sync(acc)
+    n_it = _sync(itm)
     best_mbps = best_sfps = 0.0
-    for _ in range(2):
-        reps = 3
+    for _ in range(3):
+        reps = 2
         t0 = time.time()
         r = None
         for _ in range(reps):
-            r = jfn(*args)
+            r, _i = chained(*args)
         _sync(r)
-        dt = (time.time() - t0) / reps
+        dt = (time.time() - t0) / (reps * chain)
         if batch * bits_per_sf / dt / 1e6 > best_mbps:
             best_mbps = batch * bits_per_sf / dt / 1e6
             best_sfps = batch / dt
-    return round(best_mbps, 0), round(best_sfps, 0), n_ok == n_expected
+    bler = 1.0 - n_ok / float(chain * n_expected)
+    return (round(best_mbps, 0), round(best_sfps, 0),
+            n_ok == chain * n_expected, n_it, round(bler, 4))
 
 
 def main():
@@ -257,7 +307,7 @@ def main():
 
     # a cold rx compile measures ~2-3 min; leave headroom for the turbo
     # phase (always runs) before the overall budget
-    rx_guards = {"20mimo": 0.35, "10siso": 0.55, "20ul": 0.75}
+    rx_guards = {"20mimo": 0.45, "10siso": 0.6, "20ul": 0.75}
     if not os.environ.get("BENCH_QUICK"):
         for config in ("20mimo", "10siso", "20ul"):
             if time.time() - t_start > budget * rx_guards[config]:
@@ -265,15 +315,34 @@ def main():
                 continue
             t0 = time.time()
             try:
-                rx_mbps, sfps, ok = bench_receiver(config)
+                rx_mbps, sfps, ok, n_it, _bler = bench_receiver(config)
                 out[f"rx_{config}_mbps"] = rx_mbps
                 out[f"rx_{config}_sfps"] = sfps
                 out[f"rx_{config}_ok"] = ok
+                out[f"rx_{config}_iters"] = n_it
                 out[f"rx_{config}_vs_baseline"] = round(
                     rx_mbps / RX_BASELINE[config], 1)
             except Exception as e:  # never lose the remaining metrics
                 out[f"rx_{config}"] = f"failed: {e}"[:120]
             out[f"t_rx_{config}_s"] = round(time.time() - t0, 1)
+            checkpoint()
+        # mid-SNR operating points (waterfall edge: the early stop
+        # actually iterates; BLER + iteration depth captured, config 2/3/4
+        # analog of phy_dl_test.c:371-408 operating-SNR sweeps)
+        for config in ("20mimo", "10siso", "20ul"):
+            if time.time() - t_start > budget * 0.8:
+                out[f"rx_{config}_mid"] = "skipped (time budget)"
+                continue
+            t0 = time.time()
+            try:
+                rx_mbps, sfps, _ok, n_it, bler = bench_receiver(
+                    config, midsnr=True)
+                out[f"rx_{config}_mid_mbps"] = rx_mbps
+                out[f"rx_{config}_mid_bler"] = bler
+                out[f"rx_{config}_mid_iters"] = n_it
+            except Exception as e:
+                out[f"rx_{config}_mid"] = f"failed: {e}"[:120]
+            out[f"t_rx_{config}_mid_s"] = round(time.time() - t0, 1)
             checkpoint()
 
     t0 = time.time()

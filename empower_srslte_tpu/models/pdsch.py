@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.equalizer import (
     MimoType,
+    codebook_2x2,
     effective_channel_cdd,
     effective_channel_mux,
     eq_mux_2x2,
@@ -295,9 +296,125 @@ def pdsch_extract(grid, cfg: PdschConfig):
     return jnp.concatenate(pieces, axis=-1)
 
 
+@functools.lru_cache(maxsize=1024)
+def _grid_maps(cfg: PdschConfig):
+    """Static tables for the grid-domain fused path.
+
+    g_map [G]: codeword-bit position -> flat row of the per-codeword
+    grid-LLR layout [nsymb*nof_re*bps] (bit j of the RE at flat grid
+    position cfg.re_indices[i] lives at row re_indices[i]*bps + j).
+    signs [ncw, R]: descrambling +-1 scattered to those rows (+1 on
+    never-read rows).
+    """
+    bps = cfg.mod.bits_per_symbol
+    m = cfg.nof_symbols
+    sk = cfg.cell.nsymb_sf * cfg.cell.nof_re
+    re_idx = cfg.re_indices[:m].astype(np.int64)
+    # PLANE-MAJOR rows (bit plane j in [0, bps) is a contiguous [SK]
+    # block): the demapper then never interleaves bits per symbol — the
+    # planes stack along a major axis, which is free, and the decoder
+    # feed's gather absorbs the layout.
+    rows = (np.arange(bps)[None, :] * sk + re_idx[:, None]).reshape(-1)
+    r_len = sk * bps
+
+    from ..utils.sequence import gold_sequence
+
+    signs = np.ones((cfg.nof_codewords, r_len), np.float32)
+    for cw in range(cfg.nof_codewords):
+        c = gold_sequence(cfg.cinit(cw), m * bps)
+        signs[cw, rows] = 1.0 - 2.0 * c
+    return rows, signs.reshape(cfg.nof_codewords, bps, sk)
+
+
+def _pdsch_decode_fused_grid(grid, h, cfg: PdschConfig, plan: DlschPlan,
+                             noise_est, geo, iters_out=None):
+    """Grid-domain fused receive path.
+
+    The RE extraction (pdsch_extract's per-symbol slice/concat plans) was
+    the single most expensive stage of the fused receiver on TPU — lane-
+    granularity strided copies for every CRS comb. This path never
+    extracts: equalization, soft demapping, CSI weighting and
+    descrambling run ELEMENTWISE over the full resource grid (compute on
+    the ~15% non-PDSCH REs is wasted but free next to the copies), and
+    the RE selection folds into the fused decoder feed's gather tables
+    via ``g_map`` (ops/fec/derm_tiles.py). One HBM materialization
+    between the antenna grids and the turbo kernel tiles.
+
+    Supported: SINGLE, and SPATIAL_MUX with nof_codewords == nof_layers
+    == 2 (the codeword<->layer maps that stay aligned with the grid);
+    other configs (SFBC pairs, CDD whose D(i) cycles over the extracted
+    RE index) use the classic extracted path.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.equalizer import eq_mux_2x2_components
+    from ..ops.modem import demod_planes
+    from .sch import _dlsch_decode_fused
+
+    cell = cfg.cell
+    sk = cell.nsymb_sf * cell.nof_re
+    bps = cfg.mod.bits_per_symbol
+    flat = lambda a: a.reshape(*a.shape[:-2], sk)
+    if cfg.mimo is MimoType.SINGLE:
+        # MRC across rx antennas, component form (no stacked axes)
+        n_ant = grid.shape[-3]
+        num = den = None
+        for a in range(n_ant):
+            ya = flat(grid[..., a, :, :])
+            ha = flat(h[..., a, 0, :, :])
+            t_num = jnp.conj(ha) * ya
+            t_den = jnp.abs(ha) ** 2
+            num = t_num if num is None else num + t_num
+            den = t_den if den is None else den + t_den
+        den = den + noise_est
+        x0 = num / jnp.maximum(den, 1e-20)
+        layers = [(x0, den)]
+    else:
+        # fold the TM4 precoder into per-component effective channels
+        w = codebook_2x2(cfg.pmi)
+        hc = [[flat(h[..., a, p, :, :]) for p in range(2)] for a in range(2)]
+        e00 = w[0, 0] * hc[0][0] + w[1, 0] * hc[0][1]
+        e01 = w[0, 1] * hc[0][0] + w[1, 1] * hc[0][1]
+        e10 = w[0, 0] * hc[1][0] + w[1, 0] * hc[1][1]
+        e11 = w[0, 1] * hc[1][0] + w[1, 1] * hc[1][1]
+        x0, x1, csi0, csi1 = eq_mux_2x2_components(
+            flat(grid[..., 0, :, :]), flat(grid[..., 1, :, :]),
+            e00, e01, e10, e11, noise_est)
+        layers = [(x0, csi0), (x1, csi1)]
+
+    rows, signs = _grid_maps(cfg)
+    cw_rows = []
+    for cw, (syms, wgt) in enumerate(layers):
+        planes = demod_planes(jnp.real(syms), jnp.imag(syms), cfg.mod)
+        sgn_np = signs[cw]                              # [bps, SK]
+        outs = []
+        for j, p in enumerate(planes):
+            pj = p * wgt
+            if cfg.llr_int8:
+                from ..ops.modem import quantize_llr_int8
+
+                pj = quantize_llr_int8(pj, cfg.mod)
+                outs.append(pj * jnp.asarray(sgn_np[j].astype(np.int8)))
+            else:
+                outs.append(pj * jnp.asarray(sgn_np[j]))
+        # plane-major stack: contiguous [bps, SK] blocks, no interleave
+        llr = jnp.stack(outs, axis=-2).reshape(*syms.shape[:-1], bps * sk)
+        cw_rows.append(llr)
+    llr_rows = (jnp.stack(cw_rows, axis=0) if len(cw_rows) > 1
+                else cw_rows[0])
+
+    outs = _dlsch_decode_fused(llr_rows, plan, *geo, g_map=rows,
+                               iters_out=iters_out)
+    if len(cw_rows) == 1:
+        return outs
+    bits, ok, soft = outs
+    per_cw = [(bits[i], ok[i], [s[i] for s in soft]) for i in range(2)]
+    return tuple(zip(*per_cw))
+
+
 def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
                  softbuffers=None, plan2: DlschPlan | None = None,
-                 softbuffers2=None):
+                 softbuffers2=None, iters_out=None):
     """Full PDSCH decode (srslte_pdsch_decode, pdsch.c:837-1007).
 
     grid: [..., A, nsymb, nre] received resource grids per rx antenna
@@ -305,6 +422,22 @@ def pdsch_decode(grid, h, cfg: PdschConfig, plan: DlschPlan, noise_est=0.0,
     Returns (tb_bits, crc_ok, softbuffers) — tuples per codeword when a
     second plan is given.
     """
+    batch_shape = grid.shape[:-3]
+    if (softbuffers is None and softbuffers2 is None and len(batch_shape)
+            and (cfg.mimo is MimoType.SINGLE and plan2 is None
+                 or (cfg.mimo is MimoType.SPATIAL_MUX
+                     and cfg.nof_layers == 2 and cfg.nof_codewords == 2
+                     and plan2 == plan))):
+        from .sch import _fused_geometry
+
+        ncw = 1 if plan2 is None else 2
+        rows_shape = (ncw, *batch_shape, 1) if ncw == 2 \
+            else (*batch_shape, 1)
+        geo = _fused_geometry(rows_shape, plan)
+        if geo is not None:
+            return _pdsch_decode_fused_grid(grid, h, cfg, plan,
+                                            noise_est, geo,
+                                            iters_out=iters_out)
     y = pdsch_extract(grid, cfg)                          # [..., A, M]
     m = cfg.nof_symbols
 

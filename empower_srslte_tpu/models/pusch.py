@@ -189,6 +189,7 @@ def pusch_encode(tb_bits, cfg: PuschConfig, plan: DlschPlan):
 
 
 def pusch_decode(grid, cfg: PuschConfig, plan: DlschPlan, noise_est=0.0,
+                 iters_out=None,
                  softbuffers=None):
     """eNB receive: grid [..., nsymb, nre] -> (tb, crc_ok, softbuffers).
 
@@ -226,7 +227,8 @@ def pusch_decode(grid, cfg: PuschConfig, plan: DlschPlan, noise_est=0.0,
 
         llr = quantize_llr_int8(llr, cfg.mod)
     llr = descramble_llrs(llr, cfg.cinit())
-    return dlsch_decode(llr, plan, softbuffers=softbuffers)
+    return dlsch_decode(llr, plan, softbuffers=softbuffers,
+                        iters_out=iters_out)
 
 
 # --- UCI multiplexing on PUSCH (36.212 5.2.2; sch.c:550-1095) ----------------

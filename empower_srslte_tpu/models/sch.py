@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..ops.fec.cbsegm import CbSegm, cbsegm
 from ..ops.fec.rate_matching import RateMatchTurbo
 from ..ops.fec.turbo_decoder import TurboDecoder
-from ..ops.fec.turbo_encoder import turbo_encode_fast as turbo_encode
+from ..ops.fec.turbo_encoder import turbo_encode_auto as turbo_encode
 from ..utils.crc import CRC24A, CRC24B
 
 
@@ -137,8 +137,9 @@ def dlsch_encode(tb_bits, plan: DlschPlan):
     return jnp.concatenate(out, axis=-1)
 
 
-def _fused_geometry(llrs, plan: DlschPlan):
-    """Fused-path eligibility: returns (lanes, sub, interpret) or None.
+def _fused_geometry(shape, plan: DlschPlan):
+    """Fused-path eligibility from the LLR-array shape [..., lanes, R]:
+    returns (lanes, sub, interpret) or None.
 
     The fused path (``_dlsch_decode_fused``) needs the NII Pallas kernel
     (TPU, or interpret mode for tests), a window for every CB size, and a
@@ -148,7 +149,7 @@ def _fused_geometry(llrs, plan: DlschPlan):
 
     if os.environ.get("SRSLTE_FUSED_RX", "1") == "0":
         return None
-    if llrs.ndim < 2:
+    if len(shape) < 2:
         return None
     impl = plan.decoder_impl
     if impl == "auto":
@@ -164,7 +165,7 @@ def _fused_geometry(llrs, plan: DlschPlan):
     for k in set(plan.segm.cb_sizes):
         if _pick_window(k) is None:
             return None
-    lanes_dim = llrs.shape[-2]
+    lanes_dim = shape[-2]
     sub = int(os.environ.get("TURBO_SUB", 0)) or 8
     lanes = int(os.environ.get("TURBO_LANES", 0)) or (
         256 if lanes_dim % 256 == 0 else 128 if lanes_dim % 128 == 0 else 0)
@@ -192,7 +193,7 @@ def _derm_softbuffers(llrs, plan: DlschPlan):
 
 
 def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
-                        interpret: bool):
+                        interpret: bool, g_map=None, iters_out=None):
     """TB decode with the fused receiver feed (ops/fec/derm_tiles.py).
 
     Replaces slice -> de-rate-match -> stream split -> transpose -> tile
@@ -213,16 +214,30 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
     segm = plan.segm
     c = segm.c
     lead = llrs.shape[:-1]
-    g = llrs.shape[-1]
+    # source rows per TB: the extracted codeword (r_len == plan.g) or a
+    # wider layout reached through g_map (e.g. the un-extracted resource
+    # grid, models/pdsch.py grid path)
+    r_len = llrs.shape[-1]
+    g_map_key = (None if g_map is None
+                 else np.ascontiguousarray(g_map, np.int64).tobytes())
     folds = lead[-1] // lanes
     rest = int(np.prod(lead[:-1], dtype=np.int64)) * folds
     n_tb_bits = plan.tbs + 24
     dt = jnp.bfloat16
     int8_lane = llrs.dtype == jnp.int8
 
-    x = llrs.reshape(rest, lanes, g).astype(dt)
-    src = jnp.swapaxes(x, -1, -2).reshape(rest * g, lanes)
-    zero_row, strong_row = rest * g, rest * g + 1
+    x = llrs.reshape(rest, lanes, r_len).astype(dt)
+    # Materialize the LLR array exactly once: the seven decoder-feed
+    # gathers below fuse their operand chain, and XLA *duplicates* fused
+    # producers into every consumer — without this barrier the whole
+    # upstream pipeline (equalize/demod, or the encoder in loopback
+    # benches) is recomputed per gather. The transpose/pad still fuse
+    # into the gathers (measured free); only `x` is pinned.
+    import jax
+
+    x = jax.lax.optimization_barrier(x)
+    src = jnp.swapaxes(x, -1, -2).reshape(rest * r_len, lanes)
+    zero_row, strong_row = rest * r_len, rest * r_len + 1
     # Filler-bit prior, scaled to the data: the classic path pins 1e4
     # (rate_matching.rx), which is exact in f32 but destroys bf16
     # precision inside the kernel's 16-step renormalization groups — the
@@ -233,8 +248,17 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
     # the same known-zero information without the precision cliff.
     f_max = max((f for _k, _e, f, _o in plan.cb_plans), default=0)
     c_f = min(8.0, 128.0 / f_max) if f_max else 8.0
-    strong = (jnp.float32(127.0) if int8_lane
-              else c_f * jnp.mean(jnp.abs(llrs).astype(jnp.float32)))
+    if int8_lane:
+        strong = jnp.float32(127.0)
+    elif f_max == 0:
+        strong = jnp.float32(0.0)   # no filler rows reference this
+    elif g_map is None:
+        strong = c_f * jnp.mean(jnp.abs(llrs).astype(jnp.float32))
+    else:
+        # grid-domain source: average only the mapped (PDSCH) rows
+        strong = c_f * jnp.mean(jnp.abs(
+            jnp.take(llrs, jnp.asarray(g_map), axis=-1)
+        ).astype(jnp.float32))
     src = jnp.concatenate(
         [src, jnp.zeros((1, lanes), dt),
          jnp.broadcast_to(strong.astype(dt), (1, lanes))], axis=0)
@@ -258,10 +282,10 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
     pieces: dict = {}
     for k, mem in groups.items():
         mg = len(mem)
-        members = tuple((e, f, r * g + off)
+        members = tuple((e, f, off, r * r_len)
                         for r in range(rest) for (_i, e, f, off) in mem)
         tplan = build_tile_plan(k, members, plan.rv, sub,
-                                zero_row, strong_row)
+                                zero_row, strong_row, g_map_key=g_map_key)
         t_tiles = tplan["sys"].shape[1]
 
         def take(name):
@@ -288,8 +312,12 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
         crc_check = ((lambda li, p=p_int: jnp.all(synd(li, p) == 0.0))
                      if stop else None)
         dec = plan.decoder(k)
-        llr_int = dec.decode_tiles(*tiles, crc_check=crc_check,
-                                   interpret=interpret)
+        llr_int, n_it = dec.decode_tiles(*tiles, crc_check=crc_check,
+                                         interpret=interpret)
+        if iters_out is not None:
+            # traced per-group iteration counts (sch.c:382 early-stop
+            # depth), surfaced for the bench's operating-point report
+            iters_out.append(n_it)
         bits_int = (llr_int < 0)
 
         # per-CB CRC
@@ -366,11 +394,13 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
 
     full_bits = jnp.concatenate([pieces[i] for i in range(c)], axis=0)
     tb_bits = jnp.moveaxis(full_bits, 0, -1).reshape(*lead, n_tb_bits)
+    llrs_g = (llrs if g_map is None
+              else jnp.take(llrs, jnp.asarray(g_map), axis=-1))
     return (tb_bits[..., : plan.tbs], tb_ok.reshape(*lead),
-            _derm_softbuffers(llrs, plan))
+            _derm_softbuffers(llrs_g, plan))
 
 
-def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
+def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None, iters_out=None):
     """Decode llrs[..., G] -> (tb_bits[..., tbs], crc_ok[...], softbuffers).
 
     Mirrors decode_tb / decode_tb_cb (sch.c:307-437): per-CB de-rate-match
@@ -382,9 +412,9 @@ def dlsch_decode(llrs, plan: DlschPlan, softbuffers=None):
     results, one HBM materialization instead of six.
     """
     if softbuffers is None:
-        geo = _fused_geometry(llrs, plan)
+        geo = _fused_geometry(llrs.shape, plan)
         if geo is not None:
-            return _dlsch_decode_fused(llrs, plan, *geo)
+            return _dlsch_decode_fused(llrs, plan, *geo, iters_out=iters_out)
     segm = plan.segm
     stop_crc = (CRC24B if segm.c > 1 else CRC24A) if plan.early_stop else None
 

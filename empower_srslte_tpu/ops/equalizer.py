@@ -70,6 +70,25 @@ def eq_sfbc(y, h0, h1):
     return out, csi
 
 
+def eq_mux_2x2_components(y0, y1, h00, h01, h10, h11, noise_est=0.0):
+    """Component form of the 2x2 MMSE solve: no stacked arrays in or out
+    (the grid-domain fused receiver feeds grid-shaped slices directly).
+    Returns (x0, x1, csi0, csi1)."""
+    a = jnp.abs(h00) ** 2 + jnp.abs(h10) ** 2 + noise_est   # (H^H H)_00
+    d = jnp.abs(h01) ** 2 + jnp.abs(h11) ** 2 + noise_est   # (H^H H)_11
+    b = jnp.conj(h00) * h01 + jnp.conj(h10) * h11           # (H^H H)_01
+    det = a * d - jnp.abs(b) ** 2
+    det = jnp.maximum(det, 1e-20)
+    # inv = [[d, -b], [-b*, a]] / det
+    hy0 = jnp.conj(h00) * y0 + jnp.conj(h10) * y1           # (H^H y)_0
+    hy1 = jnp.conj(h01) * y0 + jnp.conj(h11) * y1
+    x0 = (d * hy0 - b * hy1) / det
+    x1 = (a * hy1 - jnp.conj(b) * hy0) / det
+    # csi_i = det / opposite diagonal of inverse
+    return (x0, x1, det / jnp.maximum(d, 1e-20),
+            det / jnp.maximum(a, 1e-20))
+
+
 def eq_mux_2x2(y, h, noise_est=0.0, mmse: bool = True):
     """2x2 spatial multiplexing ZF/MMSE (precoding.c:1121-1764, mat.c:63-98).
 
@@ -84,26 +103,11 @@ def eq_mux_2x2(y, h, noise_est=0.0, mmse: bool = True):
     # over the RE lane axis. (The einsum formulation of the same math
     # lowered to tiny batched dot_generals with layout transposes and was
     # ~40x slower on TPU.)
-    h00 = h[..., 0, 0, :]
-    h01 = h[..., 0, 1, :]
-    h10 = h[..., 1, 0, :]
-    h11 = h[..., 1, 1, :]
-    y0 = y[..., 0, :]
-    y1 = y[..., 1, :]
-    a = jnp.abs(h00) ** 2 + jnp.abs(h10) ** 2 + noise_est   # (H^H H)_00
-    d = jnp.abs(h01) ** 2 + jnp.abs(h11) ** 2 + noise_est   # (H^H H)_11
-    b = jnp.conj(h00) * h01 + jnp.conj(h10) * h11           # (H^H H)_01
-    det = a * d - jnp.abs(b) ** 2
-    det = jnp.maximum(det, 1e-20)
-    # inv = [[d, -b], [-b*, a]] / det
-    hy0 = jnp.conj(h00) * y0 + jnp.conj(h10) * y1           # (H^H y)_0
-    hy1 = jnp.conj(h01) * y0 + jnp.conj(h11) * y1
-    x0 = (d * hy0 - b * hy1) / det
-    x1 = (a * hy1 - jnp.conj(b) * hy0) / det
+    x0, x1, csi0, csi1 = eq_mux_2x2_components(
+        y[..., 0, :], y[..., 1, :], h[..., 0, 0, :], h[..., 0, 1, :],
+        h[..., 1, 0, :], h[..., 1, 1, :], noise_est)
     x = jnp.stack([x0, x1], axis=-2)
-    # csi_i = det / opposite diagonal of inverse
-    csi = jnp.stack([det / jnp.maximum(d, 1e-20),
-                     det / jnp.maximum(a, 1e-20)], axis=-2)
+    csi = jnp.stack([csi0, csi1], axis=-2)
     if not mmse:
         return x, jnp.ones_like(csi)
     return x, csi

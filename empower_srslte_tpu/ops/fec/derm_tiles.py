@@ -92,16 +92,23 @@ _TARGETS = ("sys", "par1", "par2", "ut1", "pt1", "ut2", "pt2")
 
 @functools.lru_cache(maxsize=256)
 def build_tile_plan(k: int, members: tuple, rv: int, sub: int,
-                    zero_row: int, strong_row: int):
+                    zero_row: int, strong_row: int,
+                    g_map_key: bytes | None = None):
     """Index tables for one same-K decode batch.
 
-    members: slot-ordered tuple of (e, f, src_offset) — one per code
-    block, already expanded over any leading batch folds; slot q lands at
-    tile t = q // sub, sublane s = q % sub.
+    members: slot-ordered tuple of (e, f, g_offset, base_row) — one per
+    code block, already expanded over any leading batch folds; slot q
+    lands at tile t = q // sub, sublane s = q % sub. The source row for
+    codeword-bit position p of a member is ``base_row + g_map[g_offset +
+    p]`` — ``g_map`` (int64 bytes, identity when None) composes in an
+    extra layout hop, e.g. the resource-grid RE map when the LLR source
+    is the un-extracted grid (models/pdsch.py grid path).
     Returns dict name -> int32 [reps, T, rows, sub] of source-row ids.
     """
     n = len(members)
     t_tiles = -(-n // sub)
+    g_map = (np.frombuffer(g_map_key, dtype=np.int64)
+             if g_map_key is not None else None)
     sys1, par1, par2, sys2t = stream_row_maps(k)
     pad8 = lambda a: np.concatenate([a, np.full(8 - len(a), -2)])
     target_rows = {
@@ -109,19 +116,21 @@ def build_tile_plan(k: int, members: tuple, rv: int, sub: int,
         "ut1": pad8(sys1[k:]), "pt1": pad8(par1[k:]),
         "ut2": pad8(sys2t), "pt2": pad8(par2[k:]),
     }
-    srcs = [_d_sources(k, f, rv, e) for e, f, _ in members]
+    srcs = [_d_sources(k, f, rv, e) for e, f, _o, _b in members]
     reps = max(s.shape[1] for s in srcs)
 
     out = {}
     for name, dmap in target_rows.items():
         rows = len(dmap)
         idx = np.full((reps, t_tiles, rows, sub), zero_row, np.int32)
-        for q, (e, f, off) in enumerate(members):
+        for q, (e, f, off, base) in enumerate(members):
             t, s = divmod(q, sub)
             sm = srcs[q]
             for r in range(sm.shape[1]):
                 col = np.where(dmap >= 0, sm[np.maximum(dmap, 0), r], -1)
-                idx[r, t, :, s] = np.where(col >= 0, off + col, zero_row)
+                gpos = off + np.maximum(col, 0)
+                row = g_map[gpos] if g_map is not None else gpos
+                idx[r, t, :, s] = np.where(col >= 0, base + row, zero_row)
             if name == "sys" and f > 0:
                 # filler bits: known zeros, pinned to the strong-prior row
                 idx[0, t, :f, s] = strong_row

@@ -358,8 +358,8 @@ class TurboDecoder:
         (the reference checks CRCs between iterations at sch.c:382; here
         the check is one MXU contraction, see ops/fec/derm_tiles.py).
 
-        Returns llr_int [T, K, sub, lanes]; the natural-order LLRs are
-        ``llr_int[:, qpp_deinterleaver(k)]``.
+        Returns (llr_int [T, K, sub, lanes], n_iterations scalar int32);
+        the natural-order LLRs are ``llr_int[:, qpp_deinterleaver(k)]``.
         """
         import os
 
@@ -413,6 +413,7 @@ class TurboDecoder:
                     return st, None
                 state, _ = jax.lax.scan(body, state, None, length=iters - 1)
             _, llr_int = iteration(state)
+            n_it = jnp.asarray(iters, jnp.int32)
         else:
             def cond(carry):
                 it, state, llr_int, done = carry
@@ -424,10 +425,10 @@ class TurboDecoder:
                 return it + 1, state, llr_int, crc_check(llr_int)
 
             state, llr_1 = iteration(state)
-            _, _, llr_int, _ = jax.lax.while_loop(
+            n_it, _, llr_int, _ = jax.lax.while_loop(
                 cond, body,
                 (jnp.ones((), jnp.int32), state, llr_1, crc_check(llr_1)))
-        return llr_int
+        return llr_int, n_it
 
     def _decode_nii(self, d_llr, iterations: int | None = None, crc=None,
                     interpret: bool = False):
@@ -481,12 +482,13 @@ class TurboDecoder:
                                  preferred_element_type=jnp.float32)
                 return jnp.all(jnp.mod(snd, 2.0) == 0.0)
 
-        llr_full = self.decode_tiles(
+        llr_full, _n_it = self.decode_tiles(
             tiles(sys1_tm[:k]), tiles(par1_tm[:k]), tiles(par2_tm[:k]),
             tiles(pad8(sys1_tm[k:])), tiles(pad8(par1_tm[k:])),
             tiles(pad8(sys2_tail_tm)), tiles(pad8(par2_tm[k:])),
             iterations=iterations, crc_check=crc_check, interpret=interpret,
-        )[:, pinv]
+        )
+        llr_full = llr_full[:, pinv]
 
         llr2d = from_tiles(llr_full)
         if bp:

@@ -246,3 +246,119 @@ def turbo_encode_fast(u):
     d2 = jnp.concatenate(
         [z2, x_t[..., 1:2], z_t[..., 2:3], x2_t[..., 1:2], z2_t[..., 2:3]], axis=-1)
     return jnp.stack([d0, d1, d2], axis=-2).astype(jnp.int8)
+
+
+# --- MXU matmul encoder ------------------------------------------------------
+#
+# The RSC constituent encoder is LINEAR over GF(2) and time-invariant from
+# the zero state, so its parity stream is a Toeplitz generator matrix in
+# the parity impulse response h (periodic with period 7 = the order of the
+# 3-bit state-update matrix), and the final encoder state is a [K, 3]
+# linear map with period-7 columns. Encoding therefore runs as ONE int8
+# MXU matmul per constituent — with the QPP interleaver folded into the
+# second constituent's matrix as a row permutation — instead of a K/8-step
+# lax.scan of per-byte LUT gathers (which cost ~300 ms per rx_20mimo
+# batch on TPU: tiny per-step tensors never fill the VPU and every scan
+# step pays fixed overhead). The reference reaches the same goal with
+# byte-LUT tables (turbocoder.c); the MXU formulation is the TPU-native
+# equivalent. Exactness: 0/1 operands accumulate in int32, mod 2 at the
+# end.
+
+
+@functools.lru_cache(maxsize=32)
+def _mm_tables(k: int):
+    """(Gz [K,K] int8, Fs [K,3] int8, Tmat [3,6] int8) for one RSC.
+
+    Gz[j, i] = h[i-j]: parity of impulse response; z = (u @ Gz) mod 2.
+    Fs: final-state bits as linear functions of the input.
+    Tmat: the 6 termination outputs (x_tail ++ z_tail) as linear
+    functions of the final state bits (termination is linear: the
+    feedback-cancelling input u = r2 ^ r3 and z = r1 ^ r3).
+    """
+    t = trellis()
+    e = np.zeros((1, k), np.int8)
+    e[0, 0] = 1
+    h, _, _ = _rsc_encode_np(e)
+    h = h[0].astype(np.int8)
+    hpad = np.concatenate([np.zeros(k - 1, np.int8), h])
+    from numpy.lib.stride_tricks import as_strided
+
+    st = hpad.strides[0]
+    gz = as_strided(hpad[k - 1 :], shape=(k, k), strides=(-st, st)).copy()
+
+    # zero-input state orbit from the post-impulse state (period 7)
+    s = int(t.next_state[0, 1])
+    orbit = []
+    for _ in range(7):
+        orbit.append(s)
+        s = int(t.next_state[s, 0])
+    bits = lambda s: [(s >> 2) & 1, (s >> 1) & 1, s & 1]
+    fs = np.zeros((k, 3), np.int8)
+    for j in range(k):
+        fs[j] = bits(orbit[(k - 1 - j) % 7])
+
+    tmat = np.zeros((3, 6), np.int8)
+    for row, s0 in enumerate((4, 2, 1)):       # basis states r1, r2, r3
+        s, xs, zs = s0, [], []
+        for _ in range(3):
+            ui = int(t.tail_input[s])
+            xs.append(ui)
+            zs.append(int(t.parity[s, ui]))
+            s = int(t.next_state[s, ui])
+        tmat[row] = xs + zs
+    return gz, fs, tmat
+
+
+def _rsc_encode_mm_jnp(u, gz_j, fs_j, tmat_j):
+    """u [..., K] int8 -> (parity [..., K], x_tail [..., 3], z_tail)."""
+    import jax.numpy as jnp
+
+    acc = jnp.matmul(u, gz_j, preferred_element_type=jnp.int32)
+    z = (acc & 1).astype(jnp.int8)
+    s_bits = (jnp.matmul(u, fs_j, preferred_element_type=jnp.int32)
+              & 1).astype(jnp.int8)
+    tails = (jnp.matmul(s_bits, tmat_j, preferred_element_type=jnp.int32)
+             & 1).astype(jnp.int8)
+    return z, tails[..., 0:3], tails[..., 3:6]
+
+
+def turbo_encode_mm(u):
+    """MXU-matmul device encoder: u [..., K] -> d [..., 3, K+4] int8."""
+    import jax.numpy as jnp
+
+    k = u.shape[-1]
+    gz, fs, tmat = _mm_tables(k)
+    pi = qpp_interleaver(k)
+    # fold the interleaver: (u[pi]) @ G == u @ G2 with G2[pi[m]] = G[m]
+    g2 = np.empty_like(gz)
+    g2[pi] = gz
+    f2 = np.empty_like(fs)
+    f2[pi] = fs
+    u = u.astype(jnp.int8)
+    tmat_j = jnp.asarray(tmat)
+    z, x_t, z_t = _rsc_encode_mm_jnp(u, jnp.asarray(gz), jnp.asarray(fs),
+                                     tmat_j)
+    z2, x2_t, z2_t = _rsc_encode_mm_jnp(u, jnp.asarray(g2), jnp.asarray(f2),
+                                        tmat_j)
+
+    d0 = jnp.concatenate(
+        [u, x_t[..., 0:1], z_t[..., 1:2], x2_t[..., 0:1], z2_t[..., 1:2]],
+        axis=-1)
+    d1 = jnp.concatenate(
+        [z, z_t[..., 0:1], x_t[..., 2:3], z2_t[..., 0:1], x2_t[..., 2:3]],
+        axis=-1)
+    d2 = jnp.concatenate(
+        [z2, x_t[..., 1:2], z_t[..., 2:3], x2_t[..., 1:2], z2_t[..., 2:3]],
+        axis=-1)
+    return jnp.stack([d0, d1, d2], axis=-2).astype(jnp.int8)
+
+
+def turbo_encode_auto(u):
+    """Backend dispatch: MXU matmul encoder on TPU (the [K, K] generator
+    would be ~100 GFLOP per rx batch on the CPU test backend, where the
+    byte-LUT scan remains the right shape)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return turbo_encode_mm(u)
+    return turbo_encode_fast(u)

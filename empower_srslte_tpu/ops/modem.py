@@ -96,6 +96,30 @@ def quantize_llr_int8(llrs, mod: Mod):
     return jnp.clip(jnp.round(llrs * s), -127, 127).astype(jnp.int8)
 
 
+def demod_planes(re, im, mod: Mod):
+    """Max-log LLR bit-planes (plane-major): list of ``bps`` arrays, each
+    shaped like ``re``. Same linearized formulas as ``demod_soft``
+    without the per-symbol bit interleave — the grid-domain fused
+    receiver keeps the planes major and lets the decoder-feed gather
+    tables absorb the layout (models/pdsch.py), so no minor-axis
+    shuffle pass is ever materialized."""
+    if mod is Mod.BPSK:
+        return [(re + im) * np.float32(1 / np.sqrt(2))]
+    if mod is Mod.QPSK:
+        return [re, im]
+    if mod is Mod.QAM16:
+        c = np.float32(2 / np.sqrt(10))
+        return [re, im, c - jnp.abs(re), c - jnp.abs(im)]
+    if mod is Mod.QAM64:
+        c4 = np.float32(4 / np.sqrt(42))
+        c2 = np.float32(2 / np.sqrt(42))
+        return [re, im,
+                c4 - jnp.abs(re), c4 - jnp.abs(im),
+                c2 - jnp.abs(jnp.abs(re) - c4),
+                c2 - jnp.abs(jnp.abs(im) - c4)]
+    raise ValueError(mod)
+
+
 def demod_soft(symbols, mod: Mod, scale=1.0):
     """Max-log soft demapping: [..., n] -> LLRs [..., n*bps] float32.
 
@@ -103,25 +127,9 @@ def demod_soft(symbols, mod: Mod, scale=1.0):
     post-equalization LLR gain (e.g. 4/N0 or per-RE CSI weighting applied
     by the caller). Positive LLR <=> bit 0.
     """
-    re, im = jnp.real(symbols), jnp.imag(symbols)
-    if mod is Mod.BPSK:
-        out = ((re + im) * np.float32(1 / np.sqrt(2)))[..., None]
-    elif mod is Mod.QPSK:
-        out = jnp.stack([re, im], axis=-1)
-    elif mod is Mod.QAM16:
-        c = np.float32(2 / np.sqrt(10))
-        out = jnp.stack(
-            [re, im, c - jnp.abs(re), c - jnp.abs(im)], axis=-1)
-    elif mod is Mod.QAM64:
-        c4 = np.float32(4 / np.sqrt(42))
-        c2 = np.float32(2 / np.sqrt(42))
-        out = jnp.stack(
-            [re, im,
-             c4 - jnp.abs(re), c4 - jnp.abs(im),
-             c2 - jnp.abs(jnp.abs(re) - c4), c2 - jnp.abs(jnp.abs(im) - c4)],
-            axis=-1)
-    else:
-        raise ValueError(mod)
+    planes = demod_planes(jnp.real(symbols), jnp.imag(symbols), mod)
+    out = planes[0][..., None] if len(planes) == 1 \
+        else jnp.stack(planes, axis=-1)
     if not (isinstance(scale, float) and scale == 1.0):
         out = out * scale
     return out.reshape(*symbols.shape[:-1], symbols.shape[-1] * mod.bits_per_symbol)

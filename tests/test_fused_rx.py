@@ -223,3 +223,83 @@ class TestFusedDlsch:
         np.testing.assert_array_equal(np.asarray(bits), tb)
         # softbuffers come from the classic de-RM graph (HARQ state)
         assert len(soft) == fast.segm.c and soft[0] is not None
+
+
+class TestGridPath:
+    """Grid-domain fused path (no RE extraction): pdsch_decode must agree
+    with the classic extracted path for SINGLE and SPATIAL_MUX."""
+
+    def _cell_cfgs(self, mimo, rng):
+        from empower_srslte_tpu.models.pdsch import PdschConfig
+        from empower_srslte_tpu.ops.equalizer import MimoType
+        from empower_srslte_tpu.ops.modem import Mod
+        from empower_srslte_tpu.utils import Cell
+
+        if mimo == "single":
+            cell = Cell(nof_prb=6, nof_ports=1, id=1)
+            cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=Mod.QPSK)
+        else:
+            cell = Cell(nof_prb=6, nof_ports=2, id=1)
+            cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=Mod.QPSK,
+                              mimo=MimoType.SPATIAL_MUX, nof_layers=2,
+                              nof_codewords=2)
+        return cfg
+
+    @pytest.mark.parametrize("mimo", ["single", "mux"])
+    def test_matches_classic(self, tiny_tiles, monkeypatch, rng, mimo):
+        import jax
+
+        from empower_srslte_tpu.models import ra
+        from empower_srslte_tpu.models.pdsch import pdsch_decode, pdsch_encode
+
+        cfg = self._cell_cfgs(mimo, rng)
+        tbs = 136                      # K=160 -> window 80
+        plan_f = cfg.plan(tbs, decoder_impl="pallas2_interpret")
+        plan_c = cfg.plan(tbs, decoder_impl="xla")
+        b = 2
+        tb = rng.integers(0, 2, size=(b, tbs)).astype(np.int8)
+        n0 = 1e-3
+        if mimo == "single":
+            grid = pdsch_encode(jnp.asarray(tb), cfg, plan_f)
+            h = jnp.full((b, 1, 1, cfg.cell.nsymb_sf, cfg.cell.nof_re),
+                         0.9 - 0.2j, jnp.complex64)
+            y = grid * h[:, :, 0]
+            args_f = (y, h, cfg, plan_f)
+            args_c = (y, h, cfg, plan_c)
+            kw = {}
+        else:
+            tb2 = rng.integers(0, 2, size=(b, tbs)).astype(np.int8)
+            ports = pdsch_encode(jnp.asarray(tb), cfg, plan_f,
+                                 jnp.asarray(tb2), plan_f)
+            hm = np.zeros((b, 2, 2, cfg.cell.nsymb_sf, cfg.cell.nof_re),
+                          np.complex64)
+            hm[:, 0, 0] = 1.0
+            hm[:, 1, 1] = 0.8 + 0.3j
+            hm[:, 0, 1] = 0.2
+            hm[:, 1, 0] = 0.1j
+            h = jnp.asarray(hm)
+            y = jnp.einsum("brpsk,bpsk->brsk", h, ports)
+            args_f = (y, h, cfg, plan_f)
+            args_c = (y, h, cfg, plan_c)
+            kw = {"plan2": plan_f}
+            kw_c = {"plan2": plan_c}
+
+        out_f = pdsch_decode(*args_f, noise_est=n0,
+                             **(kw if mimo == "single" else kw))
+        monkeypatch.setenv("SRSLTE_FUSED_RX", "0")
+        out_c = pdsch_decode(*args_c, noise_est=n0,
+                             **(kw if mimo == "single" else kw_c))
+        if mimo == "single":
+            bits_f, ok_f, _ = out_f
+            bits_c, ok_c, _ = out_c
+            assert np.asarray(ok_f).all() and np.asarray(ok_c).all()
+            np.testing.assert_array_equal(np.asarray(bits_f), tb)
+            np.testing.assert_array_equal(np.asarray(bits_c), tb)
+        else:
+            (b1f, b2f), (ok1f, ok2f), _ = out_f
+            (b1c, b2c), (ok1c, ok2c), _ = out_c
+            assert np.asarray(ok1f).all() and np.asarray(ok2f).all()
+            assert np.asarray(ok1c).all() and np.asarray(ok2c).all()
+            np.testing.assert_array_equal(np.asarray(b1f), tb)
+            np.testing.assert_array_equal(np.asarray(b2f), tb2)
+            np.testing.assert_array_equal(np.asarray(b1c), tb)
