@@ -280,6 +280,198 @@ def bench_receiver(config: str, batch: int = 256, chain: int = 6,
             n_ok == chain * n_expected, n_it, round(bler, 4))
 
 
+def bench_uedl(batch: int = 256, chain: int = 6):
+    """Full-chain UE DL receiver, NO genie anything: time-domain samples
+    -> OFDM FFT -> LS channel estimation off the CRS -> pilot noise
+    estimate -> PCFICH decode -> blind PDCCH search (every (L, CCE)
+    candidate of the UE search space x both monitored DCI sizes, Viterbi
+    + CRC16-RNTI) -> PDSCH decode with the ESTIMATED channel.
+
+    This is the measurement the reference publishes live
+    (lib/examples/pdsch_ue.c:786-827); the processing-Mbps receivers
+    above start at the RE grid with a genie channel (pdsch_test.c
+    parity). 10 MHz SISO MCS 23, AWGN at 30 dB.
+    """
+    from empower_srslte_tpu.models import ra
+    from empower_srslte_tpu.models.dci import format0_1a_size, format1_size
+    from empower_srslte_tpu.models.enb_dl import (enb_dl_base_grid,
+                                                  enb_dl_gen_signal)
+    from empower_srslte_tpu.models.pcfich import pcfich_decode, pcfich_put
+    from empower_srslte_tpu.models.pdcch import (BITS_PER_CCE,
+                                                 pdcch_encode,
+                                                 pdcch_extract_llr,
+                                                 ue_search_candidates)
+    from empower_srslte_tpu.models.regs import pdcch_nof_cces
+    from empower_srslte_tpu.models.pdsch import (PdschConfig, pdsch_decode,
+                                                 pdsch_encode)
+    from empower_srslte_tpu.ops.chest import chest_dl, noise_est_pilots
+    from empower_srslte_tpu.ops.fec.convcoder import viterbi_decode
+    from empower_srslte_tpu.ops.fec.rm_conv import rm_conv_rx
+    from empower_srslte_tpu.ops.ofdm import ofdm_rx_sf, ofdm_tx_sf
+    from empower_srslte_tpu.utils import Cell
+    from empower_srslte_tpu.utils.bits import uint_to_bits
+    from empower_srslte_tpu.utils.crc import CRC16
+
+    rng = np.random.default_rng(7)
+    cell = Cell(nof_prb=50, nof_ports=1, id=1)
+    sf_idx, cfi, rnti = 1, 1, 0x1234
+    mod, tbs = ra.mcs_to_tbs(23, 50)
+    cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti, mod=mod)
+    plan = cfg.plan(tbs)
+    size1 = format1_size(50)
+    size1a = format0_1a_size(50)
+    dci_l, dci_cce = 4, 0
+    dci_bits = rng.integers(0, 2, size1).astype(np.int8)
+
+    tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+    sf_len = cell.sf_sample_len
+    snr_db = 30.0
+
+    def make_tx(tb, nz_re, nz_im):
+        grid = enb_dl_base_grid(cell, sf_idx, batch_shape=(batch,))
+        grid = pcfich_put(grid, cfi, cell, sf_idx)
+        grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti, dci_cce,
+                                   dci_l, cell, cfi, sf_idx)
+        grid = grid + pdsch_encode(tb, cfg, plan)
+        samples = enb_dl_gen_signal(grid, cell)[..., 0, :]  # port 0
+        p_sig = jnp.mean(jnp.abs(samples) ** 2)
+        sigma = jnp.sqrt(p_sig * 10 ** (-snr_db / 10) / 2)
+        y = samples + sigma * jax.lax.complex(nz_re, nz_im)
+        return jnp.real(y), jnp.imag(y)
+
+    cands = ue_search_candidates(rnti, sf_idx,
+                                 pdcch_nof_cces(cell, cfi))
+    mask16 = jnp.asarray(uint_to_bits(rnti & 0xFFFF, 16))
+
+    def fn(s_re, s_im):
+        samples = jax.lax.complex(s_re, s_im)
+        grid = ofdm_rx_sf(samples, cell)
+        h = chest_dl(grid, cell, sf_idx, port=0)
+        n0 = noise_est_pilots(grid, cell, sf_idx)
+        cfi_hat, _ = pcfich_decode(grid, h, cell, sf_idx,
+                                   noise_est=n0[..., None])
+        cfi_ok = jnp.sum((cfi_hat == cfi).astype(jnp.int32))
+        # blind DCI search: all candidates x both monitored sizes
+        llr = pdcch_extract_llr(grid, h, cell, cfi, sf_idx,
+                                noise_est=n0[..., None])
+        n_det = jnp.zeros((), jnp.int32)
+        by_l: dict = {}
+        for l, cce in cands:
+            by_l.setdefault(l, []).append(cce)
+        for l, cces in by_l.items():
+            e = l * BITS_PER_CCE
+            seg = jnp.stack(
+                [llr[..., c * BITS_PER_CCE : c * BITS_PER_CCE + e]
+                 for c in cces], axis=-2)             # [B, nc, e]
+            for size in {size1, size1a}:
+                k = size + 16
+                bits = viterbi_decode(rm_conv_rx(seg, k), wrap=1)
+                unmasked = jnp.concatenate(
+                    [bits[..., :size],
+                     jnp.bitwise_xor(bits[..., size:], mask16)], axis=-1)
+                n_det = n_det + jnp.sum(
+                    CRC16.jnp_check(unmasked).astype(jnp.int32))
+        ilist = []
+        _bits, ok, _ = pdsch_decode(
+            grid[:, None], h[:, None, None], cfg, plan,
+            noise_est=n0[:, None], iters_out=ilist)
+        n_it = jnp.max(jnp.stack(ilist)) if ilist \
+            else jnp.zeros((), jnp.int32)
+        good = jnp.sum(ok.astype(jnp.int32)) \
+            + jnp.minimum(cfi_ok, batch) + jnp.minimum(n_det, batch)
+        return good.astype(jnp.int32), n_it
+
+    make_tx_j = jax.jit(make_tx)
+    nz_re = jnp.asarray(rng.normal(size=(batch, sf_len)).astype(np.float32))
+    nz_im = jnp.asarray(rng.normal(size=(batch, sf_len)).astype(np.float32))
+    s_re, s_im = make_tx_j(jnp.asarray(tb), nz_re, nz_im)
+    args = (s_re, s_im)
+
+    @jax.jit
+    def chained(s_re, s_im):
+        def body(carry, _):
+            a0, acc, itm = carry
+            n_good, n_it = fn(a0, s_im)
+            return (s_re + 0.0 * n_good.astype(s_re.dtype),
+                    acc + n_good, jnp.maximum(itm, n_it)), None
+        (_, acc, itm), _ = jax.lax.scan(
+            body, (s_re, jnp.zeros((), jnp.int32),
+                   jnp.zeros((), jnp.int32)), None, length=chain)
+        return acc, itm
+
+    acc, itm = chained(*args)
+    n_good = _sync(acc)
+    n_it = _sync(itm)
+    best_mbps = best_sfps = 0.0
+    for _ in range(3):
+        reps = 2
+        t0 = time.time()
+        r = None
+        for _ in range(reps):
+            r, _i = chained(*args)
+        _sync(r)
+        dt = (time.time() - t0) / (reps * chain)
+        if batch * tbs / dt / 1e6 > best_mbps:
+            best_mbps = batch * tbs / dt / 1e6
+            best_sfps = batch / dt
+    # good counts: pdsch ok (batch) + cfi (batch, clamped) + dci (batch)
+    return (round(best_mbps, 0), round(best_sfps, 0),
+            n_good == 3 * batch * chain, n_it)
+
+
+def bench_tx(batch: int = 256, chain: int = 6):
+    """eNB DL transmit: DL-SCH encode -> scramble -> modulate -> layer
+    map/precode -> RE map + CRS -> iFFT to time samples, 20 MHz 2x2 TM4
+    two codewords (srslte_enb_dl: put_base + put_pdsch + gen_signal;
+    ENCODED Mbps as printed by pdsch_test.c:455)."""
+    from empower_srslte_tpu.models import ra
+    from empower_srslte_tpu.models.enb_dl import (enb_dl_base_grid,
+                                                  enb_dl_gen_signal)
+    from empower_srslte_tpu.models.pdsch import (PdschConfig, pdsch_encode)
+    from empower_srslte_tpu.ops.equalizer import MimoType
+    from empower_srslte_tpu.utils import Cell
+
+    rng = np.random.default_rng(3)
+    cell = Cell(nof_prb=100, nof_ports=2, id=1)
+    mod, tbs = ra.mcs_to_tbs(27, 100)
+    cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=mod,
+                      mimo=MimoType.SPATIAL_MUX, nof_layers=2,
+                      nof_codewords=2)
+    plan = cfg.plan(tbs)
+    tb = jnp.asarray(rng.integers(0, 2, size=(batch, tbs)).astype(np.int8))
+    tb2 = jnp.asarray(rng.integers(0, 2, size=(batch, tbs)).astype(np.int8))
+
+    def fn(tb, tb2):
+        grid = enb_dl_base_grid(cell, 1, batch_shape=(batch,))
+        grid = grid + pdsch_encode(tb, cfg, plan, tb2, plan)
+        samples = enb_dl_gen_signal(grid, cell)
+        return jnp.sum(jnp.abs(samples[:, 0, ::997]))
+
+    @jax.jit
+    def chained(tb, tb2):
+        def body(carry, _):
+            t0c, acc = carry
+            s = fn(t0c, tb2)
+            return (jnp.bitwise_xor(tb, (s > -1.0).astype(tb.dtype)),
+                    acc + s), None
+        (_, acc), _ = jax.lax.scan(
+            body, (tb, jnp.zeros((), jnp.float32)), None, length=chain)
+        return acc
+
+    r = chained(tb, tb2)
+    _ = float(np.asarray(r))
+    best_mbps = 0.0
+    for _ in range(3):
+        reps = 2
+        t0 = time.time()
+        for _ in range(reps):
+            r = chained(tb, tb2)
+        float(np.asarray(r))
+        dt = (time.time() - t0) / (reps * chain)
+        best_mbps = max(best_mbps, 2 * tbs * batch / dt / 1e6)
+    return round(best_mbps, 0)
+
+
 def main():
     """Receivers FIRST (each with its own remaining-budget guard), the
     turbo headline LAST and unconditionally — so a slow cold compile of any
@@ -343,6 +535,30 @@ def main():
             except Exception as e:
                 out[f"rx_{config}_mid"] = f"failed: {e}"[:120]
             out[f"t_rx_{config}_mid_s"] = round(time.time() - t0, 1)
+            checkpoint()
+
+        # full-chain UE DL (no genie channel: FFT + LS chest + PCFICH +
+        # blind PDCCH + PDSCH) and the eNB TX side
+        for name, fnc in (("rx_uedl", bench_uedl), ("tx_20mimo", bench_tx)):
+            if time.time() - t_start > budget * 0.85:
+                out[name] = "skipped (time budget)"
+                continue
+            t0 = time.time()
+            try:
+                if name == "rx_uedl":
+                    mbps_x, sfps, okx, n_it = fnc()
+                    out["rx_uedl_mbps"] = mbps_x
+                    out["rx_uedl_sfps"] = sfps
+                    out["rx_uedl_ok"] = okx
+                    out["rx_uedl_iters"] = n_it
+                    out["rx_uedl_vs_baseline"] = round(mbps_x / 36.0, 1)
+                else:
+                    out["tx_20mimo_mbps"] = fnc()
+                    out["tx_20mimo_vs_baseline"] = round(
+                        out["tx_20mimo_mbps"] / 150.0, 1)
+            except Exception as e:
+                out[name] = f"failed: {e}"[:120]
+            out[f"t_{name}_s"] = round(time.time() - t0, 1)
             checkpoint()
 
     t0 = time.time()

@@ -67,8 +67,65 @@ def _interp_plan(cell: Cell, sf_idx: int, port: int):
         w = (s - t0) / (t1 - t0)
         tw[s, order[j]] = 1.0 - w
         tw[s, order[j + 1]] = w
+    # regular 6-subcarrier comb detection (always true for CRS): allows
+    # strided-slice extraction and periodic-phase interpolation
+    combs = None
+    if all(np.all(np.diff(re_idx[r]) == 6) for r in range(p)):
+        combs = tuple(int(re_idx[r][0]) for r in range(p))
     return dict(re_idx=re_idx, syms=syms, conj_vals=np.conj(vals),
-                idx0=idx0, idx1=idx1, wgt=wgt, tw=tw)
+                idx0=idx0, idx1=idx1, wgt=wgt, tw=tw, comb_offsets=combs)
+
+
+
+def _ls_pilots(grid, plan):
+    """LS pilot estimates h_p [..., P, M] = y(pilot) * conj(r).
+
+    CRS pilots sit on a regular 6-subcarrier comb per row, so extraction
+    is a strided SLICE per pilot-symbol row — the take_along_axis
+    formulation is kept as a fallback but its lane-axis gather was a
+    measurable slice of the full-chain receiver on TPU.
+    """
+    re_idx = plan["re_idx"]
+    syms = plan["syms"]
+    cvals = plan["conj_vals"]
+    if plan.get("comb_offsets") is not None:
+        rows = []
+        for r, (sy, off) in enumerate(zip(syms, plan["comb_offsets"])):
+            rows.append(grid[..., int(sy), int(off) :: 6]
+                        * jnp.asarray(cvals[r]))
+        return jnp.stack(rows, axis=-2)
+    rows = grid[..., jnp.asarray(syms), :]
+    h_p = jnp.take_along_axis(
+        rows, jnp.broadcast_to(jnp.asarray(re_idx),
+                               rows.shape[:-1] + re_idx.shape[-1:]),
+        axis=-1)
+    return h_p * jnp.asarray(cvals)
+
+
+def _freq_interp_row(h_p_row, off: int, nre: int):
+    """Linear pilot->subcarrier interpolation for one comb row (pilots
+    at off + 6m): periodic-phase reshape instead of two lane gathers.
+    Identical weights to the generic searchsorted plan (asserted by the
+    chest tests): interior phases d/6, linear extrapolation at edges."""
+    m = h_p_row.shape[-1]
+    d = jnp.arange(6, dtype=jnp.float32) / 6.0
+    hl = h_p_row[..., :-1, None]
+    hr = h_p_row[..., 1:, None]
+    interior = hl * (1.0 - d) + hr * d
+    interior = interior.reshape(*h_p_row.shape[:-1], 6 * (m - 1))
+    parts = []
+    if off:
+        wl = (jnp.arange(off, dtype=jnp.float32) - off) / 6.0
+        parts.append(h_p_row[..., 0:1] * (1.0 - wl)
+                     + h_p_row[..., 1:2] * wl)
+    parts.append(interior)
+    n_r = nre - off - 6 * (m - 1)
+    if n_r:
+        wr = (jnp.arange(n_r, dtype=jnp.float32) + 6 * (m - 1)) / 6.0 \
+            - (m - 2)
+        parts.append(h_p_row[..., m - 2 : m - 1] * (1.0 - wr)
+                     + h_p_row[..., m - 1 : m] * wr)
+    return jnp.concatenate(parts, axis=-1)
 
 
 #: 3-tap frequency smoothing filter (chest_dl.c default smooth filter).
@@ -118,15 +175,7 @@ def chest_dl(grid, cell: Cell, sf_idx: int, port: int = 0,
     (subframes, rx antennas).
     """
     plan = _interp_plan(cell, sf_idx, port)
-    re_idx = jnp.asarray(plan["re_idx"])
-    syms = jnp.asarray(plan["syms"])
-    cvals = jnp.asarray(plan["conj_vals"])
-
-    # LS: h_p[..., P, M] = y(pilot) * conj(r) (|r| = 1)
-    rows = grid[..., syms, :]                       # [..., P, nre]
-    h_p = jnp.take_along_axis(
-        rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
-        axis=-1) * cvals
+    h_p = _ls_pilots(grid, plan)                    # [..., P, M]
 
     if gauss_std is not None:
         h_p = _smooth_taps(h_p, gauss_taps(gauss_std))
@@ -135,14 +184,22 @@ def chest_dl(grid, cell: Cell, sf_idx: int, port: int = 0,
         h_p = _smooth_taps(h_p, SMOOTH_3TAP)
 
     # frequency interpolation to all subcarriers
-    h0 = jnp.take_along_axis(
-        h_p, jnp.broadcast_to(plan["idx0"], h_p.shape[:-1] + plan["idx0"].shape[-1:]),
-        axis=-1)
-    h1 = jnp.take_along_axis(
-        h_p, jnp.broadcast_to(plan["idx1"], h_p.shape[:-1] + plan["idx1"].shape[-1:]),
-        axis=-1)
-    w = jnp.asarray(plan["wgt"])
-    h_f = h0 * (1.0 - w) + h1 * w                    # [..., P, nre]
+    nre = cell.nof_re
+    if plan.get("comb_offsets") is not None:
+        h_f = jnp.stack(
+            [_freq_interp_row(h_p[..., r, :], off, nre)
+             for r, off in enumerate(plan["comb_offsets"])], axis=-2)
+    else:
+        h0 = jnp.take_along_axis(
+            h_p, jnp.broadcast_to(
+                plan["idx0"], h_p.shape[:-1] + plan["idx0"].shape[-1:]),
+            axis=-1)
+        h1 = jnp.take_along_axis(
+            h_p, jnp.broadcast_to(
+                plan["idx1"], h_p.shape[:-1] + plan["idx1"].shape[-1:]),
+            axis=-1)
+        w = jnp.asarray(plan["wgt"])
+        h_f = h0 * (1.0 - w) + h1 * w                # [..., P, nre]
 
     # time interpolation to all symbols: per-symbol static 2-term lerp
     # (the einsum form lowered to tiny batched dot_generals on TPU)
@@ -178,13 +235,7 @@ def noise_est_pilots(grid, cell: Cell, sf_idx: int, port: int = 0):
     reference does.
     """
     plan = _interp_plan(cell, sf_idx, port)
-    re_idx = jnp.asarray(plan["re_idx"])
-    syms = jnp.asarray(plan["syms"])
-    cvals = jnp.asarray(plan["conj_vals"])
-    rows = grid[..., syms, :]
-    h_p = jnp.take_along_axis(
-        rows, jnp.broadcast_to(re_idx, rows.shape[:-1] + re_idx.shape[-1:]),
-        axis=-1) * cvals
+    h_p = _ls_pilots(grid, plan)
     left = h_p[..., :1]
     right = h_p[..., -1:]
     padded = jnp.concatenate([left, h_p, right], axis=-1)

@@ -68,18 +68,39 @@ def constellation(mod: Mod) -> np.ndarray:
 
 
 def modulate(bits, mod: Mod):
-    """bits [..., n*bps] 0/1 -> symbols [..., n] complex64 (LUT gather).
+    """bits [..., n*bps] 0/1 -> symbols [..., n] complex64.
 
-    Equivalent of srslte_mod_modulate_bytes (mod.c:157): group bits
-    MSB-first into LUT indices, gather from the constellation table.
+    Equivalent of srslte_mod_modulate_bytes (mod.c:157), but closed-form:
+    every LTE constellation's I/Q is a (bi)linear function of its bits
+    (36.211 7.1 tables), so modulation is pure elementwise arithmetic —
+    a table gather over the symbol axis was the costliest stage of the
+    TX bench on TPU (lane-axis gathers from a tiny LUT don't vectorize).
     """
+    import jax
+
     bps = mod.bits_per_symbol
     *lead, n = bits.shape
     assert n % bps == 0
-    grp = bits.reshape(*lead, n // bps, bps).astype(jnp.int32)
-    weights = jnp.asarray([1 << (bps - 1 - i) for i in range(bps)], jnp.int32)
-    idx = jnp.sum(grp * weights, axis=-1)
-    return jnp.take(jnp.asarray(constellation(mod)), idx, axis=0)
+    grp = bits.reshape(*lead, n // bps, bps).astype(jnp.float32)
+    b = [grp[..., i] for i in range(bps)]
+    sgn = lambda x: 1.0 - 2.0 * x
+    if mod is Mod.BPSK:
+        s = np.float32(1 / np.sqrt(2))
+        return jax.lax.complex(sgn(b[0]) * s, sgn(b[0]) * s)
+    if mod is Mod.QPSK:
+        s = np.float32(1 / np.sqrt(2))
+        return jax.lax.complex(sgn(b[0]) * s, sgn(b[1]) * s)
+    if mod is Mod.QAM16:
+        s = np.float32(1 / np.sqrt(10))
+        return jax.lax.complex(sgn(b[0]) * (1.0 + 2.0 * b[2]) * s,
+                               sgn(b[1]) * (1.0 + 2.0 * b[3]) * s)
+    if mod is Mod.QAM64:
+        # |amp|(b_h, b_l): 00->3, 01->1, 10->5, 11->7
+        s = np.float32(1 / np.sqrt(42))
+        amp = lambda bh, bl: 3.0 + 2.0 * bh - 2.0 * bl + 4.0 * bh * bl
+        return jax.lax.complex(sgn(b[0]) * amp(b[2], b[4]) * s,
+                               sgn(b[1]) * amp(b[3], b[5]) * s)
+    raise ValueError(mod)
 
 
 #: 8-bit LLR quantization gains per modulation — the reference's byte
