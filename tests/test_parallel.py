@@ -75,3 +75,42 @@ class TestSequenceParallelTurbo:
         ref = TurboDecoder(k=k, iterations=3, window=64)
         bits_ref, llr_ref = ref.decode(jnp.asarray(llr))
         assert np.array_equal(np.asarray(bits_sp), np.asarray(bits_ref))
+
+
+class TestPallasUnderShardMap:
+    def test_nii_kernel_batch_sharded(self, devices, monkeypatch):
+        """The flagship NII Pallas decoder executes under shard_map with
+        the CB batch sharded across the mesh (interpret mode on the CPU
+        devices; identical code path to the compiled kernel on TPU) —
+        sharded-execution evidence for the deployed windowed decoder
+        (turbodecoder_win.h is the reference's production path)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from empower_srslte_tpu.ops.fec import turbo_encode_np
+        from empower_srslte_tpu.ops.fec.turbo_decoder import TurboDecoder
+
+        monkeypatch.setenv("TURBO_SUB", "8")
+        monkeypatch.setenv("TURBO_LANES", "1")
+        mesh = make_mesh(8)
+        k = 320
+        dec = TurboDecoder(k=k, iterations=2, window=80,
+                           impl="pallas2_interpret")
+        rng = np.random.default_rng(5)
+        u = rng.integers(0, 2, size=(8, 1, k)).astype(np.int8)
+        d = turbo_encode_np(u.reshape(-1, k)).reshape(8, 1, 3, k + 4)
+        llr = jnp.asarray((1.0 - 2.0 * d.astype(np.float32)) * 8.0)
+        spec = P(("carrier", "sf"))
+
+        def local(llr_shard):
+            bits, _ = dec.decode(llr_shard)
+            return bits
+
+        fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,),
+                                   out_specs=spec, check_vma=False))
+        bits = fn(jax.device_put(llr, NamedSharding(mesh, spec)))
+        # each device decoded only its own shard (no replication)
+        shard_elems = max(int(np.prod(s.data.shape))
+                          for s in bits.addressable_shards)
+        assert shard_elems * 8 <= bits.size
+        np.testing.assert_array_equal(np.asarray(bits), u)
