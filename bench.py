@@ -280,7 +280,7 @@ def bench_receiver(config: str, batch: int = 256, chain: int = 6,
             n_ok == chain * n_expected, n_it, round(bler, 4))
 
 
-def bench_uedl(batch: int = 256, chain: int = 6):
+def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
     """Full-chain UE DL receiver, NO genie anything: time-domain samples
     -> OFDM FFT -> LS channel estimation off the CRS -> pilot noise
     estimate -> PCFICH decode -> blind PDCCH search (every (L, CCE)
@@ -290,7 +290,13 @@ def bench_uedl(batch: int = 256, chain: int = 6):
     This is the measurement the reference publishes live
     (lib/examples/pdsch_ue.c:786-827); the processing-Mbps receivers
     above start at the RE grid with a genie channel (pdsch_test.c
-    parity). 10 MHz SISO MCS 23, AWGN at 30 dB.
+    parity). Default: 10 MHz SISO MCS 23, AWGN at 30 dB.
+
+    ``mimo``: 20 MHz 2x2 TM4 two-codeword variant — per-subframe random
+    full-rank 2x2 channel applied in the frequency domain before the
+    per-antenna iFFT, CRS channel estimation per (rx, port) pair, SFBC
+    control channels — the configuration behind the reference's 150 Mbps
+    full-chain headline (README.md:39 there).
     """
     from empower_srslte_tpu.models import ra
     from empower_srslte_tpu.models.dci import format0_1a_size, format1_size
@@ -301,39 +307,66 @@ def bench_uedl(batch: int = 256, chain: int = 6):
                                                  pdcch_encode,
                                                  pdcch_extract_llr,
                                                  ue_search_candidates)
-    from empower_srslte_tpu.models.regs import pdcch_nof_cces
     from empower_srslte_tpu.models.pdsch import (PdschConfig, pdsch_decode,
                                                  pdsch_encode)
+    from empower_srslte_tpu.models.regs import pdcch_nof_cces
     from empower_srslte_tpu.ops.chest import chest_dl, noise_est_pilots
+    from empower_srslte_tpu.ops.equalizer import MimoType
     from empower_srslte_tpu.ops.fec.convcoder import viterbi_decode
     from empower_srslte_tpu.ops.fec.rm_conv import rm_conv_rx
-    from empower_srslte_tpu.ops.ofdm import ofdm_rx_sf, ofdm_tx_sf
+    from empower_srslte_tpu.ops.ofdm import ofdm_rx_sf
     from empower_srslte_tpu.utils import Cell
     from empower_srslte_tpu.utils.bits import uint_to_bits
     from empower_srslte_tpu.utils.crc import CRC16
 
     rng = np.random.default_rng(7)
-    cell = Cell(nof_prb=50, nof_ports=1, id=1)
     sf_idx, cfi, rnti = 1, 1, 0x1234
-    mod, tbs = ra.mcs_to_tbs(23, 50)
-    cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti, mod=mod)
+    if mimo:
+        cell = Cell(nof_prb=100, nof_ports=2, id=1)
+        mod, tbs = ra.mcs_to_tbs(25, 100)
+        cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
+                          mod=mod, mimo=MimoType.SPATIAL_MUX,
+                          nof_layers=2, nof_codewords=2)
+        n_cw, n_rx = 2, 2
+        nprb = 100
+    else:
+        cell = Cell(nof_prb=50, nof_ports=1, id=1)
+        mod, tbs = ra.mcs_to_tbs(23, 50)
+        cfg = PdschConfig(cell=cell, sf_idx=sf_idx, cfi=cfi, rnti=rnti,
+                          mod=mod)
+        n_cw, n_rx = 1, 1
+        nprb = 50
     plan = cfg.plan(tbs)
-    size1 = format1_size(50)
-    size1a = format0_1a_size(50)
+    size1 = format1_size(nprb)
+    size1a = format0_1a_size(nprb)
     dci_l, dci_cce = 4, 0
     dci_bits = rng.integers(0, 2, size1).astype(np.int8)
 
     tb = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
+    tb2 = rng.integers(0, 2, size=(batch, tbs)).astype(np.int8)
     sf_len = cell.sf_sample_len
     snr_db = 30.0
+    # per-subframe well-conditioned 2x2 mixing channel (diag-dominant
+    # with random phases): exercises per-(rx, port) chest + 2x2 MMSE
+    # without the capture depending on worst-case Rayleigh conditioning
+    ph = rng.uniform(0, 2 * np.pi, size=(batch, 2, 2))
+    mag = np.where(np.eye(2, dtype=bool)[None], 1.0, 0.35)
+    h2 = (mag * np.exp(1j * ph)).astype(np.complex64)
 
-    def make_tx(tb, nz_re, nz_im):
+    def make_tx(tb, tb2, h2_re, h2_im, nz_re, nz_im):
         grid = enb_dl_base_grid(cell, sf_idx, batch_shape=(batch,))
         grid = pcfich_put(grid, cfi, cell, sf_idx)
         grid = grid + pdcch_encode(jnp.asarray(dci_bits), rnti, dci_cce,
                                    dci_l, cell, cfi, sf_idx)
-        grid = grid + pdsch_encode(tb, cfg, plan)
-        samples = enb_dl_gen_signal(grid, cell)[..., 0, :]  # port 0
+        if mimo:
+            grid = grid + pdsch_encode(tb, cfg, plan, tb2, plan)
+            h2c = jax.lax.complex(h2_re, h2_im)
+            grid = jnp.einsum("brp,bpsk->brsk", h2c, grid)
+        else:
+            grid = grid + pdsch_encode(tb, cfg, plan)
+        samples = enb_dl_gen_signal(grid, cell)
+        if not mimo:
+            samples = samples[..., 0, :]
         p_sig = jnp.mean(jnp.abs(samples) ** 2)
         sigma = jnp.sqrt(p_sig * 10 ** (-snr_db / 10) / 2)
         y = samples + sigma * jax.lax.complex(nz_re, nz_im)
@@ -345,14 +378,24 @@ def bench_uedl(batch: int = 256, chain: int = 6):
 
     def fn(s_re, s_im):
         samples = jax.lax.complex(s_re, s_im)
-        grid = ofdm_rx_sf(samples, cell)
-        h = chest_dl(grid, cell, sf_idx, port=0)
-        n0 = noise_est_pilots(grid, cell, sf_idx)
-        cfi_hat, _ = pcfich_decode(grid, h, cell, sf_idx,
+        grid = ofdm_rx_sf(samples, cell)        # [B(, rx), S, K]
+        if mimo:
+            h = jnp.stack(
+                [jnp.stack([chest_dl(grid[:, r], cell, sf_idx, port=p)
+                            for p in range(2)], axis=1)
+                 for r in range(2)], axis=1)    # [B, rx, port, S, K]
+            n0 = jnp.maximum(noise_est_pilots(grid[:, 0], cell, sf_idx),
+                             1e-7)
+            grid0, h0 = grid[:, 0], h[:, 0]     # rx antenna 0 for control
+        else:
+            h = chest_dl(grid, cell, sf_idx, port=0)
+            n0 = jnp.maximum(noise_est_pilots(grid, cell, sf_idx), 1e-7)
+            grid0, h0 = grid, h
+        cfi_hat, _ = pcfich_decode(grid0, h0, cell, sf_idx,
                                    noise_est=n0[..., None])
         cfi_ok = jnp.sum((cfi_hat == cfi).astype(jnp.int32))
         # blind DCI search: all candidates x both monitored sizes
-        llr = pdcch_extract_llr(grid, h, cell, cfi, sf_idx,
+        llr = pdcch_extract_llr(grid0, h0, cell, cfi, sf_idx,
                                 noise_est=n0[..., None])
         n_det = jnp.zeros((), jnp.int32)
         by_l: dict = {}
@@ -372,19 +415,30 @@ def bench_uedl(batch: int = 256, chain: int = 6):
                 n_det = n_det + jnp.sum(
                     CRC16.jnp_check(unmasked).astype(jnp.int32))
         ilist = []
-        _bits, ok, _ = pdsch_decode(
-            grid[:, None], h[:, None, None], cfg, plan,
-            noise_est=n0[:, None], iters_out=ilist)
+        if mimo:
+            _bits, (ok1, ok2), _ = pdsch_decode(
+                grid, h, cfg, plan, noise_est=n0[:, None], plan2=plan,
+                iters_out=ilist)
+            ok_sum = jnp.sum(ok1.astype(jnp.int32)) \
+                + jnp.sum(ok2.astype(jnp.int32))
+        else:
+            _bits, ok, _ = pdsch_decode(
+                grid[:, None], h[:, None, None], cfg, plan,
+                noise_est=n0[:, None], iters_out=ilist)
+            ok_sum = jnp.sum(ok.astype(jnp.int32))
         n_it = jnp.max(jnp.stack(ilist)) if ilist \
             else jnp.zeros((), jnp.int32)
-        good = jnp.sum(ok.astype(jnp.int32)) \
-            + jnp.minimum(cfi_ok, batch) + jnp.minimum(n_det, batch)
+        good = ok_sum + jnp.minimum(cfi_ok, batch) \
+            + jnp.minimum(n_det, batch)
         return good.astype(jnp.int32), n_it
 
     make_tx_j = jax.jit(make_tx)
-    nz_re = jnp.asarray(rng.normal(size=(batch, sf_len)).astype(np.float32))
-    nz_im = jnp.asarray(rng.normal(size=(batch, sf_len)).astype(np.float32))
-    s_re, s_im = make_tx_j(jnp.asarray(tb), nz_re, nz_im)
+    nshape = (batch, 2, sf_len) if mimo else (batch, sf_len)
+    nz_re = jnp.asarray(rng.normal(size=nshape).astype(np.float32))
+    nz_im = jnp.asarray(rng.normal(size=nshape).astype(np.float32))
+    s_re, s_im = make_tx_j(jnp.asarray(tb), jnp.asarray(tb2),
+                           jnp.asarray(np.real(h2)),
+                           jnp.asarray(np.imag(h2)), nz_re, nz_im)
     args = (s_re, s_im)
 
     @jax.jit
@@ -411,12 +465,12 @@ def bench_uedl(batch: int = 256, chain: int = 6):
             r, _i = chained(*args)
         _sync(r)
         dt = (time.time() - t0) / (reps * chain)
-        if batch * tbs / dt / 1e6 > best_mbps:
-            best_mbps = batch * tbs / dt / 1e6
+        if batch * n_cw * tbs / dt / 1e6 > best_mbps:
+            best_mbps = batch * n_cw * tbs / dt / 1e6
             best_sfps = batch / dt
-    # good counts: pdsch ok (batch) + cfi (batch, clamped) + dci (batch)
+    # good counts: pdsch ok (n_cw*batch) + cfi (batch) + dci (batch)
     return (round(best_mbps, 0), round(best_sfps, 0),
-            n_good == 3 * batch * chain, n_it)
+            n_good == (n_cw + 2) * batch * chain, n_it)
 
 
 def bench_tx(batch: int = 256, chain: int = 6):
@@ -538,27 +592,35 @@ def main():
             checkpoint()
 
         # full-chain UE DL (no genie channel: FFT + LS chest + PCFICH +
-        # blind PDCCH + PDSCH) and the eNB TX side
-        for name, fnc in (("rx_uedl", bench_uedl), ("tx_20mimo", bench_tx)):
+        # blind PDCCH + PDSCH; SISO and the reference's 20 MHz MIMO
+        # headline configuration) and the eNB TX side
+        uedl_phases = (("rx_uedl", dict(), 36.0),
+                       ("rx_uedl_20mimo", dict(mimo=True), 150.0))
+        for name, kw, base in uedl_phases:
             if time.time() - t_start > budget * 0.85:
                 out[name] = "skipped (time budget)"
                 continue
             t0 = time.time()
             try:
-                if name == "rx_uedl":
-                    mbps_x, sfps, okx, n_it = fnc()
-                    out["rx_uedl_mbps"] = mbps_x
-                    out["rx_uedl_sfps"] = sfps
-                    out["rx_uedl_ok"] = okx
-                    out["rx_uedl_iters"] = n_it
-                    out["rx_uedl_vs_baseline"] = round(mbps_x / 36.0, 1)
-                else:
-                    out["tx_20mimo_mbps"] = fnc()
-                    out["tx_20mimo_vs_baseline"] = round(
-                        out["tx_20mimo_mbps"] / 150.0, 1)
+                mbps_x, sfps, okx, n_it = bench_uedl(**kw)
+                out[f"{name}_mbps"] = mbps_x
+                out[f"{name}_sfps"] = sfps
+                out[f"{name}_ok"] = okx
+                out[f"{name}_iters"] = n_it
+                out[f"{name}_vs_baseline"] = round(mbps_x / base, 1)
             except Exception as e:
                 out[name] = f"failed: {e}"[:120]
             out[f"t_{name}_s"] = round(time.time() - t0, 1)
+            checkpoint()
+        if time.time() - t_start < budget * 0.9:
+            t0 = time.time()
+            try:
+                out["tx_20mimo_mbps"] = bench_tx()
+                out["tx_20mimo_vs_baseline"] = round(
+                    out["tx_20mimo_mbps"] / 150.0, 1)
+            except Exception as e:
+                out["tx_20mimo"] = f"failed: {e}"[:120]
+            out["t_tx_20mimo_s"] = round(time.time() - t0, 1)
             checkpoint()
 
     t0 = time.time()
