@@ -112,7 +112,7 @@ def bench_turbo():
 #: Mid-SNR noise levels (waterfall edge, where the CRC early stop
 #: actually iterates): chosen so BLER lands in the 1-50 % band — the
 #: operating point the reference's phy_dl_test.c:371-408 sweeps report.
-MIDSNR_N0 = {"20mimo": 0.009, "10siso": 0.042, "20ul": 0.047}
+MIDSNR_N0 = {"20mimo": 0.009, "10siso": 0.042, "20ul": 0.046}
 
 
 def bench_receiver(config: str, batch: int = 256, chain: int = 6,
