@@ -303,3 +303,58 @@ class TestGridPath:
             np.testing.assert_array_equal(np.asarray(b1f), tb)
             np.testing.assert_array_equal(np.asarray(b2f), tb2)
             np.testing.assert_array_equal(np.asarray(b1c), tb)
+
+
+class TestFusedVariants:
+    """Redundancy versions, fixed-iteration mode, int8 lane — through the
+    fused path, against the classic path."""
+
+    def test_rv2_selection(self, tiny_tiles, rng):
+        """Non-zero redundancy version shifts the circular-buffer start
+        (k0, 36.212 5.1.4.1.2); the fused tables must follow."""
+        from empower_srslte_tpu.models.sch import DlschPlan
+
+        tbs, g = 104, 520
+        fast = DlschPlan(tbs=tbs, g=g, qm=4, rv=2,
+                         decoder_impl="pallas2_interpret")
+        ref = DlschPlan(tbs=tbs, g=g, qm=4, rv=2, decoder_impl="xla")
+        tb = rng.integers(0, 2, size=(1, 2, tbs)).astype(np.int8)
+        cw = np.asarray(dlsch_encode(jnp.asarray(tb), fast))
+        llrs = (1.0 - 2.0 * cw) * 6.0
+        bits_f, ok_f, bits_r, ok_r = _run_both(fast, ref, llrs)
+        assert ok_f.all() and ok_r.all()
+        np.testing.assert_array_equal(bits_f, tb)
+
+    def test_fixed_iterations(self, tiny_tiles, rng):
+        """early_stop=False: the fixed-count scan path of decode_tiles."""
+        fast, ref = _mini_multicb_plans(early_stop=False)
+        tb = rng.integers(0, 2, size=(1, 2, fast.tbs)).astype(np.int8)
+        cw = np.asarray(dlsch_encode(jnp.asarray(tb), fast))
+        llrs = (1.0 - 2.0 * cw) * 6.0
+        bits_f, ok_f, bits_r, ok_r = _run_both(fast, ref, llrs)
+        assert ok_f.all() and ok_r.all()
+        np.testing.assert_array_equal(bits_f, tb)
+
+    def test_int8_lane_grid_path(self, tiny_tiles, monkeypatch, rng):
+        """llr_int8 through the grid-domain fused path: quantized byte
+        LLRs (demod_soft.c scales), decoded in bf16."""
+        from empower_srslte_tpu.models.pdsch import (PdschConfig,
+                                                     pdsch_decode,
+                                                     pdsch_encode)
+        from empower_srslte_tpu.ops.modem import Mod
+        from empower_srslte_tpu.utils import Cell
+
+        cell = Cell(nof_prb=6, nof_ports=1, id=1)
+        cfg = PdschConfig(cell=cell, sf_idx=1, cfi=1, mod=Mod.QPSK,
+                          llr_int8=True)
+        tbs = 136
+        plan = cfg.plan(tbs, decoder_impl="pallas2_interpret")
+        b = 2
+        tb = rng.integers(0, 2, size=(b, tbs)).astype(np.int8)
+        grid = pdsch_encode(jnp.asarray(tb), cfg, plan)
+        h = jnp.full((b, 1, 1, cell.nsymb_sf, cell.nof_re),
+                     0.9 - 0.2j, jnp.complex64)
+        y = grid * h[:, :, 0]
+        bits, ok, _ = pdsch_decode(y, h, cfg, plan, noise_est=1e-3)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(np.asarray(bits), tb)
