@@ -303,7 +303,7 @@ def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
     from empower_srslte_tpu.models.enb_dl import (enb_dl_base_grid,
                                                   enb_dl_gen_signal)
     from empower_srslte_tpu.models.pcfich import pcfich_decode, pcfich_put
-    from empower_srslte_tpu.models.pdcch import (BITS_PER_CCE,
+    from empower_srslte_tpu.models.pdcch import (pdcch_blind_bits,
                                                  pdcch_encode,
                                                  pdcch_extract_llr,
                                                  ue_search_candidates)
@@ -312,8 +312,6 @@ def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
     from empower_srslte_tpu.models.regs import pdcch_nof_cces
     from empower_srslte_tpu.ops.chest import chest_dl, noise_est_pilots
     from empower_srslte_tpu.ops.equalizer import MimoType
-    from empower_srslte_tpu.ops.fec.convcoder import viterbi_decode
-    from empower_srslte_tpu.ops.fec.rm_conv import rm_conv_rx
     from empower_srslte_tpu.ops.ofdm import ofdm_rx_sf
     from empower_srslte_tpu.utils import Cell
     from empower_srslte_tpu.utils.bits import uint_to_bits
@@ -397,23 +395,16 @@ def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
         # blind DCI search: all candidates x both monitored sizes
         llr = pdcch_extract_llr(grid0, h0, cell, cfi, sf_idx,
                                 noise_est=n0[..., None])
+        # one Viterbi batch per monitored DCI size, every candidate of
+        # every aggregation level stacked (pdcch_blind_bits)
         n_det = jnp.zeros((), jnp.int32)
-        by_l: dict = {}
-        for l, cce in cands:
-            by_l.setdefault(l, []).append(cce)
-        for l, cces in by_l.items():
-            e = l * BITS_PER_CCE
-            seg = jnp.stack(
-                [llr[..., c * BITS_PER_CCE : c * BITS_PER_CCE + e]
-                 for c in cces], axis=-2)             # [B, nc, e]
-            for size in {size1, size1a}:
-                k = size + 16
-                bits = viterbi_decode(rm_conv_rx(seg, k), wrap=1)
-                unmasked = jnp.concatenate(
-                    [bits[..., :size],
-                     jnp.bitwise_xor(bits[..., size:], mask16)], axis=-1)
-                n_det = n_det + jnp.sum(
-                    CRC16.jnp_check(unmasked).astype(jnp.int32))
+        for size in {size1, size1a}:
+            bits = pdcch_blind_bits(llr, cands, size)  # [B, n_cand, k]
+            unmasked = jnp.concatenate(
+                [bits[..., :size],
+                 jnp.bitwise_xor(bits[..., size:], mask16)], axis=-1)
+            n_det = n_det + jnp.sum(
+                CRC16.jnp_check(unmasked).astype(jnp.int32))
         ilist = []
         if mimo:
             _bits, (ok1, ok2), _ = pdsch_decode(

@@ -142,16 +142,52 @@ def pdcch_extract_llr(grid, h, cell: Cell, cfi: int, sf_idx: int,
     return descramble_llrs(llr, cinit_pdcch(2 * sf_idx, cell.id))
 
 
+def pdcch_blind_bits(llr, cands, size: int):
+    """Decode EVERY (L, cce) candidate for one DCI size as ONE Viterbi
+    batch. De-rate-matching maps each candidate's e = L*72 segment to the
+    common [3, k] trellis shape (k = size + 16), so candidates of every
+    aggregation level concatenate along one batch axis and a single
+    64-state register-exchange Viterbi decodes all of them.
+
+    The reference loops candidate-by-candidate (pdcch.c:341
+    dci_blind_search); a first TPU version kept one Viterbi per
+    (L, size) pair — 8 sequential 165-step trellis scans per subframe
+    that measured 9.7 ms of the 21.6 ms full-chain receiver. One scan
+    over a [n_cand * batch] axis does the same work in ~1/4 the steps.
+
+    llr [..., n_cce*72] -> bits [..., n_cand, k], candidate order =
+    ``cands`` order (grouped by L internally but restored).
+    """
+    k = size + 16
+    by_l: dict[int, list[int]] = {}
+    for l, cce in cands:
+        by_l.setdefault(l, []).append(cce)
+    parts, order = [], []
+    for l, cces in by_l.items():
+        e = l * BITS_PER_CCE
+        seg = jnp.stack(
+            [llr[..., c * BITS_PER_CCE : c * BITS_PER_CCE + e]
+             for c in cces], axis=-2)                 # [..., nc_l, e]
+        parts.append(rm_conv_rx(seg, k))              # [..., nc_l, 3, k]
+        order.extend((l, c) for c in cces)
+    x = jnp.concatenate(parts, axis=-3)               # [..., n_cand, 3, k]
+    bits = viterbi_decode(x, wrap=1)                  # [..., n_cand, k]
+    # restore caller's candidate order
+    perm = [order.index(c) for c in cands]
+    if perm != list(range(len(cands))):
+        bits = bits[..., jnp.asarray(np.asarray(perm, np.int32)), :]
+    return bits
+
+
 @functools.lru_cache(maxsize=None)
-def _derm_viterbi(n_cand: int, e: int, k: int):
-    """Cached jitted (de-rate-match -> Viterbi) program per candidate
-    shape: the blind search runs this for every (L, DCI size) pair every
-    subframe, so eager scans here would re-trace/re-lower each TTI."""
+def _blind_bits_jit(cands: tuple, size: int):
+    """Cached jitted one-call-per-size blind decode (re-traced programs
+    per (search space, size) would otherwise re-lower every TTI)."""
     import jax
 
     @jax.jit
-    def f(seg):
-        return viterbi_decode(rm_conv_rx(seg, k), wrap=1)
+    def f(llr):
+        return pdcch_blind_bits(llr, list(cands), size)
 
     return f
 
@@ -180,23 +216,13 @@ def pdcch_blind_decode(grid, h, cell: Cell, cfi: int, sf_idx: int,
     cands = ue_search_candidates(rnti, sf_idx, n_cce)
     mask = uint_to_bits(rnti & 0xFFFF, 16)
     hits: list[DciHit] = []
-    by_l: dict[int, list[int]] = {}
-    for l, cce in cands:
-        by_l.setdefault(l, []).append(cce)
-
-    llr_np = llr  # jnp ok
-    for l, cces in by_l.items():
-        e = l * BITS_PER_CCE
-        seg = jnp.stack([llr_np[..., c * BITS_PER_CCE : c * BITS_PER_CCE + e]
-                         for c in cces])
-        for size in dci_sizes:
-            k = size + 16
-            bits = np.asarray(_derm_viterbi(len(cces), e, k)(seg))
-            for row, cce in enumerate(cces):
-                b = bits[row]
-                unmasked = np.concatenate([b[:size], b[size:] ^ mask])
-                if not np.any(CRC16.compute(unmasked)):
-                    hits.append(DciHit(b[:size].astype(np.int8), l, cce, rnti))
+    for size in dci_sizes:
+        bits = np.asarray(_blind_bits_jit(tuple(cands), size)(llr))
+        for row, (l, cce) in enumerate(cands):
+            b = bits[row]
+            unmasked = np.concatenate([b[:size], b[size:] ^ mask])
+            if not np.any(CRC16.compute(unmasked)):
+                hits.append(DciHit(b[:size].astype(np.int8), l, cce, rnti))
     # dedupe identical payloads found at nested aggregations
     seen, uniq = set(), []
     for hitem in hits:

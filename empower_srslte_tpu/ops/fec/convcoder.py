@@ -91,12 +91,24 @@ def conv_encode(u):
     return jnp.moveaxis(outs, 0, -1)  # [..., 3, K]
 
 
-def viterbi_decode(llr, wrap: int = 1):
+#: Circular-halo length for tail-biting convergence: ~6x the constraint
+#: length (K=7), the standard truncation/training depth for Viterbi.
+TRAIN_LEN = 40
+
+
+def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
     """Batched tail-biting max-log Viterbi, TPU formulation.
 
     llr [..., 3, K] soft values (positive <=> bit 0) -> bits [..., K].
     ``wrap``: number of extra circular passes prepended AND appended for
     tail-biting convergence (decisions taken from the middle copy).
+    ``train``: when set, the circular extension is truncated to
+    min(train, wrap*K) columns per side — a 40-step halo trains the
+    border metrics / flushes the traceback as well as a full extra copy
+    (>=5 constraint lengths, the classic truncation-depth rule; the
+    scan time is proportional to the step count, so full copies cost
+    K/40x more for identical decisions at any workable SNR). For K<=40
+    this is exactly the full-copy path.
 
     Design (same playbook as the turbo NII kernel): the 64 trellis
     states ride the MAJOR axis so every trellis access is a
@@ -115,8 +127,14 @@ def viterbi_decode(llr, wrap: int = 1):
     *lead, three, k = llr.shape
     b = int(np.prod(lead)) if lead else 1
     x = jnp.moveaxis(llr.reshape(b, 3, k), -1, 0)          # [K, B, 3]
-    if wrap:
-        x = jnp.concatenate([x] * (1 + 2 * wrap), axis=0)
+    halo = wrap * k
+    if train is not None:
+        halo = min(halo, train)
+    if halo == wrap * k:                                    # full copies
+        if wrap:
+            x = jnp.concatenate([x] * (1 + 2 * wrap), axis=0)
+    else:                                                   # circular halo
+        x = jnp.concatenate([x[-halo:], x, x[:halo]], axis=0)
     t_len = x.shape[0]
 
     # static tables: predecessor row and branch-output combo index per
@@ -126,8 +144,8 @@ def viterbi_decode(llr, wrap: int = 1):
                         | pout[:, u, 2]) for u in (0, 1)]
     pu_col = jnp.asarray(pu.astype(np.int32))[:, None]      # [64, 1]
 
-    # oldest decision ever read back is (t_len - 1 - wrap*k) shifts old
-    n_regs = (t_len - 1 - wrap * k) // 32 + 1
+    # oldest decision ever read back is (t_len - 1 - halo) shifts old
+    n_regs = (t_len - 1 - halo) // 32 + 1
 
     def acs(carry, llr_k):
         metric, regs = carry                                # [64, B], list
@@ -160,8 +178,8 @@ def viterbi_decode(llr, wrap: int = 1):
                 for r in regs]                              # [B] each
 
     # decision for step t sits (t_len - 1 - t) bits from the newest;
-    # emit the middle tail-biting copy, t in [wrap*k, wrap*k + k)
-    mid = wrap * k
+    # emit the middle tail-biting copy, t in [halo, halo + k)
+    mid = halo
     cols = []
     for t in range(mid, mid + k):
         pos = t_len - 1 - t

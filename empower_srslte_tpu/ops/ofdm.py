@@ -6,10 +6,11 @@ subcarrier skipping (the reference's dft_plan_set_dc, ofdm.c:121,409-415),
 and optional +-0.5-subcarrier frequency shift (ofdm.c:363-381).
 
 TPU-native design: the reference batches 7 symbols per FFTW "guru" call
-(dft_fftw.c:141); here the whole subframe across the full batch is a single
-``jnp.fft`` over a [batch, nsymb_sf, fft] tensor. CP handling is a
-precomputed static gather (RX) / concatenation of slices (TX) — no
-dynamic shapes under jit.
+(dft_fftw.c:141); here the whole subframe across the full batch is one
+transform over a [batch, nsymb_sf, fft] tensor — on TPU the MXU matmul
+FFT (ops/fft_mm.py; XLA's native c64 FFT lowering measures ~8x its HBM
+bound), elsewhere ``jnp.fft``. CP handling is per-symbol static slices
+(RX) / concatenation of slices (TX) — no dynamic shapes under jit.
 """
 
 from __future__ import annotations
@@ -18,9 +19,20 @@ import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.cell import CP, Cell
+from .fft_mm import fft_c
+
+
+def _sf_fft(sym, inverse: bool = False):
+    """Whole-subframe transform along the last axis: MXU matmul FFT on
+    TPU, jnp.fft elsewhere (identical to ~1e-7 relative, see fft_mm)."""
+    if jax.default_backend() == "tpu":
+        return fft_c(sym, inverse=inverse)
+    return jnp.fft.ifft(sym, axis=-1) if inverse \
+        else jnp.fft.fft(sym, axis=-1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -78,14 +90,11 @@ def ofdm_rx_sf_mbsfn(samples, cell: Cell, non_mbsfn_region: int = 2,
     fft = cell.fft_size
     starts = _symbol_starts_mbsfn(cell.nof_prb, non_mbsfn_region,
                                   cell.reduced_rates)
-    idx = starts[:, None] + np.arange(fft)[None, :]
-    sym = samples[..., jnp.asarray(idx)]
-    spec = jnp.fft.fft(sym, axis=-1)
+    sym = _cp_strip(samples, starts, fft)
+    spec = _sf_fft(sym)
     if normalize:
         spec = spec / np.float32(np.sqrt(fft))
-    bins = jnp.asarray(_grid_to_bins(cell.nof_prb,
-                                     reduced=cell.reduced_rates))
-    return spec[..., bins]
+    return _bins_extract(spec, cell.nof_prb, cell.reduced_rates)
 
 
 @functools.lru_cache(maxsize=64)
@@ -105,23 +114,46 @@ def _grid_to_bins(nof_prb: int, dc_empty: bool = True,
     return np.where(g < nre // 2, fft - nre // 2 + g, g - nre // 2 + dc)
 
 
+def _cp_strip(samples, starts: np.ndarray, fft: int):
+    """CP removal as per-symbol STATIC slices + stack.
+
+    The index-table gather formulation (samples[..., idx] with idx
+    [nsymb, fft]) is a lane-axis gather — ~4 ms per 20 MHz 2-antenna
+    batch-256 subframe through this TPU runtime. Contiguous static
+    slices lower to plain copies and measure ~5x cheaper.
+    """
+    return jnp.stack([samples[..., int(s) : int(s) + fft] for s in starts],
+                     axis=-2)                               # [..., nsymb, fft]
+
+
+def _bins_extract(spec, nof_prb: int, reduced: bool, dc_empty: bool = True):
+    """FFT bins -> grid subcarriers as TWO contiguous slices (negative
+    half at the spectrum top, positive half after the DC bin) instead of
+    a 1200-wide lane gather — same order as _grid_to_bins (ofdm.c:414).
+    """
+    from ..utils.cell import symbol_sz
+
+    fft = symbol_sz(nof_prb, reduced)
+    half = nof_prb * 12 // 2
+    dc = 1 if dc_empty else 0
+    return jnp.concatenate([spec[..., fft - half :],
+                            spec[..., dc : dc + half]], axis=-1)
+
+
 def ofdm_rx_sf(samples, cell: Cell, *, normalize: bool = False):
     """Subframe demodulation: [..., sf_sample_len] -> grid [..., nsymb, nre].
 
-    CP-strip via static gather, one batched FFT, DC-skipping subcarrier
-    extraction. Equivalent of srslte_ofdm_rx_sf (ofdm.c:456).
+    CP-strip via static slices, one batched FFT, DC-skipping subcarrier
+    extraction as two contiguous slices. Equivalent of srslte_ofdm_rx_sf
+    (ofdm.c:456).
     """
     fft = cell.fft_size
     starts = _symbol_starts(cell.nof_prb, cell.cp, cell.reduced_rates)
-    # gather [nsymb, fft] sample windows
-    idx = starts[:, None] + np.arange(fft)[None, :]
-    sym = samples[..., jnp.asarray(idx)]                    # [..., nsymb, fft]
-    spec = jnp.fft.fft(sym, axis=-1)
+    sym = _cp_strip(samples, starts, fft)                   # [..., nsymb, fft]
+    spec = _sf_fft(sym)
     if normalize:
         spec = spec / np.float32(np.sqrt(fft))
-    bins = jnp.asarray(_grid_to_bins(cell.nof_prb,
-                                     reduced=cell.reduced_rates))
-    return spec[..., bins]                                  # [..., nsymb, nre]
+    return _bins_extract(spec, cell.nof_prb, cell.reduced_rates)
 
 
 def ofdm_tx_sf(grid, cell: Cell, *, normalize: bool = False):
@@ -136,7 +168,7 @@ def ofdm_tx_sf(grid, cell: Cell, *, normalize: bool = False):
     nsymb = cell.nsymb_sf
     bins = _grid_to_bins(cell.nof_prb, reduced=cell.reduced_rates)
     spec = place(grid, bins, fft)
-    sym = jnp.fft.ifft(spec, axis=-1)                       # [..., nsymb, fft]
+    sym = _sf_fft(spec, inverse=True)                       # [..., nsymb, fft]
     if normalize:
         sym = sym * np.float32(np.sqrt(fft))
 
@@ -165,7 +197,7 @@ def ofdm_tx_sf_mbsfn(grid, cell: Cell, non_mbsfn_region: int = 2,
     fft = cell.fft_size
     bins = _grid_to_bins(cell.nof_prb, reduced=cell.reduced_rates)
     spec = place(grid, bins, fft)
-    sym = jnp.fft.ifft(spec, axis=-1)                       # [..., 12, fft]
+    sym = _sf_fft(spec, inverse=True)                       # [..., 12, fft]
     if normalize:
         sym = sym * np.float32(np.sqrt(fft))
     cp_norm = lambda i: (160 if i == 0 else 144) * fft // 2048

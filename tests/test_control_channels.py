@@ -272,3 +272,51 @@ class TestDciCompactFormats:
             nvrb = ra_mod.type2_n_vrb_dl(n_prb, True)
             m0, m1 = ra_mod.prb_mask_type2_dist(n_prb, 0, nvrb, True)
             assert sum(m0) == nvrb and sum(m1) == nvrb
+
+
+class TestViterbiHalo:
+    """The 40-step circular-halo tail-biting Viterbi (the default) must
+    reproduce the full-copy wrap decode (train=None) — the halo is the
+    classic >=5-constraint-length truncation depth, so decisions match
+    at any workable SNR."""
+
+    @pytest.mark.parametrize("k", [40, 55, 76, 120])
+    def test_halo_matches_full_copies(self, k, rng):
+        from empower_srslte_tpu.ops.fec.convcoder import (conv_encode_np,
+                                                          viterbi_decode)
+
+        u = rng.integers(0, 2, size=(32, k)).astype(np.int8)
+        d = conv_encode_np(u)
+        # LLRs at a realistic operating point (sigma such that Viterbi
+        # still decodes cleanly: ~4 dB Eb/N0 for rate 1/3 K=7)
+        llr = (1.0 - 2.0 * d + 0.45 * rng.normal(size=d.shape)
+               ).astype(np.float32)
+        full = np.asarray(viterbi_decode(jnp.asarray(llr), train=None))
+        halo = np.asarray(viterbi_decode(jnp.asarray(llr)))
+        assert np.array_equal(full, halo)
+        assert np.mean(full != u) < 0.01
+
+
+class TestPdcchBlindBits:
+    def test_matches_per_candidate_decode(self, rng):
+        """pdcch_blind_bits (one Viterbi batch across every aggregation
+        level) must equal decoding each candidate separately, including
+        the candidate-order restoration across the L-grouping."""
+        from empower_srslte_tpu.models.pdcch import pdcch_blind_bits
+        from empower_srslte_tpu.ops.fec.convcoder import viterbi_decode
+        from empower_srslte_tpu.ops.fec.rm_conv import rm_conv_rx
+
+        cell = Cell(nof_prb=50, id=1)
+        cfi, sf_idx, rnti = 2, 1, 0x404F
+        n_cce = pdcch_nof_cces(cell, cfi)
+        cands = ue_search_candidates(rnti, sf_idx, n_cce)
+        size = dci_mod.format0_1a_size(cell.nof_prb)
+        llr = jnp.asarray(rng.normal(
+            size=(2, n_cce * 72)).astype(np.float32))  # leading batch dim
+        got = np.asarray(pdcch_blind_bits(llr, cands, size))
+        assert got.shape == (2, len(cands), size + 16)
+        for i, (l, cce) in enumerate(cands):
+            seg = llr[..., cce * 72 : (cce + l) * 72]
+            ref = np.asarray(viterbi_decode(rm_conv_rx(seg, size + 16),
+                                            wrap=1))
+            assert np.array_equal(got[:, i], ref), (l, cce)
