@@ -26,10 +26,15 @@ from ..utils.cell import CP, Cell
 from .fft_mm import fft_c
 
 
+#: Force the MXU matmul FFT off-TPU too (the multichip dryrun sets this
+#: so the sharded CPU-mesh program compiles the exact TPU formulation).
+FORCE_MXU_FFT = False
+
+
 def _sf_fft(sym, inverse: bool = False):
     """Whole-subframe transform along the last axis: MXU matmul FFT on
     TPU, jnp.fft elsewhere (identical to ~1e-7 relative, see fft_mm)."""
-    if jax.default_backend() == "tpu":
+    if FORCE_MXU_FFT or jax.default_backend() == "tpu":
         return fft_c(sym, inverse=inverse)
     return jnp.fft.ifft(sym, axis=-1) if inverse \
         else jnp.fft.fft(sym, axis=-1)
