@@ -96,7 +96,8 @@ def conv_encode(u):
 TRAIN_LEN = 40
 
 
-def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
+def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN,
+                   impl: str = "auto"):
     """Batched tail-biting max-log Viterbi, TPU formulation.
 
     llr [..., 3, K] soft values (positive <=> bit 0) -> bits [..., K].
@@ -134,6 +135,16 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN):
     ceil((K+halo)/32). Measured ~40 % of the per-step work removed.
     """
     ns, out, ps, pu, pout = _tables()
+
+    # On the TPU backend the VMEM-resident Pallas kernel
+    # (viterbi_pallas.py) runs the identical three-segment recursion
+    # ~2.2x faster (the scan pays ~21 us of per-op runtime overhead per
+    # trellis step); decisions are bit-identical (asserted in tests).
+    if impl == "auto" and train is not None \
+            and jax.default_backend() == "tpu":
+        from .viterbi_pallas import viterbi_decode_pallas
+
+        return viterbi_decode_pallas(llr, train=train)
 
     *lead, three, k = llr.shape
     b = int(np.prod(lead)) if lead else 1

@@ -320,3 +320,25 @@ class TestPdcchBlindBits:
             ref = np.asarray(viterbi_decode(rm_conv_rx(seg, size + 16),
                                             wrap=1))
             assert np.array_equal(got[:, i], ref), (l, cce)
+
+
+class TestViterbiPallas:
+    def test_kernel_matches_scan(self, rng):
+        """The Pallas Viterbi kernel (the TPU auto-dispatch path) must be
+        decision-identical to the XLA-scan formulation — same
+        three-segment recursion, state-unrolled in VMEM."""
+        from empower_srslte_tpu.ops.fec.convcoder import (conv_encode_np,
+                                                          viterbi_decode)
+        from empower_srslte_tpu.ops.fec.viterbi_pallas import (
+            viterbi_decode_pallas)
+
+        for k in (55, 44, 40, 20):
+            u = rng.integers(0, 2, size=(48, k)).astype(np.int8)
+            d = conv_encode_np(u)
+            llr = (1.0 - 2.0 * d + 0.45 * rng.normal(size=d.shape)
+                   ).astype(np.float32)
+            ref = np.asarray(viterbi_decode(jnp.asarray(llr), impl="scan"))
+            got = np.asarray(viterbi_decode_pallas(
+                jnp.asarray(llr), interpret=True, sub=8, lanes=8))
+            assert np.array_equal(got, ref), k
+            assert np.mean(ref != u) < 0.01

@@ -114,3 +114,40 @@ class TestPallasUnderShardMap:
                           for s in bits.addressable_shards)
         assert shard_elems * 8 <= bits.size
         np.testing.assert_array_equal(np.asarray(bits), u)
+
+
+    def test_viterbi_kernel_batch_sharded(self, devices):
+        """The Pallas Viterbi kernel (the TPU blind-PDCCH/PBCH decode
+        path) executes under shard_map with the codeword batch sharded
+        across the mesh (interpret mode; identical code path to the
+        compiled kernel) and matches the XLA-scan decode."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from empower_srslte_tpu.ops.fec.convcoder import (conv_encode_np,
+                                                          viterbi_decode)
+        from empower_srslte_tpu.ops.fec.viterbi_pallas import (
+            viterbi_decode_pallas)
+
+        mesh = make_mesh(8)
+        k = 44
+        rng = np.random.default_rng(6)
+        u = rng.integers(0, 2, size=(8, 8, k)).astype(np.int8)
+        d = conv_encode_np(u.reshape(-1, k)).reshape(8, 8, 3, k)
+        llr = jnp.asarray((1.0 - 2.0 * d.astype(np.float32)) * 4.0)
+        spec = P(("carrier", "sf"))
+
+        def local(llr_shard):
+            return viterbi_decode_pallas(llr_shard, interpret=True,
+                                         sub=8, lanes=1)
+
+        fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,),
+                                   out_specs=spec, check_vma=False))
+        bits = fn(jax.device_put(llr, NamedSharding(mesh, spec)))
+        shard_elems = max(int(np.prod(s.data.shape))
+                          for s in bits.addressable_shards)
+        assert shard_elems * 8 <= bits.size
+        np.testing.assert_array_equal(np.asarray(bits), u)
+        ref = np.asarray(viterbi_decode(llr.reshape(-1, 3, k),
+                                        impl="scan"))
+        np.testing.assert_array_equal(np.asarray(bits).reshape(-1, k), ref)
