@@ -140,8 +140,10 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN,
     # (viterbi_pallas.py) runs the identical three-segment recursion
     # ~2.2x faster (the scan pays ~21 us of per-op runtime overhead per
     # trellis step); decisions are bit-identical (asserted in tests).
-    if impl == "auto" and train is not None \
-            and jax.default_backend() == "tpu":
+    # wrap == 1 is the only tail-biting configuration the kernel
+    # implements (its halo is always circular); wrap=0 (terminated
+    # input) and wrap>=2 stay on the scan path.
+    if impl == "auto" and wrap == 1 and jax.default_backend() == "tpu":
         from .viterbi_pallas import viterbi_decode_pallas
 
         return viterbi_decode_pallas(llr, train=train)
@@ -152,8 +154,13 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN,
     halo = wrap * k
     if train is not None:
         halo = min(halo, train)
-    x_pre = x[-halo:] if halo else x[:0]
-    x_post = x[:halo]
+    if halo > k:
+        # wrap >= 2 untruncated: the halo spans multiple circular copies
+        x_ext = jnp.concatenate([x] * (-(-halo // k)), axis=0)
+        x_pre, x_post = x_ext[-halo:], x_ext[:halo]
+    else:
+        x_pre = x[-halo:] if halo else x[:0]
+        x_post = x[:halo]
 
     # static tables: predecessor row and branch-output combo index per
     # (next state, branch); input bit per (arrived-at) state
@@ -175,7 +182,11 @@ def viterbi_decode(llr, wrap: int = 1, train: int | None = TRAIN_LEN,
         cand1 = metric[psel[1]] + comb[pidx[1]]
         best = cand1 > cand0                                # [64, B]
         new = jnp.where(best, cand1, cand0)
-        return new - jnp.max(new, axis=0, keepdims=True), best
+        # renormalize by state 0's metric — the SAME constant the Pallas
+        # kernel subtracts (viterbi_pallas.py), so both paths round
+        # identically and decisions are bit-identical, not just
+        # tie-break-equal
+        return new - new[0:1], best
 
     def acs_train(metric, llr_k):                           # halo: no regs
         new, _ = metric_step(metric, llr_k)

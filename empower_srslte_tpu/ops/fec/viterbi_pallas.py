@@ -178,7 +178,8 @@ def viterbi_decode_pallas(llr, train: int = TRAIN_LEN,
     """
     *lead, three, k = llr.shape
     b = int(np.prod(lead)) if lead else 1
-    halo = min(train, k)
+    # train=None means an untruncated circular pass (wrap=1 full copy)
+    halo = k if train is None else min(train, k)
     x = jnp.moveaxis(llr.reshape(b, 3, k).astype(jnp.float32), -1, 0)
     x = jnp.concatenate([x[-halo:], x, x[:halo]], axis=0)  # [steps, B, 3]
     steps = 2 * halo + k

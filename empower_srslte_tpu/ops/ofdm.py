@@ -28,6 +28,9 @@ from .fft_mm import fft_c
 
 #: Force the MXU matmul FFT off-TPU too (the multichip dryrun sets this
 #: so the sharded CPU-mesh program compiles the exact TPU formulation).
+#: Read at TRACE time: flipping it after a downstream jitted program has
+#: been traced/cached has no effect on that program — set it before the
+#: first call and restore in a try/finally (as dryrun_multichip does).
 FORCE_MXU_FFT = False
 
 

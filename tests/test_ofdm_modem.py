@@ -108,7 +108,8 @@ class TestFftMxu:
     roundoff for every LTE size — it silently replaces the native FFT
     lowering for all OFDM on the TPU backend."""
 
-    @pytest.mark.parametrize("n", [128, 256, 512, 1024, 1536, 2048])
+    @pytest.mark.parametrize(
+        "n", [128, 256, 384, 512, 768, 1024, 1536, 2048])
     def test_matches_numpy_fft(self, n, rng):
         from empower_srslte_tpu.ops.fft_mm import fft_mxu
 
