@@ -78,17 +78,24 @@ def bench_turbo():
     # The chain rides a lax.scan so XLA compiles ONE decode body — with
     # the scan inside TurboDecoder.decode the whole program holds ~2
     # iteration bodies, keeping the driver's cold compile inside budget.
-    chain = 8
+    # Round-5 note: the tunnel's fixed dispatch cost measured ~15 ms
+    # this round (it was ~5 in round 4) — chain length 24 keeps the
+    # amortized share under ~0.7 ms/call.
+    chain = 24
 
     @jax.jit
     def fn(llr):
+        # scalar cross-call carry: the dependency is a broadcast add
+        # that fuses into the decode's first read (a full-size carry
+        # add would cost an extra ~0.45 ms HBM pass per chained call)
         def body(carry, _):
-            x, _ = carry
-            bits, llr_out = dec.decode(x)
-            return (llr + 0.0 * llr_out[0, 0], bits), None
+            eps, _ = carry
+            bits, llr_out = dec.decode(llr + 0.0 * eps)
+            return (llr_out[0, 0].astype(llr.dtype), bits), None
 
         bits0 = jnp.zeros((batch, k), jnp.int8)
-        (_, bits), _ = jax.lax.scan(body, (llr, bits0), None, length=chain)
+        (_, bits), _ = jax.lax.scan(
+            body, (jnp.zeros((), llr.dtype), bits0), None, length=chain)
         return bits
 
     bits = fn(llr)
@@ -115,7 +122,7 @@ def bench_turbo():
 MIDSNR_N0 = {"20mimo": 0.009, "10siso": 0.042, "20ul": 0.046}
 
 
-def bench_receiver(config: str, batch: int = 256, chain: int = 6,
+def bench_receiver(config: str, batch: int = 256, chain: int = 24,
                    midsnr: bool = False):
     """Decode-processing throughput of the full receivers
     (tools/bench_pdsch.py measurement, BASELINE configs 2/3/4).
@@ -174,7 +181,12 @@ def bench_receiver(config: str, batch: int = 256, chain: int = 6,
                 y, h, cfg, plan, noise_est=n0, plan2=plan, iters_out=ilist)
             n_it = jnp.max(jnp.stack(ilist)) if ilist \
                 else jnp.zeros((), jnp.int32)
-            return (jnp.sum(ok1) + jnp.sum(ok2)).astype(jnp.int32), n_it
+            # consume the decoded PAYLOAD fully (not just the CRC flags):
+            # dead decoded bits let XLA drop the reassembly stage
+            bsum = (jnp.sum(b1.astype(jnp.int32))
+                    + jnp.sum(b2.astype(jnp.int32))).astype(jnp.float32)
+            return (jnp.sum(ok1) + jnp.sum(ok2)).astype(jnp.int32), \
+                n_it, bsum
 
         bits_per_sf = 2 * tbs
         n_expected = 2 * batch
@@ -210,7 +222,8 @@ def bench_receiver(config: str, batch: int = 256, chain: int = 6,
                                        iters_out=ilist)
             n_it = jnp.max(jnp.stack(ilist)) if ilist \
                 else jnp.zeros((), jnp.int32)
-            return jnp.sum(ok).astype(jnp.int32), n_it
+            return jnp.sum(ok).astype(jnp.int32), n_it, \
+                jnp.sum(bits.astype(jnp.int32)).astype(jnp.float32)
 
         bits_per_sf = tbs
         n_expected = batch
@@ -243,20 +256,24 @@ def bench_receiver(config: str, batch: int = 256, chain: int = 6,
                                        iters_out=ilist)
             n_it = jnp.max(jnp.stack(ilist)) if ilist \
                 else jnp.zeros((), jnp.int32)
-            return jnp.sum(ok).astype(jnp.int32), n_it
+            return jnp.sum(ok).astype(jnp.int32), n_it, \
+                jnp.sum(bits.astype(jnp.int32)).astype(jnp.float32)
 
         bits_per_sf = tbs
         n_expected = batch
 
     @jax.jit
     def chained(*cargs):
+        # scalar cross-call carry (see bench_turbo note); the carry is
+        # the decoded-bit sum, so the payload reassembly is consumed
         def body(carry, _):
-            a0, acc, itm = carry
-            n_ok, n_it = fn(a0, *cargs[1:])
-            return (cargs[0] + 0.0 * n_ok.astype(cargs[0].dtype),
-                    acc + n_ok, jnp.maximum(itm, n_it)), None
+            eps, acc, itm = carry
+            a0 = cargs[0] + (0.0 * eps).astype(cargs[0].dtype)
+            n_ok, n_it, bsum = fn(a0, *cargs[1:])
+            return (bsum, acc + n_ok,
+                    jnp.maximum(itm, n_it)), None
         (_, acc, itm), _ = jax.lax.scan(
-            body, (cargs[0], jnp.zeros((), jnp.int32),
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
                    jnp.zeros((), jnp.int32)), None, length=chain)
         return acc, itm
 
@@ -280,7 +297,7 @@ def bench_receiver(config: str, batch: int = 256, chain: int = 6,
             n_ok == chain * n_expected, n_it, round(bler, 4))
 
 
-def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
+def bench_uedl(batch: int = 256, chain: int = 24, mimo: bool = False):
     """Full-chain UE DL receiver, NO genie anything: time-domain samples
     -> OFDM FFT -> LS channel estimation off the CRS -> pilot noise
     estimate -> PCFICH decode -> blind PDCCH search (every (L, CCE)
@@ -407,21 +424,24 @@ def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
                 CRC16.jnp_check(unmasked).astype(jnp.int32))
         ilist = []
         if mimo:
-            _bits, (ok1, ok2), _ = pdsch_decode(
+            (b1, b2), (ok1, ok2), _ = pdsch_decode(
                 grid, h, cfg, plan, noise_est=n0[:, None], plan2=plan,
                 iters_out=ilist)
             ok_sum = jnp.sum(ok1.astype(jnp.int32)) \
                 + jnp.sum(ok2.astype(jnp.int32))
+            bsum = (jnp.sum(b1.astype(jnp.int32))
+                    + jnp.sum(b2.astype(jnp.int32))).astype(jnp.float32)
         else:
-            _bits, ok, _ = pdsch_decode(
+            bits, ok, _ = pdsch_decode(
                 grid[:, None], h[:, None, None], cfg, plan,
                 noise_est=n0[:, None], iters_out=ilist)
             ok_sum = jnp.sum(ok.astype(jnp.int32))
+            bsum = jnp.sum(bits.astype(jnp.int32)).astype(jnp.float32)
         n_it = jnp.max(jnp.stack(ilist)) if ilist \
             else jnp.zeros((), jnp.int32)
         good = ok_sum + jnp.minimum(cfi_ok, batch) \
             + jnp.minimum(n_det, batch)
-        return good.astype(jnp.int32), n_it
+        return good.astype(jnp.int32), n_it, bsum
 
     make_tx_j = jax.jit(make_tx)
     nshape = (batch, 2, sf_len) if mimo else (batch, sf_len)
@@ -434,13 +454,15 @@ def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
 
     @jax.jit
     def chained(s_re, s_im):
+        # scalar cross-call carry (see bench_turbo note)
         def body(carry, _):
-            a0, acc, itm = carry
-            n_good, n_it = fn(a0, s_im)
-            return (s_re + 0.0 * n_good.astype(s_re.dtype),
-                    acc + n_good, jnp.maximum(itm, n_it)), None
+            eps, acc, itm = carry
+            n_good, n_it, bsum = fn(
+                s_re + (0.0 * eps).astype(s_re.dtype), s_im)
+            return (bsum, acc + n_good,
+                    jnp.maximum(itm, n_it)), None
         (_, acc, itm), _ = jax.lax.scan(
-            body, (s_re, jnp.zeros((), jnp.int32),
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
                    jnp.zeros((), jnp.int32)), None, length=chain)
         return acc, itm
 
@@ -464,7 +486,7 @@ def bench_uedl(batch: int = 256, chain: int = 6, mimo: bool = False):
             n_good == (n_cw + 2) * batch * chain, n_it)
 
 
-def bench_tx(batch: int = 256, chain: int = 6):
+def bench_tx(batch: int = 256, chain: int = 24):
     """eNB DL transmit: DL-SCH encode -> scramble -> modulate -> layer
     map/precode -> RE map + CRS -> iFFT to time samples, 20 MHz 2x2 TM4
     two codewords (srslte_enb_dl: put_base + put_pdsch + gen_signal;
@@ -490,17 +512,25 @@ def bench_tx(batch: int = 256, chain: int = 6):
         grid = enb_dl_base_grid(cell, 1, batch_shape=(batch,))
         grid = grid + pdsch_encode(tb, cfg, plan, tb2, plan)
         samples = enb_dl_gen_signal(grid, cell)
-        return jnp.sum(jnp.abs(samples[:, 0, ::997]))
+        # reduce over EVERY output sample: a strided/sliced consumption
+        # lets XLA dead-code whole branches of the encode (e.g. the
+        # second antenna's iFFT) and under-measure the work
+        return jnp.sum(jnp.abs(samples))
 
     @jax.jit
     def chained(tb, tb2):
+        # cross-call carry via signbit: a DYNAMIC zero (the sum of
+        # magnitudes is provably >= 0 to us, not to XLA). An `x * 0`
+        # int dependency gets constant-folded and the whole body
+        # loop-hoisted — measured as an impossible 12x jump.
         def body(carry, _):
-            t0c, acc = carry
-            s = fn(t0c, tb2)
-            return (jnp.bitwise_xor(tb, (s > -1.0).astype(tb.dtype)),
-                    acc + s), None
+            eps, acc = carry
+            tbx = jnp.bitwise_xor(tb, jnp.signbit(eps).astype(tb.dtype))
+            s = fn(tbx, tb2)
+            return (s, acc + s), None
         (_, acc), _ = jax.lax.scan(
-            body, (tb, jnp.zeros((), jnp.float32)), None, length=chain)
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            None, length=chain)
         return acc
 
     r = chained(tb, tb2)

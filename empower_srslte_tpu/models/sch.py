@@ -192,18 +192,276 @@ def _derm_softbuffers(llrs, plan: DlschPlan):
     return new_soft
 
 
+#: decoder input tile names, kernel argument order (decode_tiles)
+_TILE_NAMES = ("sys", "par1", "par2", "ut1", "pt1", "ut2", "pt2")
+
+
+def _feed_group_tiles_v2(x, k: int, f: int, mem, rest: int, sub: int,
+                         lanes: int, dt, strong, rv: int, int8_lane: bool):
+    """One (K, F) group of the v2 feed: stack member slices of the
+    codeword-ordered LLR array x [rest, lanes, G] into a
+    [T, e_max+2, sub, lanes] source, then gather the decoder input tiles
+    with the group's SHARED index tables (build_tile_plan_shared).
+    Returns (tg, {name: tiles}) — factored out so the feed can be
+    benchmarked in isolation (tools/microbench_feed.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.fec.derm_tiles import build_tile_plan_shared
+
+    mg = len(mem)
+    slots = [(r, i, e, off) for r in range(rest) for (i, e, off) in mem]
+    n_slots = len(slots)
+    tg = -(-n_slots // sub)
+    e_max = max(e for _r, _i, e, _o in slots)
+    tplan = build_tile_plan_shared(k, f, rv, e_max)
+
+    segs = []
+    for (r, _i, e, off) in slots:
+        seg = jax.lax.slice_in_dim(x[r], off, off + e, axis=-1)
+        if e < e_max:
+            seg = jnp.pad(seg, ((0, 0), (0, e_max - e)))
+        segs.append(seg)
+    segs += [jnp.zeros((lanes, e_max), dt)] * (tg * sub - n_slots)
+    st = jnp.stack(segs, 0).reshape(tg, sub, lanes, e_max)
+    st = jnp.transpose(st, (0, 3, 1, 2))       # [T, e_max, sub, lanes]
+    src_g = jnp.concatenate(
+        [st, jnp.zeros((tg, 1, sub, lanes), dt),
+         jnp.broadcast_to(strong.astype(dt), (tg, 1, sub, lanes))],
+        axis=1)                                # [T, e_max+2, sub, lanes]
+
+    out = {}
+    for name in _TILE_NAMES:
+        idx = tplan[name]
+        o = jnp.take(src_g, jnp.asarray(idx[0]), axis=1)
+        for rix in range(1, idx.shape[0]):
+            o = o + jnp.take(src_g, jnp.asarray(idx[rix]), axis=1)
+        if int8_lane and idx.shape[0] > 1:
+            # saturating repetition combining (rm_turbo.c:378 8-bit)
+            o = jnp.clip(o, -127, 127)
+        out[name] = o
+    return tg, out
+
+
 def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
                         interpret: bool, g_map=None, iters_out=None):
-    """TB decode with the fused receiver feed (ops/fec/derm_tiles.py).
+    """TB decode with the fused receiver feed.
 
-    Replaces slice -> de-rate-match -> stream split -> transpose -> tile
-    pack with three precomputed-index row-gathers per CB-size group, and
-    keeps every CRC (per-CB early stop, per-CB check, TB CRC24A across
-    CBs via shift-matrix composition, the zero-TB guard) in the kernel's
-    tile layout as MXU contractions. Behaviorally identical to the
-    classic path below (asserted by tests/test_fused_rx.py); the
-    reference semantics mirrored are decode_tb_cb + srslte_crc checks
+    Default (SRSLTE_FEED=v1, the deployed path): per-slot row gathers
+    from a flat [rest*r_len, lanes] source (v1 below). SRSLTE_FEED=v2
+    selects the round-5 shared-index restructuring kept here as a
+    measured cross-check:
+
+      1. RE extraction (grid path) as ONE minor-axis gather applying the
+         full g_map, giving a codeword-ordered array per codeword.
+      2. Per (K, F) group, the members' codeword slices stack into a
+         [T, e_max + 2, sub, lanes] source (members ride the sub axis;
+         the last two rows are the reserved zero / strong-prior rows).
+      3. The de-rate-match -> sub-block deinterleave -> stream split ->
+         tail depermutation composition as a SHARED index per decoder
+         row (build_tile_plan_shared): equal-K/F/rv members map codeword
+         position to d position identically, and shorter members read
+         their zero padding where longer members read data; whole
+         [sub, lanes]-row gathers feed the kernel tiles.
+
+    v2 was built on the round-4 roofline's claim that v1's sub-tile row
+    gathers pay a 16x HBM read amplification; DIRECT profiling (round 5,
+    tools/microbench_feed.py + jax.profiler) shows v1's real index
+    tables have enough run structure that the whole v1 feed costs
+    ~1.8 ms in-context at the 20 MHz MIMO batch-256 operating point,
+    while v2's stack+transpose+row-block-gather pipeline costs ~2.7 ms —
+    so v1 stays the default and the roofline's feed term is corrected in
+    docs/BENCHMARKS.md. Both paths are behaviorally identical to the
+    classic de-rate-matching path (tests/test_fused_rx.py); reference
+    semantics mirrored: decode_tb_cb + srslte_crc checks
     (lib/src/phy/phch/sch.c:307-437).
+    """
+    import os
+
+    if os.environ.get("SRSLTE_FEED", "v1") == "v1":
+        return _dlsch_decode_fused_v1(llrs, plan, lanes, sub, interpret,
+                                      g_map=g_map, iters_out=iters_out)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.fec.derm_tiles import (build_tile_plan_shared,
+                                      parity_rows_interleaved, shift_matrix)
+    from ..ops.fec.tables import qpp_deinterleaver, qpp_interleaver
+
+    segm = plan.segm
+    c = segm.c
+    lead = llrs.shape[:-1]
+    r_len = llrs.shape[-1]
+    folds = lead[-1] // lanes
+    rest = int(np.prod(lead[:-1], dtype=np.int64)) * folds
+    n_tb_bits = plan.tbs + 24
+    dt = jnp.bfloat16
+    int8_lane = llrs.dtype == jnp.int8
+
+    x = llrs.reshape(rest, lanes, r_len).astype(dt)
+    # Materialize the LLR array BEFORE any gather touches it: gathers
+    # fuse their operand chain, and the upstream pipeline (equalize/
+    # demod, or the in-loop encoder of loopback benches) recomputed
+    # inside a gather's per-index read path is far slower than one
+    # dense pass + a gather of materialized data.
+    x = jax.lax.optimization_barrier(x)
+    if g_map is not None:
+        # grid path: RE extraction as one minor-axis gather composing
+        # the whole grid->codeword map (models/pdsch.py _grid_maps)
+        x = jnp.take(x, jnp.asarray(g_map), axis=-1)
+        # pin again: the member slices below each consume this gather
+        x = jax.lax.optimization_barrier(x)
+
+    # Filler-bit prior, scaled to the data (see v1 note: a hard 1e4 pin
+    # destroys bf16 precision in the kernel's renormalization groups)
+    f_max = max((fv for _k, _e, fv, _o in plan.cb_plans), default=0)
+    c_f = min(8.0, 128.0 / f_max) if f_max else 8.0
+    if int8_lane:
+        strong = jnp.float32(127.0)
+    elif f_max == 0:
+        strong = jnp.float32(0.0)   # no filler rows reference this
+    else:
+        strong = c_f * jnp.mean(jnp.abs(x).astype(jnp.float32))
+
+    # cb bookkeeping in TB order: payload spans per CB
+    plens, starts = [], []
+    pos = 0
+    for i, (k, e, f, off) in enumerate(plan.cb_plans):
+        plen = k - f - (24 if c > 1 else 0)
+        starts.append(pos)
+        plens.append(plen)
+        pos += plen
+    assert pos == n_tb_bits, (pos, n_tb_bits)
+
+    # K -> {F -> [(i_cb, e, off)]}: one kernel call per K, one feed
+    # sub-group per (K, F) (the shared index needs uniform F)
+    kgroups: dict = {}
+    for i, (k, e, f, off) in enumerate(plan.cb_plans):
+        kgroups.setdefault(k, {}).setdefault(f, []).append((i, e, off))
+
+    stop = plan.early_stop
+    ok_parts, cnt_parts, tb_snd_parts = [], [], []
+    pieces: dict = {}
+    for k, by_f in kgroups.items():
+        sub_groups = []                       # (f, mem, t0, tg)
+        tiles_parts = {n: [] for n in _TILE_NAMES}
+        t_off = 0
+        for f, mem in by_f.items():
+            tg, gtiles = _feed_group_tiles_v2(
+                x, k, f, mem, rest, sub, lanes, dt, strong, plan.rv,
+                int8_lane)
+            for name in _TILE_NAMES:
+                tiles_parts[name].append(gtiles[name])
+            sub_groups.append((f, mem, t_off, tg))
+            t_off += tg
+        tiles = [tiles_parts[n][0] if len(tiles_parts[n]) == 1
+                 else jnp.concatenate(tiles_parts[n], axis=0)
+                 for n in _TILE_NAMES]
+        t_tiles = t_off
+
+        crc_poly = (CRC24B if c > 1 else CRC24A).poly
+        p_int = jnp.asarray(parity_rows_interleaved(crc_poly, 24, k))
+
+        def synd(llr_int, p):
+            bits = (llr_int < 0).astype(jnp.float32)
+            return jnp.mod(
+                jnp.einsum("tksl,kc->tcsl", bits, p,
+                           preferred_element_type=jnp.float32), 2.0)
+
+        crc_check = ((lambda li, p=p_int: jnp.all(synd(li, p) == 0.0))
+                     if stop else None)
+        dec = plan.decoder(k)
+        llr_int, n_it = dec.decode_tiles(*tiles, crc_check=crc_check,
+                                         interpret=interpret)
+        if iters_out is not None:
+            # traced per-group iteration counts (sch.c:382 early-stop
+            # depth), surfaced for the bench's operating-point report
+            iters_out.append(n_it)
+        bits_int = (llr_int < 0)
+
+        # per-CB CRC
+        s_cb = synd(llr_int, p_int)             # [T, 24, sub, lanes]
+        okslot = jnp.all(s_cb == 0.0, axis=1)   # [T, sub, lanes]
+
+        # zero-TB guard: count of one-bits over the payload region
+        paymask = np.zeros(k, np.float32)
+        paymask[: (k - 24 if c > 1 else k)] = 1.0
+        pm_int = jnp.asarray(paymask[qpp_interleaver(k)])
+        cnts = jnp.einsum("tksl,k->tsl", bits_int.astype(jnp.float32),
+                          pm_int, preferred_element_type=jnp.float32)
+
+        pinv = jnp.asarray(qpp_deinterleaver(k))
+        bits_nat = bits_int.astype(jnp.int8)[:, pinv]   # [T, k, sub, lanes]
+
+        for f, mem, t0, tg in sub_groups:
+            mg = len(mem)
+            okm = okslot[t0 : t0 + tg].reshape(-1, lanes)[: rest * mg]
+            ok_parts.append(jnp.all(okm.reshape(rest, mg, lanes), axis=1))
+            cm = cnts[t0 : t0 + tg].reshape(-1, lanes)[: rest * mg]
+            cnt_parts.append(jnp.sum(cm.reshape(rest, mg, lanes), axis=1))
+
+            if c > 1:
+                # TB CRC24A from per-CB local syndromes (over the
+                # payload bits [f, k-24)) + x^suffix shift matrices
+                pf = parity_rows_interleaved(CRC24A.poly, 24, k,
+                                             (f, k - 24))
+                s_loc = jnp.mod(jnp.einsum(
+                    "tksl,kc->tcsl",
+                    bits_int[t0 : t0 + tg].astype(jnp.float32),
+                    jnp.asarray(pf),
+                    preferred_element_type=jnp.float32), 2.0)
+                w_np = np.zeros((tg, sub, 24, 24), np.float32)
+                for q in range(rest * mg):
+                    i_cb = mem[q % mg][0]
+                    suffix = n_tb_bits - (starts[i_cb] + plens[i_cb])
+                    w_np[q // sub, q % sub] = shift_matrix(
+                        CRC24A.poly, 24, suffix)
+                shifted = jnp.einsum("tcsl,tsdc->tdsl", s_loc,
+                                     jnp.asarray(w_np),
+                                     preferred_element_type=jnp.float32)
+                sm = jnp.moveaxis(shifted, 1, 2).reshape(-1, 24, lanes)
+                sm = sm[: rest * mg].reshape(rest, mg, 24, lanes)
+                tb_snd_parts.append(jnp.sum(sm, axis=1))
+
+            # natural-order payload bits per CB (dead-code-eliminated
+            # when the caller only consumes crc_ok)
+            arr = jnp.moveaxis(bits_nat[t0 : t0 + tg], 1, 0)
+            arr = arr.reshape(k, -1, lanes)[:, : rest * mg]
+            arr = arr.reshape(k, rest, mg, lanes)
+            for j, (i_cb, _e, _off) in enumerate(mem):
+                pieces[i_cb] = arr[f : f + plens[i_cb], :, j]
+
+    tb_ok = ok_parts[0]
+    for okp in ok_parts[1:]:
+        tb_ok = jnp.logical_and(tb_ok, okp)
+    cnt = cnt_parts[0]
+    for cp in cnt_parts[1:]:
+        cnt = cnt + cp
+    tb_ok = jnp.logical_and(tb_ok, cnt > 0)
+    if c > 1:
+        snd = tb_snd_parts[0]
+        for sp in tb_snd_parts[1:]:
+            snd = snd + sp
+        tb_ok = jnp.logical_and(
+            tb_ok, jnp.all(jnp.mod(snd, 2.0) == 0.0, axis=-2))
+
+    full_bits = jnp.concatenate([pieces[i] for i in range(c)], axis=0)
+    tb_bits = jnp.moveaxis(full_bits, 0, -1).reshape(*lead, n_tb_bits)
+    llrs_g = (llrs if g_map is None
+              else jnp.take(llrs, jnp.asarray(g_map), axis=-1))
+    return (tb_bits[..., : plan.tbs], tb_ok.reshape(*lead),
+            _derm_softbuffers(llrs_g, plan))
+
+
+def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
+                           interpret: bool, g_map=None, iters_out=None):
+    """v1 fused feed (round 4) — the DEFAULT deployed path: per-slot
+    single-[lanes]-row gathers from a flat [rest*r_len, lanes] source.
+    Round-5 profiling measured it at ~1.8 ms in-context (the real index
+    tables' run structure defeats the worst-case tile-amplification
+    model); the v2 restructuring above measured slower and is kept as a
+    cross-check. See _dlsch_decode_fused's docstring.
     """
     import jax.numpy as jnp
 

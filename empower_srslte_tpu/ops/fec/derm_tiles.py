@@ -138,6 +138,49 @@ def build_tile_plan(k: int, members: tuple, rv: int, sub: int,
     return out
 
 
+@functools.lru_cache(maxsize=256)
+def build_tile_plan_shared(k: int, f: int, rv: int, e_max: int):
+    """Shared-index feed tables (round-5 feed, v2).
+
+    One source index per decoder input row, COMMON to every code block of
+    a (K, F, rv) group: codeword-bit position is the same function of d
+    position for equal K/F/rv, and the E bits of a member are consecutive
+    circular-buffer reads from the same k0 — so a member with E < e_max
+    reads its zero padding exactly where the longer members read data
+    (positions it never transmitted), and repetition layers it lacks sum
+    zeros. This turns the v1 per-slot single-[lanes]-row gathers (16x
+    HBM read amplification from sub-tile rows, the round-4 receiver
+    bottleneck) into whole-[sub, lanes]-row gathers over a stacked
+    [T, e_max + 2, sub, lanes] source.
+
+    Returns dict name -> int32 [reps, rows] of source positions: [0,
+    e_max) are codeword-bit positions, e_max is the reserved zero row,
+    e_max + 1 the strong-prior row (filler bits, known zeros).
+    """
+    zero_row, strong_row = e_max, e_max + 1
+    sys1, par1, par2, sys2t = stream_row_maps(k)
+    pad8 = lambda a: np.concatenate([a, np.full(8 - len(a), -2)])
+    target_rows = {
+        "sys": sys1[:k], "par1": par1[:k], "par2": par2[:k],
+        "ut1": pad8(sys1[k:]), "pt1": pad8(par1[k:]),
+        "ut2": pad8(sys2t), "pt2": pad8(par2[k:]),
+    }
+    sm = _d_sources(k, f, rv, e_max)       # [3*(K+4), reps]
+    reps = sm.shape[1]
+    out = {}
+    for name, dmap in target_rows.items():
+        rows = len(dmap)
+        idx = np.full((reps, rows), zero_row, np.int32)
+        for r in range(reps):
+            col = np.where(dmap >= 0, sm[np.maximum(dmap, 0), r], -1)
+            idx[r] = np.where(col >= 0, col, zero_row).astype(np.int32)
+        if name == "sys" and f > 0:
+            # filler bits: known zeros, pinned to the strong-prior row
+            idx[0, :f] = strong_row
+        out[name] = idx
+    return out
+
+
 # --- GF(2) / CRC matrices for tile-layout checks ----------------------------
 
 

@@ -48,8 +48,16 @@ def _wiring():
 
 
 def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
-                wpp: int = 1, sub: int = 8):
+                wpp: int = 1, sub: int = 8, apriori: bool = False):
     """Kernel body over grid (T, W // wpp).
+
+    ``apriori``: take the a-priori extrinsic rows as a separate input
+    and add them to the systematic rows AT BLOCK LOAD, instead of
+    consuming a pre-summed ``u``. The XLA-side ``sys + ext`` add this
+    replaces is a full HBM pass per half-iteration (a profiled
+    ~0.3-0.5 ms per iteration at the 20 MHz MIMO operating point); the
+    in-kernel add is ~2 extra VPU ops against the ~90/bit the sweeps
+    already issue.
 
     ``wpp`` consecutive windows are decoded INTERLEAVED inside one
     program: their recursions are independent, so each trellis step issues
@@ -86,11 +94,24 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
             m = jnp.maximum(m, v)
         return [v - m for v in vs]
 
-    def kernel(u_ref, p_ref, ut_ref, pt_ref, a_in, b_in,
-               ext_ref, a_out, b_out, betas_ref):
+    def kernel(u_ref, p_ref, *rest_refs):
+        if apriori:
+            (e_ref, bounds_ref, ut_ref, pt_ref, a_in, b_in,
+             ext_ref, a_out, b_out, betas_ref) = rest_refs
+            u_rows = lambda ds: u_ref[ds] + e_ref[ds]
+        else:
+            (bounds_ref, ut_ref, pt_ref, a_in, b_in,
+             ext_ref, a_out, b_out, betas_ref) = rest_refs
+            u_rows = lambda ds: u_ref[ds]
         w = pl.program_id(1)
-        is_first = w == 0            # sub-window 0 of program 0
-        is_last = w == w_count // wpp - 1   # sub-window wpp-1 of last
+        # ``bounds`` holds the program ids of the GLOBALLY first / last
+        # window programs: on a single chip these are [0, n_progs-1]
+        # (the previous hardcoded behavior); under the trellis-sharded
+        # path (parallel/turbo_sp.py) only the edge shards carry them —
+        # interior shards get [-1, -1] and take every boundary metric
+        # from the exchanged a_in/b_in instead.
+        is_first = w == bounds_ref[0]    # sub-window 0 of this program
+        is_last = w == bounds_ref[1]     # sub-window wpp-1 of this one
 
         exact = [jnp.zeros((sub, lanes), dtype)] + \
                 [jnp.full((sub, lanes), dtype.type(NEG), dtype)] * 7
@@ -118,7 +139,7 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
         def bgroup(gi, betas):
             betas = [list(b) for b in betas]
             base = pl.multiple_of((n_groups - 1 - gi) * group, group)
-            u_blks = [u_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
+            u_blks = [u_rows(pl.ds(i * l + base, group)) for i in range(wpp)]
             p_blks = [p_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
             saves = [[None] * group for _ in range(wpp)]
             for j in range(group - 1, -1, -1):
@@ -154,7 +175,7 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
 
         def agroup(gi, alphas):
             base = pl.multiple_of(gi * group, group)
-            u_blks = [u_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
+            u_blks = [u_rows(pl.ds(i * l + base, group)) for i in range(wpp)]
             p_blks = [p_ref[pl.ds(i * l + base, group)] for i in range(wpp)]
             bblks = [betas_ref[pl.ds(i * l + base, group)]
                      for i in range(wpp)]
@@ -198,7 +219,7 @@ def _nii_kernel(l: int, w_count: int, lanes: int, group: int, dtype,
 
 def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
                    lanes: int, group: int = 16, interpret: bool = False,
-                   wpp: int = 1, sub: int = 8):
+                   wpp: int = 1, sub: int = 8, apr=None, bounds=None):
     """One NII constituent decode.
 
     u, p:            [T, K, 8, lanes] raw (unhalved) input / parity rows
@@ -209,9 +230,20 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
                      padding). Pass zeros on the first iteration.
     wpp:             windows decoded interleaved per program (ILP knob;
                      see _nii_kernel).
+    apr:             optional [T, K, 8, lanes] a-priori extrinsic rows,
+                     added to ``u`` INSIDE the kernel at block load —
+                     removing the XLA-side full-HBM ``sys + ext`` pass
+                     per half-iteration (see _nii_kernel).
+    bounds:          optional int32 [2] array of the program ids holding
+                     the globally-first / globally-last window (default
+                     [0, n_progs-1], the single-chip case). The
+                     trellis-sharded path passes per-shard values so
+                     only edge shards run the exact-init / tail walk.
 
     Returns (ext [T, K, 8, lanes], a_next, b_next) in the same slot
-    convention, ready to pass back on the next call.
+    convention, ready to pass back on the next call. ``ext`` is relative
+    to the SUMMED input (llr - (u + apr)), exactly as if the caller had
+    pre-summed u.
     """
     t_tiles, k, subd, lns = u.shape
     assert subd == sub and lns == lanes and k % l == 0
@@ -219,7 +251,25 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
     assert w_count % wpp == 0, (w_count, wpp)
     dtype = u.dtype
     kernel = _nii_kernel(l, w_count, lanes, group, jnp.dtype(dtype),
-                         wpp=wpp, sub=sub)
+                         wpp=wpp, sub=sub, apriori=apr is not None)
+
+    if bounds is None:
+        bounds = jnp.asarray([0, w_count // wpp - 1], jnp.int32)
+
+    row_spec = pl.BlockSpec((None, wpp * l, sub, lanes),
+                            lambda t, w: (t, w, 0, 0))
+    tail_spec = pl.BlockSpec((None, 8, sub, lanes),
+                             lambda t, w: (t, 0, 0, 0))
+    st_spec = pl.BlockSpec((None, wpp, 8, sub, lanes),
+                           lambda t, w: (t, w, 0, 0, 0))
+    bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [row_spec, row_spec]
+    inputs = [u, p]
+    if apr is not None:
+        in_specs.append(row_spec)
+        inputs.append(apr)
+    in_specs += [bounds_spec, tail_spec, tail_spec, st_spec, st_spec]
+    inputs += [bounds, tail_u, tail_p, a_st[:, :w_count], b_st[:, 1:]]
 
     grid = (t_tiles, w_count // wpp)
     ext, a_raw, b_raw = pl.pallas_call(
@@ -230,25 +280,11 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
             jax.ShapeDtypeStruct((t_tiles, w_count, 8, sub, lanes), dtype),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, wpp * l, sub, lanes),
-                         lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, wpp * l, sub, lanes),
-                         lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, 8, sub, lanes), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((None, 8, sub, lanes), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, sub, lanes),
-                         lambda t, w: (t, w, 0, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, sub, lanes),
-                         lambda t, w: (t, w, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((None, wpp * l, sub, lanes),
-                         lambda t, w: (t, w, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, sub, lanes),
-                         lambda t, w: (t, w, 0, 0, 0)),
-            pl.BlockSpec((None, wpp, 8, sub, lanes),
-                         lambda t, w: (t, w, 0, 0, 0)),
+            row_spec,
+            st_spec,
+            st_spec,
         ),
         scratch_shapes=[pltpu.VMEM((wpp * l, 8, sub, lanes), dtype)],
         cost_estimate=pl.CostEstimate(
@@ -256,7 +292,7 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
             bytes_accessed=u.dtype.itemsize * sub * lanes * t_tiles * 3 * k,
             transcendentals=0),
         interpret=interpret,
-    )(u, p, tail_u, tail_p, a_st[:, :w_count], b_st[:, 1:])
+    )(*inputs)
 
     # Next-iteration slots: window w's alpha init is the alpha produced at
     # the END of window w-1 (a_raw[w-1]); its beta init is the beta

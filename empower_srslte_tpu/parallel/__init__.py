@@ -11,6 +11,7 @@ lane-overlap scheme.
 """
 
 from .mesh import make_mesh, shard_batch
-from .turbo_sp import sp_turbo_decode
+from .turbo_sp import sp_turbo_decode, sp_turbo_decode_nii
 
-__all__ = ["make_mesh", "shard_batch", "sp_turbo_decode"]
+__all__ = ["make_mesh", "shard_batch", "sp_turbo_decode",
+           "sp_turbo_decode_nii"]

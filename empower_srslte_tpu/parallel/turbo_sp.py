@@ -2,15 +2,25 @@
 
 The TPU-native scale-out of the reference's windowed turbo decoder
 (lib/src/phy/fec/turbodecoder_win.h): on one chip, windows ride SIMD
-lanes with 40-step overlap training; across chips, the trellis is cut
-into per-device chunks and the SAME overlap semantics are carried by
-ICI collectives —
+lanes; across chips, the trellis is cut into per-device window chunks.
 
-* the (static) parity LLR halos move once via ``lax.ppermute`` between
-  ring neighbors,
-* each half-iteration's extrinsic/systematic chunk is shared via
-  ``all_gather`` so the QPP interleaver (a global permutation) and the
-  neighbor overlap rows can be gathered locally.
+Two implementations:
+
+* ``sp_turbo_decode_nii`` — the DEPLOYED decoder, trellis-sharded: the
+  flagship NII Pallas kernel (ops/fec/turbo_decoder_pallas2.py) runs
+  per shard on its windows, and the next-iteration-initialization
+  boundary metrics the kernel already materializes per window edge
+  ([T, 1, 8, sub, lanes] slices) are exchanged between ring neighbors
+  via ``lax.ppermute`` each half-iteration — exactly the metrics a
+  single chip passes between adjacent windows, so the sharded decode is
+  BIT-IDENTICAL to the single-chip kernel. The QPP interleaver is a
+  global permutation, so each half-iteration's extrinsics are shared
+  via ``all_gather`` (rate 1/1 of the extrinsic volume — the ICI-bound
+  collective of this design).
+* ``sp_turbo_decode`` — the original scan-decoder formulation with
+  40-step overlap retraining halos, kept as a cross-check (it shares no
+  kernel code with the NII path and validates the same sharding
+  topology with reference overlap-training semantics).
 
 This is the "turbo-decoder extrinsic LLR halos via ICI collectives"
 design from BASELINE.json, implemented with shard_map over a mesh axis.
@@ -32,6 +42,138 @@ from ..ops.fec.turbo_decoder import (
     TurboDecoder,
     _windowed_map_decode,
 )
+
+
+def sp_turbo_decode_nii(d_llr, k: int, mesh, axis: str = "sf",
+                        iterations: int = 5, sub: int = 8,
+                        lanes: int | None = None,
+                        interpret: bool | None = None):
+    """Trellis-sharded decode with the deployed NII Pallas kernel.
+
+    d_llr [..., 3, K+4] -> (bits [..., K], llr [..., K]), replicated.
+    The window axis (K) is sharded over mesh axis ``axis``; each
+    half-iteration ships one boundary-metric slice per shard edge via
+    ``ppermute`` and the extrinsic chunk via ``all_gather``. Decisions
+    are bit-identical to the single-chip ``TurboDecoder.decode_tiles``
+    at equal (window, sub, lanes) geometry — asserted in
+    tests/test_parallel.py and the driver dryrun.
+
+    ``interpret`` defaults to True off-TPU (the dryrun's CPU mesh runs
+    the same kernel code in interpreter mode).
+    """
+    from ..ops.fec.turbo_decoder_pallas2 import (from_tiles, map_decode_nii,
+                                                 to_tiles)
+
+    n = mesh.shape[axis]
+    assert k % n == 0, (k, n)
+    chunk = k // n
+    l = _pick_window(chunk, 16)
+    assert chunk % l == 0
+    n_loc = chunk // l                      # windows per shard
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    dec = TurboDecoder(k=k)
+    sys1, par1, sys2t, par2 = dec._split_streams(
+        d_llr.astype(jnp.float32))
+    lead = sys1.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    if lanes is None:
+        lanes = 1
+        while lanes < 256 and sub * lanes * 2 <= b:
+            lanes *= 2
+    tile = sub * lanes
+    bp = (-b) % tile
+    tm = lambda x: jnp.moveaxis(x.reshape(b, x.shape[-1]), -1, 0)
+    cp = (lambda x: jnp.pad(x, ((0, 0), (0, bp)))) if bp else (lambda x: x)
+    pad8 = lambda x: jnp.pad(x, ((0, 8 - x.shape[0]), (0, 0)))
+    # tiles() takes a TIME-MAJOR [rows, b] array (tm applied by caller)
+    tiles = lambda x2d: to_tiles(cp(x2d), lanes, sub)
+
+    pi = jnp.asarray(qpp_interleaver(k))
+    pinv = jnp.asarray(qpp_deinterleaver(k))
+    sys_t = tiles(tm(sys1[..., :k]))        # [T, K, sub, lanes]
+    par1_t = tiles(tm(par1[..., :k]))
+    par2_t = tiles(tm(par2[..., :k]))
+    ut1 = tiles(pad8(tm(sys1[..., k:])))    # [T, 8, sub, lanes]
+    pt1 = tiles(pad8(tm(par1[..., k:])))
+    ut2 = tiles(pad8(tm(sys2t)))
+    pt2 = tiles(pad8(tm(par2[..., k:])))
+    sys_int = sys_t[:, pi]
+    t_tiles = sys_t.shape[0]
+
+    def ring(x, fwd: bool):
+        perm = [(i, (i + (1 if fwd else -1)) % n) for i in range(n)]
+        return jax.lax.ppermute(x, axis, perm)
+
+    def shard_fn(sys_loc, sysi_loc, p1_loc, p2_loc, ut1, pt1, ut2, pt2):
+        i = jax.lax.axis_index(axis)
+        start = i * chunk
+        bounds1 = jnp.stack([
+            jnp.where(i == 0, 0, -1),
+            jnp.where(i == n - 1, n_loc - 1, -1)]).astype(jnp.int32)
+
+        def dec_call(u, p, ut, pt, a_raw, b_raw, apr):
+            # boundary-metric exchange: window w's alpha init is the
+            # end-of-window alpha of window w-1 (left neighbor's last
+            # window at the shard edge); its beta init is the
+            # start-of-window beta of window w+1 (right neighbor's
+            # first window at the edge) — the same slot convention the
+            # kernel uses on one chip (map_decode_nii docstring).
+            a_st = jnp.concatenate([ring(a_raw[:, -1:], True), a_raw],
+                                   axis=1)
+            b_st = jnp.concatenate([b_raw, ring(b_raw[:, :1], False)],
+                                   axis=1)
+            ext, a_next, b_next = map_decode_nii(
+                u, p, ut, pt, a_st, b_st, l=l, lanes=lanes, sub=sub,
+                apr=apr, bounds=bounds1, interpret=interpret)
+            # carry the RAW per-window outputs (map_decode_nii embeds
+            # them at +1 / 0 in its single-chip slot arrays)
+            return ext, a_next[:, 1:], b_next[:, :-1]
+
+        def body(carry, _):
+            ext2_loc, _e1, _e2, a1, b1, a2, b2 = carry
+            ext1_loc, a1, b1 = dec_call(sys_loc, p1_loc, ut1, pt1,
+                                        a1, b1, ext2_loc)
+            ext1 = jax.lax.all_gather(ext1_loc, axis, axis=1, tiled=True)
+            ext1_int_loc = jax.lax.dynamic_slice_in_dim(
+                ext1[:, pi], start, chunk, axis=1)
+            ext2i_loc, a2, b2 = dec_call(sysi_loc, p2_loc, ut2, pt2,
+                                         a2, b2, ext1_int_loc)
+            ext2i = jax.lax.all_gather(ext2i_loc, axis, axis=1,
+                                       tiled=True)
+            ext2_nat_loc = jax.lax.dynamic_slice_in_dim(
+                ext2i[:, pinv], start, chunk, axis=1)
+            return (ext2_nat_loc, ext1_int_loc, ext2i_loc,
+                    a1, b1, a2, b2), None
+
+        zext = jnp.zeros((t_tiles, chunk, sub, lanes), sys_loc.dtype)
+        zst = jnp.zeros((t_tiles, n_loc, 8, sub, lanes), sys_loc.dtype)
+        (_, ext1_last, ext2_last, *_st), _ = jax.lax.scan(
+            body, (zext, zext, zext, zst, zst, zst, zst), None,
+            length=iterations)
+        # a-posteriori exactly as the single-chip driver forms it
+        # (turbo_decoder.py decode_tiles: sys_int + ext1_int + ext2i)
+        llr_loc = sysi_loc + ext1_last + ext2_last
+        llr_int = jax.lax.all_gather(llr_loc, axis, axis=1, tiled=True)
+        return llr_int[:, pinv]
+
+    spec_rows = P(None, axis)
+    spec_rep = P()
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec_rows, spec_rows, spec_rows, spec_rows,
+                  spec_rep, spec_rep, spec_rep, spec_rep),
+        out_specs=spec_rep,
+        check_vma=False,
+    )
+    llr_full = fn(sys_t, sys_int, par1_t, par2_t, ut1, pt1, ut2, pt2)
+    llr2d = from_tiles(llr_full)
+    if bp:
+        llr2d = llr2d[:, :b]
+    llr_out = jnp.moveaxis(llr2d, 0, -1).reshape(*lead, k)
+    bits = (llr_out < 0).astype(jnp.int8)
+    return bits, llr_out
 
 
 def _pick_window(chunk: int, overlap: int) -> int:

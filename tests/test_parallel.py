@@ -14,6 +14,8 @@ from jax.sharding import Mesh
 
 from empower_srslte_tpu.ops.fec import TurboDecoder, turbo_encode_np
 from empower_srslte_tpu.parallel import make_mesh, shard_batch, sp_turbo_decode
+from empower_srslte_tpu.parallel.turbo_sp import (_pick_window,
+                                                  sp_turbo_decode_nii)
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +61,36 @@ class TestSequenceParallelTurbo:
                                   iterations=6)
         errs = int(np.sum(np.asarray(bits) != u))
         assert errs == 0, f"{errs} errors with {n_sp}-way trellis sharding"
+
+    @pytest.mark.parametrize("n_sp", [2, 4])
+    def test_sp_nii_bit_identical_to_single_chip(self, n_sp, rng,
+                                                 monkeypatch):
+        """The DEPLOYED decoder, trellis-sharded: the NII Pallas kernel
+        runs per shard with its boundary metrics exchanged via ppermute
+        — decisions AND soft outputs must be bit-identical to the
+        single-chip kernel at equal window geometry (the exchange ships
+        exactly the metrics a single chip passes between windows)."""
+        k = 1024
+        u = rng.integers(0, 2, size=(8, k)).astype(np.int8)
+        d = turbo_encode_np(u)
+        llr = ((1 - 2 * d.astype(np.float32)) * 4.0
+               + rng.normal(size=d.shape).astype(np.float32))
+        mesh = Mesh(np.asarray(jax.devices()[:n_sp]), axis_names=("sf",))
+        bits_sp, llr_sp = sp_turbo_decode_nii(
+            jnp.asarray(llr), k, mesh, axis="sf", iterations=3,
+            sub=8, lanes=1, interpret=True)
+
+        monkeypatch.setenv("TURBO_SUB", "8")
+        monkeypatch.setenv("TURBO_LANES", "1")
+        l = _pick_window(k // n_sp, 16)
+        ref = TurboDecoder(k=k, iterations=3, window=l,
+                           impl="pallas2_interpret", dtype="float32")
+        bits_ref, llr_ref = ref.decode(jnp.asarray(llr))
+        np.testing.assert_array_equal(np.asarray(bits_sp),
+                                      np.asarray(bits_ref))
+        np.testing.assert_array_equal(np.asarray(llr_sp),
+                                      np.asarray(llr_ref))
+        assert np.array_equal(np.asarray(bits_sp), u)
 
     def test_sp_matches_single_device_windowed(self, rng):
         # With aligned windows the sp decode trains boundaries on the same
