@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.equalizer import (
@@ -385,26 +386,39 @@ def _pdsch_decode_fused_grid(grid, h, cfg: PdschConfig, plan: DlschPlan,
     rows, signs = _grid_maps(cfg)
     cw_rows = []
     for cw, (syms, wgt) in enumerate(layers):
-        planes = demod_planes(jnp.real(syms), jnp.imag(syms), cfg.mod)
+        # ONE explicit transpose at the eq->demod boundary (grid
+        # positions to the major axis, batch minor), then the whole
+        # demod/CSI/descramble runs natively in the decoder feed's
+        # positions-major layout. The previous batch-major demod let
+        # XLA fuse the transpose into the plane fusions, whose
+        # transposed writes profiled at ~4x their theoretical bytes
+        # (docs/BENCHMARKS.md round-5 notes).
+        re_t = jnp.moveaxis(jnp.real(syms), -1, -2)     # [..., SK, B]
+        im_t = jnp.moveaxis(jnp.imag(syms), -1, -2)
+        wgt_t = jnp.moveaxis(wgt, -1, -2)
+        planes = demod_planes(re_t, im_t, cfg.mod)
         sgn_np = signs[cw]                              # [bps, SK]
         outs = []
         for j, p in enumerate(planes):
-            pj = p * wgt
+            pj = p * wgt_t
+            sgn_col = sgn_np[j][:, None]                # [SK, 1]
             if cfg.llr_int8:
                 from ..ops.modem import quantize_llr_int8
 
                 pj = quantize_llr_int8(pj, cfg.mod)
-                outs.append(pj * jnp.asarray(sgn_np[j].astype(np.int8)))
+                outs.append(pj * jnp.asarray(sgn_col.astype(np.int8)))
             else:
-                outs.append(pj * jnp.asarray(sgn_np[j]))
-        # plane-major stack: contiguous [bps, SK] blocks, no interleave
-        llr = jnp.stack(outs, axis=-2).reshape(*syms.shape[:-1], bps * sk)
+                outs.append(pj * jnp.asarray(sgn_col))
+        # plane-major stack: rows j*SK + pos, batch minor — a free
+        # reshape (bps and SK axes adjacent, batch stays minor)
+        llr = jnp.stack(outs, axis=-3).reshape(
+            *syms.shape[:-2], bps * sk, syms.shape[-2])
         cw_rows.append(llr)
     llr_rows = (jnp.stack(cw_rows, axis=0) if len(cw_rows) > 1
                 else cw_rows[0])
 
     outs = _dlsch_decode_fused(llr_rows, plan, *geo, g_map=rows,
-                               iters_out=iters_out)
+                               iters_out=iters_out, pos_major=True)
     if len(cw_rows) == 1:
         return outs
     bits, ok, soft = outs

@@ -43,7 +43,14 @@ def _pick_window(k: int) -> int | None:
     closest to 256 that is a multiple of 16 (the NII kernel's row-group
     granularity) and >= 48 (the v1 path trains over a 40-step overlap).
     Fewer, larger windows amortize the per-window program overheads of
-    the Pallas grid; None = full sweeps."""
+    the Pallas grid; None = full sweeps. TURBO_WIN overrides (perf
+    experiments: smaller windows shrink the kernel's VMEM beta store,
+    making room for wpp window interleaving)."""
+    import os
+
+    forced = int(os.environ.get("TURBO_WIN", 0))
+    if forced and k % forced == 0 and forced % 16 == 0:
+        return forced
     best = None
     for w in range(48, min(k, 769), 16):
         if k % w == 0 and (best is None or
@@ -244,7 +251,8 @@ def _feed_group_tiles_v2(x, k: int, f: int, mem, rest: int, sub: int,
 
 
 def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
-                        interpret: bool, g_map=None, iters_out=None):
+                        interpret: bool, g_map=None, iters_out=None,
+                        pos_major: bool = False):
     """TB decode with the fused receiver feed.
 
     Default (SRSLTE_FEED=v1, the deployed path): per-slot row gathers
@@ -278,9 +286,11 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
     """
     import os
 
-    if os.environ.get("SRSLTE_FEED", "v1") == "v1":
+    if pos_major or os.environ.get("SRSLTE_FEED", "v1") == "v1":
+        # (the v2 cross-check path only implements batch-major input)
         return _dlsch_decode_fused_v1(llrs, plan, lanes, sub, interpret,
-                                      g_map=g_map, iters_out=iters_out)
+                                      g_map=g_map, iters_out=iters_out,
+                                      pos_major=pos_major)
 
     import jax
     import jax.numpy as jnp
@@ -455,13 +465,21 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
 
 
 def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
-                           interpret: bool, g_map=None, iters_out=None):
+                           interpret: bool, g_map=None, iters_out=None,
+                           pos_major: bool = False):
     """v1 fused feed (round 4) — the DEFAULT deployed path: per-slot
     single-[lanes]-row gathers from a flat [rest*r_len, lanes] source.
     Round-5 profiling measured it at ~1.8 ms in-context (the real index
     tables' run structure defeats the worst-case tile-amplification
     model); the v2 restructuring above measured slower and is kept as a
     cross-check. See _dlsch_decode_fused's docstring.
+
+    ``pos_major``: llrs arrive as [*outer, r_len, lanes] (positions on
+    the second-to-last axis, batch minor) — the layout the feed's
+    source rows want, produced natively by the grid path's transposed
+    demodulator (models/pdsch.py). Skips the fused swapaxes whose
+    transposed writes were a profiled ~1.2 ms of demod-fusion bloat.
+    Requires the whole lane fold in one axis (folds == 1).
     """
     import jax.numpy as jnp
 
@@ -471,20 +489,26 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
 
     segm = plan.segm
     c = segm.c
-    lead = llrs.shape[:-1]
-    # source rows per TB: the extracted codeword (r_len == plan.g) or a
-    # wider layout reached through g_map (e.g. the un-extracted resource
-    # grid, models/pdsch.py grid path)
-    r_len = llrs.shape[-1]
+    if pos_major:
+        *outer, r_len, lanes_dim = llrs.shape
+        folds = lanes_dim // lanes
+        lead = (*outer, lanes_dim)
+        rest0 = int(np.prod(outer, dtype=np.int64)) if outer else 1
+        rest = rest0 * folds
+    else:
+        lead = llrs.shape[:-1]
+        # source rows per TB: the extracted codeword (r_len == plan.g)
+        # or a wider layout reached through g_map (e.g. the un-extracted
+        # resource grid, models/pdsch.py grid path)
+        r_len = llrs.shape[-1]
+        folds = lead[-1] // lanes
+        rest = int(np.prod(lead[:-1], dtype=np.int64)) * folds
     g_map_key = (None if g_map is None
                  else np.ascontiguousarray(g_map, np.int64).tobytes())
-    folds = lead[-1] // lanes
-    rest = int(np.prod(lead[:-1], dtype=np.int64)) * folds
     n_tb_bits = plan.tbs + 24
     dt = jnp.bfloat16
     int8_lane = llrs.dtype == jnp.int8
 
-    x = llrs.reshape(rest, lanes, r_len).astype(dt)
     # Materialize the LLR array exactly once: the seven decoder-feed
     # gathers below fuse their operand chain, and XLA *duplicates* fused
     # producers into every consumer — without this barrier the whole
@@ -493,8 +517,18 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
     # into the gathers (measured free); only `x` is pinned.
     import jax
 
-    x = jax.lax.optimization_barrier(x)
-    src = jnp.swapaxes(x, -1, -2).reshape(rest * r_len, lanes)
+    if pos_major:
+        x = llrs.reshape(rest0, r_len, folds, lanes).astype(dt)
+        if folds > 1:
+            # fold the lane split out to its own leading axis (one
+            # relayout copy; folds == 1 — the common case — is free)
+            x = jnp.moveaxis(x, -2, -3)
+        x = jax.lax.optimization_barrier(x)
+        src = x.reshape(rest * r_len, lanes)
+    else:
+        x = llrs.reshape(rest, lanes, r_len).astype(dt)
+        x = jax.lax.optimization_barrier(x)
+        src = jnp.swapaxes(x, -1, -2).reshape(rest * r_len, lanes)
     zero_row, strong_row = rest * r_len, rest * r_len + 1
     # Filler-bit prior, scaled to the data: the classic path pins 1e4
     # (rate_matching.rx), which is exact in f32 but destroys bf16
@@ -515,7 +549,8 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
     else:
         # grid-domain source: average only the mapped (PDSCH) rows
         strong = c_f * jnp.mean(jnp.abs(
-            jnp.take(llrs, jnp.asarray(g_map), axis=-1)
+            jnp.take(llrs, jnp.asarray(g_map),
+                     axis=-2 if pos_major else -1)
         ).astype(jnp.float32))
     src = jnp.concatenate(
         [src, jnp.zeros((1, lanes), dt),
@@ -652,8 +687,15 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
 
     full_bits = jnp.concatenate([pieces[i] for i in range(c)], axis=0)
     tb_bits = jnp.moveaxis(full_bits, 0, -1).reshape(*lead, n_tb_bits)
-    llrs_g = (llrs if g_map is None
-              else jnp.take(llrs, jnp.asarray(g_map), axis=-1))
+    if pos_major:
+        # _derm_softbuffers wants batch-major [..., G] (dead-code-
+        # eliminated whenever the caller discards the HARQ state)
+        llrs_g = jnp.swapaxes(
+            jnp.take(llrs, jnp.asarray(g_map), axis=-2)
+            if g_map is not None else llrs, -1, -2)
+    else:
+        llrs_g = (llrs if g_map is None
+                  else jnp.take(llrs, jnp.asarray(g_map), axis=-1))
     return (tb_bits[..., : plan.tbs], tb_ok.reshape(*lead),
             _derm_softbuffers(llrs_g, plan))
 

@@ -10,8 +10,9 @@ lax.ppermute — the ICI-collective analog of turbodecoder_win.h's
 lane-overlap scheme.
 """
 
+from .dist import init_distributed, make_global_mesh
 from .mesh import make_mesh, shard_batch
 from .turbo_sp import sp_turbo_decode, sp_turbo_decode_nii
 
-__all__ = ["make_mesh", "shard_batch", "sp_turbo_decode",
-           "sp_turbo_decode_nii"]
+__all__ = ["init_distributed", "make_global_mesh", "make_mesh",
+           "shard_batch", "sp_turbo_decode", "sp_turbo_decode_nii"]

@@ -20,17 +20,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, carriers: int | None = None,
-              devices=None) -> Mesh:
+              devices=None, hosts: int | None = None) -> Mesh:
     """Build a (carrier, sf) mesh over the given/available devices.
 
     ``carriers`` defaults to the largest power-of-two <= sqrt(n) so both
-    axes are populated when possible.
+    axes are populated when possible. ``hosts`` prepends a host axis
+    (single-process shape parity with the multi-process mesh built by
+    dist.make_global_mesh, which maps that axis onto real processes).
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
+    if hosts:
+        assert n_devices % hosts == 0, (n_devices, hosts)
+        per = n_devices // hosts
+        if carriers is None:
+            carriers = 1
+        sf = per // carriers
+        return Mesh(devices.reshape(hosts, carriers, sf),
+                    axis_names=("host", "carrier", "sf"))
     if carriers is None:
         carriers = 1
         while carriers * 2 * carriers * 2 <= n_devices:
