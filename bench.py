@@ -119,7 +119,10 @@ def bench_turbo():
 #: Mid-SNR noise levels (waterfall edge, where the CRC early stop
 #: actually iterates): chosen so BLER lands in the 1-50 % band — the
 #: operating point the reference's phy_dl_test.c:371-408 sweeps report.
-MIDSNR_N0 = {"20mimo": 0.009, "10siso": 0.042, "20ul": 0.046}
+#: (20ul recalibrated round 5: 0.046 sat past the waterfall edge at
+#: BLER 14.5-17 % — above the ~10 % first-transmission operating target
+#: — flattering Mbps; 0.045 measures BLER ~7 %)
+MIDSNR_N0 = {"20mimo": 0.009, "10siso": 0.042, "20ul": 0.045}
 
 
 def bench_receiver(config: str, batch: int = 256, chain: int = 24,
@@ -486,6 +489,31 @@ def bench_uedl(batch: int = 256, chain: int = 24, mimo: bool = False):
             n_good == (n_cw + 2) * batch * chain, n_it)
 
 
+def bench_latency():
+    """Latency of the FULL no-genie ue_dl chain (20 MHz 2x2 TM4, the
+    reference's headline configuration) at small batch, against the
+    reference's real-time budget: subframes arrive every 1 ms and the
+    decode-to-ACK deadline is 4 ms (srsenb/src/phy/txrx.cc:122-126,
+    HARQ_DELAY_MS=4 at lib/include/srslte/common/common.h:49).
+
+    ms/call is steady-state per-dispatch device time (chained, honest
+    readback sync — the throughput methodology at batch 1/8). A batch of
+    B subframes collected over B ms and processed in T ms meets the
+    deadline for its OLDEST subframe iff (B - 1) + T <= 4 ms; the keys
+    below let the reader place the throughput-optimal batch (256)
+    against the deadline-feasible ones.
+    """
+    out = {}
+    for b in (1, 8):
+        mbps, sfps, ok, _it = bench_uedl(batch=b, mimo=True)
+        ms = round(b / sfps * 1e3, 3) if sfps else None
+        out[f"uedl_latency_b{b}_ms"] = ms
+        out[f"uedl_latency_b{b}_ok"] = ok
+        out[f"uedl_latency_b{b}_deadline_ok"] = (
+            ms is not None and (b - 1) + ms <= 4.0)
+    return out
+
+
 def bench_tx(batch: int = 256, chain: int = 24):
     """eNB DL transmit: DL-SCH encode -> scramble -> modulate -> layer
     map/precode -> RE map + CRS -> iFFT to time samples, 20 MHz 2x2 TM4
@@ -642,6 +670,15 @@ def main():
             except Exception as e:
                 out["tx_20mimo"] = f"failed: {e}"[:120]
             out["t_tx_20mimo_s"] = round(time.time() - t0, 1)
+            checkpoint()
+        # real-time latency point (4 ms HARQ deadline comparison)
+        if time.time() - t_start < budget * 0.92:
+            t0 = time.time()
+            try:
+                out.update(bench_latency())
+            except Exception as e:
+                out["uedl_latency"] = f"failed: {e}"[:120]
+            out["t_latency_s"] = round(time.time() - t0, 1)
             checkpoint()
 
     t0 = time.time()
