@@ -374,6 +374,9 @@ class TurboDecoder:
         pi = jnp.asarray(qpp_interleaver(k))
         t_tiles, _, sub, lanes = sys_t.shape
         dt = sys_t.dtype
+        # NOTE: group=32 measured BLER=1.0 in bf16 (metrics leave the
+        # renormalization-safe range between 32-step group boundaries);
+        # 16 is both the fastest measured and the numerically safe value
         group = int(os.environ.get("TURBO_GROUP", 0)) or 16
         wpp = self.wpp if self.wpp else \
             int(os.environ.get("TURBO_WPP", 0)) or 1

@@ -28,7 +28,6 @@ def test_make_mesh_host_axis():
     assert m.shape["host"] == 2 and m.shape["sf"] == 4
 
 
-@pytest.mark.timeout(560)
 def test_multihost_dryrun_two_processes():
     tool = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tools", "multihost_dryrun.py")
