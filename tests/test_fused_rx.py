@@ -305,6 +305,45 @@ class TestGridPath:
             np.testing.assert_array_equal(np.asarray(b1c), tb)
 
 
+class TestFeedV2AndPosMajor:
+    """The round-5 feed variants: the shared-index v2 cross-check path
+    (SRSLTE_FEED=v2) and positions-major input (pos_major, incl. lane
+    folds) must decode identically to the default v1 batch-major feed."""
+
+    def test_v2_feed_matches_v1(self, tiny_tiles, monkeypatch, rng):
+        fast, _ref = _mini_multicb_plans()
+        tb = rng.integers(0, 2, size=(3, 2, fast.tbs)).astype(np.int8)
+        cw = np.asarray(dlsch_encode(jnp.asarray(tb), fast))
+        llrs = (1.0 - 2.0 * cw) * 6.0
+        bits1, ok1, _ = _dlsch_decode_fused(
+            jnp.asarray(llrs), fast, lanes=2, sub=8, interpret=True)
+        monkeypatch.setenv("SRSLTE_FEED", "v2")
+        bits2, ok2, _ = _dlsch_decode_fused(
+            jnp.asarray(llrs), fast, lanes=2, sub=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        np.testing.assert_array_equal(np.asarray(bits1), np.asarray(bits2))
+        assert np.asarray(ok2).all()
+        np.testing.assert_array_equal(np.asarray(bits2), tb)
+
+    @pytest.mark.parametrize("lanes,expected_folds", [(2, 1), (1, 2)])
+    def test_pos_major_matches_batch_major(self, tiny_tiles, rng, lanes,
+                                           expected_folds):
+        fast, _ref = _mini_multicb_plans()
+        tb = rng.integers(0, 2, size=(3, 2, fast.tbs)).astype(np.int8)
+        cw = np.asarray(dlsch_encode(jnp.asarray(tb), fast))
+        llrs = (1.0 - 2.0 * cw) * 6.0
+        bits1, ok1, _ = _dlsch_decode_fused(
+            jnp.asarray(llrs), fast, lanes=lanes, sub=8, interpret=True)
+        llrs_t = np.swapaxes(llrs, -1, -2)          # [3, G, 2]
+        assert llrs_t.shape[-1] // lanes == expected_folds
+        bits2, ok2, _ = _dlsch_decode_fused(
+            jnp.asarray(llrs_t), fast, lanes=lanes, sub=8,
+            interpret=True, pos_major=True)
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        np.testing.assert_array_equal(np.asarray(bits1), np.asarray(bits2))
+        np.testing.assert_array_equal(np.asarray(bits2), tb)
+
+
 class TestFusedVariants:
     """Redundancy versions, fixed-iteration mode, int8 lane — through the
     fused path, against the classic path."""
