@@ -502,6 +502,13 @@ def bench_latency():
     deadline for its OLDEST subframe iff (B - 1) + T <= 4 ms; the keys
     below let the reader place the throughput-optimal batch (256)
     against the deadline-feasible ones.
+
+    Path note: at batch 1/8 the decode dispatcher's fused-feed
+    eligibility check (sch._fused_geometry: lane width 128/256) fails,
+    so these calls run the CLASSIC extracted de-rate-matching path —
+    i.e. the numbers describe what the framework actually executes at
+    small batch, which is a different code path than the batch-256
+    throughput numbers (stated here and in docs/BENCHMARKS.md).
     """
     out = {}
     for b in (1, 8):

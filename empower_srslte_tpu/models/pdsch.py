@@ -18,7 +18,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.equalizer import (

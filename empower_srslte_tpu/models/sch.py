@@ -216,7 +216,6 @@ def _feed_group_tiles_v2(x, k: int, f: int, mem, rest: int, sub: int,
 
     from ..ops.fec.derm_tiles import build_tile_plan_shared
 
-    mg = len(mem)
     slots = [(r, i, e, off) for r in range(rest) for (i, e, off) in mem]
     n_slots = len(slots)
     tg = -(-n_slots // sub)

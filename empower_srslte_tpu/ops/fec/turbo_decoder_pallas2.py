@@ -289,7 +289,9 @@ def map_decode_nii(u, p, tail_u, tail_p, a_st, b_st, *, l: int,
         scratch_shapes=[pltpu.VMEM((wpp * l, 8, sub, lanes), dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 60 * k * sub * lanes * t_tiles,
-            bytes_accessed=u.dtype.itemsize * sub * lanes * t_tiles * 3 * k,
+            # u + p (+ apr) streamed in, ext streamed out
+            bytes_accessed=(u.dtype.itemsize * sub * lanes * t_tiles * k
+                            * (4 if apr is not None else 3)),
             transcendentals=0),
         interpret=interpret,
     )(*inputs)

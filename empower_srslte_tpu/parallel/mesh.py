@@ -38,6 +38,7 @@ def make_mesh(n_devices: int | None = None, carriers: int | None = None,
         per = n_devices // hosts
         if carriers is None:
             carriers = 1
+        assert per % carriers == 0, (per, carriers)
         sf = per // carriers
         return Mesh(devices.reshape(hosts, carriers, sf),
                     axis_names=("host", "carrier", "sf"))

@@ -131,19 +131,24 @@ def sp_turbo_decode_nii(d_llr, k: int, mesh, axis: str = "sf",
             # them at +1 / 0 in its single-chip slot arrays)
             return ext, a_next[:, 1:], b_next[:, :-1]
 
+        # gather only the LOCAL chunk of each permutation: slicing the
+        # static index first (pi_loc/pinv_loc) instead of permuting the
+        # full-K array and then slicing saves an n-times-redundant
+        # gather per shard per half-iteration
+        pi_loc = jax.lax.dynamic_slice_in_dim(pi, start, chunk)
+        pinv_loc = jax.lax.dynamic_slice_in_dim(pinv, start, chunk)
+
         def body(carry, _):
             ext2_loc, _e1, _e2, a1, b1, a2, b2 = carry
             ext1_loc, a1, b1 = dec_call(sys_loc, p1_loc, ut1, pt1,
                                         a1, b1, ext2_loc)
             ext1 = jax.lax.all_gather(ext1_loc, axis, axis=1, tiled=True)
-            ext1_int_loc = jax.lax.dynamic_slice_in_dim(
-                ext1[:, pi], start, chunk, axis=1)
+            ext1_int_loc = jnp.take(ext1, pi_loc, axis=1)
             ext2i_loc, a2, b2 = dec_call(sysi_loc, p2_loc, ut2, pt2,
                                          a2, b2, ext1_int_loc)
             ext2i = jax.lax.all_gather(ext2i_loc, axis, axis=1,
                                        tiled=True)
-            ext2_nat_loc = jax.lax.dynamic_slice_in_dim(
-                ext2i[:, pinv], start, chunk, axis=1)
+            ext2_nat_loc = jnp.take(ext2i, pinv_loc, axis=1)
             return (ext2_nat_loc, ext1_int_loc, ext2i_loc,
                     a1, b1, a2, b2), None
 

@@ -35,6 +35,10 @@ def test_multihost_dryrun_two_processes():
     # the workers force their own XLA_FLAGS / platform; scrub the test
     # session's so the child count isn't doubled
     env.pop("XLA_FLAGS", None)
+    # outer timeout > the tool's internal worker deadline (MH_TIMEOUT_S,
+    # default 480 s), so on a slow box the tool reaps its own workers
+    # and exits cleanly instead of pytest killing the launcher and
+    # orphaning the processes that hold the coordinator port
     out = subprocess.run([sys.executable, tool, "2"], env=env,
                         capture_output=True, text=True, timeout=540)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]

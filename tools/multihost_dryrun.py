@@ -107,6 +107,9 @@ def worker(rank: int, nproc: int, port: int) -> None:
 def main() -> None:
     nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     port = int(os.environ.get("MH_PORT", "29517"))
+    # worker deadline; callers wrapping this tool (tests) should use a
+    # LARGER outer timeout so the cleanup below still runs
+    deadline = int(os.environ.get("MH_TIMEOUT_S", "480"))
     procs = []
     env = dict(os.environ)
     for r in range(nproc):
@@ -116,8 +119,19 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__)], env=env_r,
             stdout=subprocess.PIPE if r == 0 else subprocess.DEVNULL,
             stderr=subprocess.STDOUT))
-    out0, _ = procs[0].communicate(timeout=600)
-    rcs = [procs[0].returncode] + [p.wait(timeout=600) for p in procs[1:]]
+    try:
+        out0, _ = procs[0].communicate(timeout=deadline)
+        rcs = [procs[0].returncode] + \
+            [p.wait(timeout=deadline) for p in procs[1:]]
+    except subprocess.TimeoutExpired:
+        print(f"FAILED timeout after {deadline}s", flush=True)
+        sys.exit(1)
+    finally:
+        # never orphan workers (they hold the coordinator port and
+        # would poison the next run's bind/connect)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     text = out0.decode(errors="replace")
     sys.stdout.write(text)
     if any(rcs) or "MULTIHOST_OK" not in text:

@@ -10,8 +10,9 @@
  *     (the original test passes sigma = sqrt(1/EsN0_lin) to
  *     srslte_ch_awgn_f — whose third argument is the STD, ch_awgn.c —
  *     making its printed Eb/No labels ~3 dB optimistic)
- *   - LLR scale 2/sigma^2 (max-log decoders are scale-invariant; the
- *     int16 path quantizes at 8 units/LLR like the original's x100)
+ *   - fixed-point LLR input at 32 int16 units per unit amplitude
+ *     (max-log decoders are scale-invariant; same |llr| ~ O(100)
+ *     regime as the original test's x100 float->int16 scale)
  *   - per-BLOCK error counting (BLER) in addition to BER
  *   - timing identical to the original: gettimeofday around
  *     srslte_tdec_run_all with fixed iterations, Mbps = K / usec.
