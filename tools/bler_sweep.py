@@ -11,7 +11,11 @@ Pass "int8" as the third argument to run the quantized LLR lane
 tests/test_int8_lane.py transport path) for waterfall parity vs f32.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,6 +1,10 @@
 """Standalone timing probe for the fused MAP kernel (axon-safe sync)."""
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

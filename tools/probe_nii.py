@@ -4,7 +4,11 @@ Usage: python tools/probe_nii.py [batch] [chain] [nrep] [window]
 Measures the same quantity bench.py reports, for configuration sweeps.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

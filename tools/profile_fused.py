@@ -1,6 +1,10 @@
 """Sub-stage profile of the fused dlsch path at rx_20mimo shapes."""
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -5,7 +5,11 @@ separately (same shapes as tools/bench_pdsch.py 20mimo) to locate the
 next perf bottleneck.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np
