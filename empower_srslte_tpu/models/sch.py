@@ -203,6 +203,99 @@ def _derm_softbuffers(llrs, plan: DlschPlan):
 _TILE_NAMES = ("sys", "par1", "par2", "ut1", "pt1", "ut2", "pt2")
 
 
+def _tile_group_postprocess(llr_int, k: int, c: int, mem, rest: int,
+                            lanes: int, n_tb_bits: int, starts, plens,
+                            pieces: dict):
+    """Per-CB CRC, zero-TB guard, TB-CRC24A syndrome contribution and
+    natural-order payload extraction for ONE slot block of decoded
+    tiles — the post-decode machinery shared by the v1 and v2 fused
+    feeds (everything stays in the kernel's tile layout; CRCs are MXU
+    contractions, see ops/fec/derm_tiles.py).
+
+    llr_int [Tg, K, sub, lanes]: the block's interleaved-domain
+    a-posteriori LLRs (v1 passes its whole same-K group, v2 one (K, F)
+    subgroup's tile range). ``mem``: [(i_cb, e, f, off)] in TB order;
+    slot q = r * len(mem) + j holds batch-fold r of mem[j]. Filler
+    bits are handled per slot (a mask selects the [f, k-24) payload
+    parity rows — exact for mixed-F and uniform-F blocks alike, since
+    the parity matrices are 0/1 and the correction is additive).
+
+    Returns (ok [rest, lanes], ones_count [rest, lanes],
+    tb_syndrome [rest, 24, lanes] | None) and stores each CB's
+    natural-order payload bits into ``pieces``.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.fec.derm_tiles import parity_rows_interleaved, shift_matrix
+    from ..ops.fec.tables import qpp_deinterleaver, qpp_interleaver
+
+    t_tiles, _k, sub, _lanes = llr_int.shape
+    mg = len(mem)
+    crc_poly = (CRC24B if c > 1 else CRC24A).poly
+    p_int = jnp.asarray(parity_rows_interleaved(crc_poly, 24, k))
+    bits_int = (llr_int < 0)
+    bits_f = bits_int.astype(jnp.float32)
+
+    # per-CB CRC
+    s_cb = jnp.mod(jnp.einsum("tksl,kc->tcsl", bits_f, p_int,
+                              preferred_element_type=jnp.float32), 2.0)
+    okslot = jnp.all(s_cb == 0.0, axis=1)       # [T, sub, lanes]
+    okm = okslot.reshape(-1, lanes)[: rest * mg]
+    ok_part = jnp.all(okm.reshape(rest, mg, lanes), axis=1)
+
+    # zero-TB guard: count of one-bits over the payload region
+    paymask = np.zeros(k, np.float32)
+    paymask[: (k - 24 if c > 1 else k)] = 1.0
+    pm_int = jnp.asarray(paymask[qpp_interleaver(k)])
+    cnts = jnp.einsum("tksl,k->tsl", bits_f, pm_int,
+                      preferred_element_type=jnp.float32)
+    cm = cnts.reshape(-1, lanes)[: rest * mg]
+    cnt_part = jnp.sum(cm.reshape(rest, mg, lanes), axis=1)
+
+    snd_part = None
+    if c > 1:
+        # TB CRC24A from per-CB local syndromes (payload [f, k-24) per
+        # slot) + x^suffix shift matrices
+        p0 = parity_rows_interleaved(CRC24A.poly, 24, k, (0, k - 24))
+        s_loc_raw = jnp.einsum("tksl,kc->tcsl", bits_f, jnp.asarray(p0),
+                               preferred_element_type=jnp.float32)
+        fs = {f for _i, _e, f, _o in mem if f > 0}
+        if fs:
+            ff = fs.pop()
+            assert not fs, "mixed nonzero F within one K group"
+            pf = parity_rows_interleaved(CRC24A.poly, 24, k, (ff, k - 24))
+            pd = jnp.asarray(pf - p0)
+            mask = np.zeros((t_tiles, 1, sub, 1), np.float32)
+            for q, (_i, _e, f, _o) in enumerate(
+                    (m for _r in range(rest) for m in mem)):
+                if f > 0:
+                    mask[q // sub, 0, q % sub, 0] = 1.0
+            s_loc_raw = s_loc_raw + jnp.asarray(mask) * jnp.einsum(
+                "tksl,kc->tcsl", bits_f, pd,
+                preferred_element_type=jnp.float32)
+        s_loc = jnp.mod(s_loc_raw, 2.0)
+        w_np = np.zeros((t_tiles, sub, 24, 24), np.float32)
+        for q in range(rest * mg):
+            i_cb = mem[q % mg][0]
+            suffix = n_tb_bits - (starts[i_cb] + plens[i_cb])
+            w_np[q // sub, q % sub] = shift_matrix(CRC24A.poly, 24, suffix)
+        shifted = jnp.einsum("tcsl,tsdc->tdsl", s_loc, jnp.asarray(w_np),
+                             preferred_element_type=jnp.float32)
+        sm = jnp.moveaxis(shifted, 1, 2).reshape(-1, 24, lanes)
+        sm = sm[: rest * mg].reshape(rest, mg, 24, lanes)
+        snd_part = jnp.sum(sm, axis=1)
+
+    # natural-order payload bits per CB (dead-code-eliminated when the
+    # caller only consumes crc_ok)
+    pinv = jnp.asarray(qpp_deinterleaver(k))
+    bits_nat = bits_int.astype(jnp.int8)[:, pinv]
+    arr = jnp.moveaxis(bits_nat, 1, 0).reshape(k, -1, lanes)
+    arr = arr[:, : rest * mg].reshape(k, rest, mg, lanes)
+    for j, (i_cb, _e, f, _off) in enumerate(mem):
+        pieces[i_cb] = arr[f : f + plens[i_cb], :, j]
+    return ok_part, cnt_part, snd_part
+
+
 def _feed_group_tiles_v2(x, k: int, f: int, mem, rest: int, sub: int,
                          lanes: int, dt, strong, rv: int, int8_lane: bool):
     """One (K, F) group of the v2 feed: stack member slices of the
@@ -294,9 +387,7 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.fec.derm_tiles import (build_tile_plan_shared,
-                                      parity_rows_interleaved, shift_matrix)
-    from ..ops.fec.tables import qpp_deinterleaver, qpp_interleaver
+    from ..ops.fec.derm_tiles import parity_rows_interleaved
 
     segm = plan.segm
     c = segm.c
@@ -367,7 +458,6 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
         tiles = [tiles_parts[n][0] if len(tiles_parts[n]) == 1
                  else jnp.concatenate(tiles_parts[n], axis=0)
                  for n in _TILE_NAMES]
-        t_tiles = t_off
 
         crc_poly = (CRC24B if c > 1 else CRC24A).poly
         p_int = jnp.asarray(parity_rows_interleaved(crc_poly, 24, k))
@@ -387,59 +477,16 @@ def _dlsch_decode_fused(llrs, plan: DlschPlan, lanes: int, sub: int,
             # traced per-group iteration counts (sch.c:382 early-stop
             # depth), surfaced for the bench's operating-point report
             iters_out.append(n_it)
-        bits_int = (llr_int < 0)
-
-        # per-CB CRC
-        s_cb = synd(llr_int, p_int)             # [T, 24, sub, lanes]
-        okslot = jnp.all(s_cb == 0.0, axis=1)   # [T, sub, lanes]
-
-        # zero-TB guard: count of one-bits over the payload region
-        paymask = np.zeros(k, np.float32)
-        paymask[: (k - 24 if c > 1 else k)] = 1.0
-        pm_int = jnp.asarray(paymask[qpp_interleaver(k)])
-        cnts = jnp.einsum("tksl,k->tsl", bits_int.astype(jnp.float32),
-                          pm_int, preferred_element_type=jnp.float32)
-
-        pinv = jnp.asarray(qpp_deinterleaver(k))
-        bits_nat = bits_int.astype(jnp.int8)[:, pinv]   # [T, k, sub, lanes]
 
         for f, mem, t0, tg in sub_groups:
-            mg = len(mem)
-            okm = okslot[t0 : t0 + tg].reshape(-1, lanes)[: rest * mg]
-            ok_parts.append(jnp.all(okm.reshape(rest, mg, lanes), axis=1))
-            cm = cnts[t0 : t0 + tg].reshape(-1, lanes)[: rest * mg]
-            cnt_parts.append(jnp.sum(cm.reshape(rest, mg, lanes), axis=1))
-
-            if c > 1:
-                # TB CRC24A from per-CB local syndromes (over the
-                # payload bits [f, k-24)) + x^suffix shift matrices
-                pf = parity_rows_interleaved(CRC24A.poly, 24, k,
-                                             (f, k - 24))
-                s_loc = jnp.mod(jnp.einsum(
-                    "tksl,kc->tcsl",
-                    bits_int[t0 : t0 + tg].astype(jnp.float32),
-                    jnp.asarray(pf),
-                    preferred_element_type=jnp.float32), 2.0)
-                w_np = np.zeros((tg, sub, 24, 24), np.float32)
-                for q in range(rest * mg):
-                    i_cb = mem[q % mg][0]
-                    suffix = n_tb_bits - (starts[i_cb] + plens[i_cb])
-                    w_np[q // sub, q % sub] = shift_matrix(
-                        CRC24A.poly, 24, suffix)
-                shifted = jnp.einsum("tcsl,tsdc->tdsl", s_loc,
-                                     jnp.asarray(w_np),
-                                     preferred_element_type=jnp.float32)
-                sm = jnp.moveaxis(shifted, 1, 2).reshape(-1, 24, lanes)
-                sm = sm[: rest * mg].reshape(rest, mg, 24, lanes)
-                tb_snd_parts.append(jnp.sum(sm, axis=1))
-
-            # natural-order payload bits per CB (dead-code-eliminated
-            # when the caller only consumes crc_ok)
-            arr = jnp.moveaxis(bits_nat[t0 : t0 + tg], 1, 0)
-            arr = arr.reshape(k, -1, lanes)[:, : rest * mg]
-            arr = arr.reshape(k, rest, mg, lanes)
-            for j, (i_cb, _e, _off) in enumerate(mem):
-                pieces[i_cb] = arr[f : f + plens[i_cb], :, j]
+            mem4 = [(i, e, f, off) for (i, e, off) in mem]
+            ok_p, cnt_p, snd_p = _tile_group_postprocess(
+                llr_int[t0 : t0 + tg], k, c, mem4, rest, lanes,
+                n_tb_bits, starts, plens, pieces)
+            ok_parts.append(ok_p)
+            cnt_parts.append(cnt_p)
+            if snd_p is not None:
+                tb_snd_parts.append(snd_p)
 
     tb_ok = ok_parts[0]
     for okp in ok_parts[1:]:
@@ -482,9 +529,7 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
     """
     import jax.numpy as jnp
 
-    from ..ops.fec.derm_tiles import (build_tile_plan,
-                                      parity_rows_interleaved, shift_matrix)
-    from ..ops.fec.tables import qpp_deinterleaver, qpp_interleaver
+    from ..ops.fec.derm_tiles import build_tile_plan, parity_rows_interleaved
 
     segm = plan.segm
     c = segm.c
@@ -573,12 +618,10 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
     ok_parts, cnt_parts, tb_snd_parts = [], [], []
     pieces: dict = {}
     for k, mem in groups.items():
-        mg = len(mem)
         members = tuple((e, f, off, r * r_len)
                         for r in range(rest) for (_i, e, f, off) in mem)
         tplan = build_tile_plan(k, members, plan.rv, sub,
                                 zero_row, strong_row, g_map_key=g_map_key)
-        t_tiles = tplan["sys"].shape[1]
 
         def take(name):
             idx = jnp.asarray(tplan[name])
@@ -610,65 +653,14 @@ def _dlsch_decode_fused_v1(llrs, plan: DlschPlan, lanes: int, sub: int,
             # traced per-group iteration counts (sch.c:382 early-stop
             # depth), surfaced for the bench's operating-point report
             iters_out.append(n_it)
-        bits_int = (llr_int < 0)
 
-        # per-CB CRC
-        s_cb = synd(llr_int, p_int)             # [T, 24, sub, lanes]
-        okslot = jnp.all(s_cb == 0.0, axis=1)   # [T, sub, lanes]
-        okm = okslot.reshape(-1, lanes)[: rest * mg]
-        ok_parts.append(jnp.all(okm.reshape(rest, mg, lanes), axis=1))
-
-        # zero-TB guard: count of one-bits over the payload region
-        paymask = np.zeros(k, np.float32)
-        paymask[: (k - 24 if c > 1 else k)] = 1.0
-        pm_int = jnp.asarray(paymask[qpp_interleaver(k)])
-        cnts = jnp.einsum("tksl,k->tsl", bits_int.astype(jnp.float32), pm_int,
-                          preferred_element_type=jnp.float32)
-        cm = cnts.reshape(-1, lanes)[: rest * mg]
-        cnt_parts.append(jnp.sum(cm.reshape(rest, mg, lanes), axis=1))
-
-        if c > 1:
-            # TB CRC24A from per-CB local syndromes + x^suffix shifts
-            p0 = parity_rows_interleaved(CRC24A.poly, 24, k, (0, k - 24))
-            s_loc_raw = jnp.einsum(
-                "tksl,kc->tcsl", bits_int.astype(jnp.float32), jnp.asarray(p0),
-                preferred_element_type=jnp.float32)
-            fs = {f for _i, _e, f, _o in mem if f > 0}
-            if fs:
-                ff = fs.pop()
-                pf = parity_rows_interleaved(CRC24A.poly, 24, k,
-                                             (ff, k - 24))
-                pd = jnp.asarray(pf - p0)
-                mask = np.zeros((t_tiles, 1, sub, 1), np.float32)
-                for q, (_i, _e, f, _o) in enumerate(
-                        (m for _r in range(rest) for m in mem)):
-                    if f > 0:
-                        mask[q // sub, 0, q % sub, 0] = 1.0
-                s_loc_raw = s_loc_raw + jnp.asarray(mask) * jnp.einsum(
-                    "tksl,kc->tcsl", bits_int.astype(jnp.float32), pd,
-                    preferred_element_type=jnp.float32)
-            s_loc = jnp.mod(s_loc_raw, 2.0)
-            w_np = np.zeros((t_tiles, sub, 24, 24), np.float32)
-            for q in range(rest * mg):
-                i_cb = mem[q % mg][0]
-                suffix = n_tb_bits - (starts[i_cb] + plens[i_cb])
-                w_np[q // sub, q % sub] = shift_matrix(
-                    CRC24A.poly, 24, suffix)
-            shifted = jnp.einsum("tcsl,tsdc->tdsl", s_loc,
-                                 jnp.asarray(w_np),
-                                 preferred_element_type=jnp.float32)
-            sm = jnp.moveaxis(shifted, 1, 2).reshape(-1, 24, lanes)
-            sm = sm[: rest * mg].reshape(rest, mg, 24, lanes)
-            tb_snd_parts.append(jnp.sum(sm, axis=1))
-
-        # natural-order payload bits per CB (dead-code-eliminated when
-        # the caller only consumes crc_ok)
-        pinv = jnp.asarray(qpp_deinterleaver(k))
-        bits_nat = bits_int.astype(jnp.int8)[:, pinv]
-        arr = jnp.moveaxis(bits_nat, 1, 0).reshape(k, -1, lanes)
-        arr = arr[:, : rest * mg].reshape(k, rest, mg, lanes)
-        for j, (i_cb, _e, f, _off) in enumerate(mem):
-            pieces[i_cb] = arr[f : f + plens[i_cb], :, j]
+        ok_p, cnt_p, snd_p = _tile_group_postprocess(
+            llr_int, k, c, mem, rest, lanes, n_tb_bits, starts, plens,
+            pieces)
+        ok_parts.append(ok_p)
+        cnt_parts.append(cnt_p)
+        if snd_p is not None:
+            tb_snd_parts.append(snd_p)
 
     tb_ok = ok_parts[0]
     for okp in ok_parts[1:]:
