@@ -216,9 +216,12 @@ def _tile_group_postprocess(llr_int, k: int, c: int, mem, rest: int,
     a-posteriori LLRs (v1 passes its whole same-K group, v2 one (K, F)
     subgroup's tile range). ``mem``: [(i_cb, e, f, off)] in TB order;
     slot q = r * len(mem) + j holds batch-fold r of mem[j]. Filler
-    bits are handled per slot (a mask selects the [f, k-24) payload
-    parity rows — exact for mixed-F and uniform-F blocks alike, since
-    the parity matrices are 0/1 and the correction is additive).
+    bits are handled per slot: with one nonzero F value in the block
+    (mixed {0, F} slots, the v1 case — 36.212 only ever puts filler in
+    the first CB, so two distinct nonzero Fs cannot occur and are
+    asserted against) a mask adds the [f, k-24)-payload parity
+    correction on the F slots; a uniform-F block (the v2 case) takes
+    the [f, k-24) parity rows directly, one contraction.
 
     Returns (ok [rest, lanes], ones_count [rest, lanes],
     tb_syndrome [rest, 24, lanes] | None) and stores each CB's
@@ -256,13 +259,25 @@ def _tile_group_postprocess(llr_int, k: int, c: int, mem, rest: int,
     if c > 1:
         # TB CRC24A from per-CB local syndromes (payload [f, k-24) per
         # slot) + x^suffix shift matrices
-        p0 = parity_rows_interleaved(CRC24A.poly, 24, k, (0, k - 24))
-        s_loc_raw = jnp.einsum("tksl,kc->tcsl", bits_f, jnp.asarray(p0),
-                               preferred_element_type=jnp.float32)
-        fs = {f for _i, _e, f, _o in mem if f > 0}
-        if fs:
-            ff = fs.pop()
-            assert not fs, "mixed nonzero F within one K group"
+        f_set = {f for _i, _e, f, _o in mem}
+        assert len(f_set - {0}) <= 1, "mixed nonzero F within one block"
+        if len(f_set) == 1:
+            # uniform F (v2 subgroups, and v1 groups without filler):
+            # the payload parity rows apply to every slot directly
+            pf = parity_rows_interleaved(CRC24A.poly, 24, k,
+                                         (f_set.pop(), k - 24))
+            s_loc_raw = jnp.einsum("tksl,kc->tcsl", bits_f,
+                                   jnp.asarray(pf),
+                                   preferred_element_type=jnp.float32)
+        else:
+            # mixed {0, F}: base parity over [0, k-24) plus a masked
+            # additive correction on the filler-bearing slots (exact:
+            # the matrices are 0/1-valued)
+            p0 = parity_rows_interleaved(CRC24A.poly, 24, k, (0, k - 24))
+            s_loc_raw = jnp.einsum("tksl,kc->tcsl", bits_f,
+                                   jnp.asarray(p0),
+                                   preferred_element_type=jnp.float32)
+            ff = max(f_set)
             pf = parity_rows_interleaved(CRC24A.poly, 24, k, (ff, k - 24))
             pd = jnp.asarray(pf - p0)
             mask = np.zeros((t_tiles, 1, sub, 1), np.float32)

@@ -8,11 +8,9 @@ SISO DL, 50 Mbps eNB UL at 20 MHz (README.md:58).
 Usage: python tools/bench_pdsch.py [batch] [config: 20mimo|10siso|20ul]
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -4,11 +4,9 @@ Usage: python tools/bench_turbo.py [batch] [window] [iters]
 Prints Mbps for K=6144 CBs.
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -11,11 +11,9 @@ Pass "int8" as the third argument to run the quantized LLR lane
 tests/test_int8_lane.py transport path) for waterfall parity vs f32.
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 
 import numpy as np
 

@@ -1,10 +1,8 @@
 """Standalone timing probe for the fused MAP kernel (axon-safe sync)."""
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

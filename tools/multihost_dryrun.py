@@ -119,10 +119,18 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__)], env=env_r,
             stdout=subprocess.PIPE if r == 0 else subprocess.DEVNULL,
             stderr=subprocess.STDOUT))
+    import time
+
+    t0 = time.time()
     try:
+        # ONE global deadline shared by every wait (per-wait timeouts
+        # would accumulate to nproc x deadline and outlive callers'
+        # outer timeouts, re-orphaning workers)
         out0, _ = procs[0].communicate(timeout=deadline)
-        rcs = [procs[0].returncode] + \
-            [p.wait(timeout=deadline) for p in procs[1:]]
+        rcs = [procs[0].returncode]
+        for p in procs[1:]:
+            rcs.append(p.wait(
+                timeout=max(1.0, deadline - (time.time() - t0))))
     except subprocess.TimeoutExpired:
         print(f"FAILED timeout after {deadline}s", flush=True)
         sys.exit(1)

@@ -4,11 +4,9 @@ Usage: python tools/probe_nii.py [batch] [chain] [nrep] [window]
 Measures the same quantity bench.py reports, for configuration sweeps.
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -6,11 +6,9 @@ isolating kernel throughput from the XLA glue.
 Usage: python tools/probe_nii_kernel.py [batch] [l] [lanes] [group]
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -7,11 +7,9 @@ Explores where the 7.3 ms blind-search and 4.1 ms OFDM stages go:
 Usage: python tools/probe_vit_fft.py
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

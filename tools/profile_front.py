@@ -1,10 +1,8 @@
 """Front-end (extract/equalize/demod) sub-stage profile at rx_20mimo."""
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

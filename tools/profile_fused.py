@@ -1,10 +1,8 @@
 """Sub-stage profile of the fused dlsch path at rx_20mimo shapes."""
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -5,11 +5,9 @@ separately (same shapes as tools/bench_pdsch.py 20mimo) to locate the
 next perf bottleneck.
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

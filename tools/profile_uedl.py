@@ -6,11 +6,9 @@ locate where the gap between rx_uedl_20mimo and the genie rx_20mimo goes.
 Usage: python tools/profile_uedl.py [batch]
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -13,11 +13,9 @@ Usage: python tools/rx_bler_sweep.py [batch=64] [prb=50]
 (TPU recommended; CPU works with small batches.)
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

@@ -15,11 +15,9 @@ Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
        python tools/scaling_sweep.py
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np
